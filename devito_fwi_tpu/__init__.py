@@ -1,0 +1,19 @@
+"""devito_fwi_tpu — a TPU-native seismic full-waveform-inversion framework.
+
+A from-scratch JAX/XLA re-design with the capabilities of the
+LongyanU/devito-fwi reference: wave propagators (acoustic first; TTI,
+elastic, viscoacoustic, viscoelastic, self-adjoint), adjoint-state
+gradients, L2 / quadratic-Wasserstein misfits, nonlinear optimizers with
+line searches, and shot-parallel execution over TPU device meshes.
+"""
+
+from .models.timeaxis import TimeAxis
+from .models.sources import (PointSource, Receiver, Shot, WaveletSource,
+                             RickerSource, GaborSource, DGaussSource)
+from .models.model import (SeismicModel, Model, ModelElastic,
+                           ModelViscoelastic, ModelViscoacoustic)
+from .models.geometry import AcquisitionGeometry, setup_geometry, setup_rec_coords
+from .models.presets import demo_model, load_velocity
+from .ops.wavesolver import AcousticWaveSolver
+
+__version__ = "0.1.0"

@@ -1,0 +1,171 @@
+"""Preset demo models (reference ``seismic/preset_models.py``).
+
+Implemented presets: constant-isotropic, constant-elastic,
+constant-viscoelastic, constant-viscoacoustic, constant-tti,
+layers-isotropic, layers-elastic, layers-viscoelastic, layers-viscoacoustic,
+layers-tti, circle-isotropic, plus raw-binary Marmousi loaders pointed at a
+data directory (the reference ships `model_data/SMARMN|SMARM2`).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .model import SeismicModel
+
+__all__ = ["demo_model", "load_velocity"]
+
+
+def load_velocity(path, shape, dtype=np.float32):
+    """Read a raw little-endian float32 velocity model (reference
+    ``model_data/*/REAMDE.txt`` format: row-major (nx, nz))."""
+    v = np.fromfile(path, dtype=np.float32).astype(dtype)
+    return v.reshape(shape)
+
+
+def _layered_v(shape, dtype, vp_top, vp_bottom, nlayers):
+    v = np.empty(shape, dtype=dtype)
+    v[:] = vp_top
+    vp_i = np.linspace(vp_top, vp_bottom, nlayers)
+    for i in range(1, nlayers):
+        v[..., i * int(shape[-1] / nlayers):] = vp_i[i]
+    return v
+
+
+def demo_model(preset, **kwargs):
+    space_order = kwargs.pop("space_order", 2)
+    shape = kwargs.pop("shape", (101, 101))
+    spacing = kwargs.pop("spacing", tuple(10.0 for _ in shape))
+    origin = kwargs.pop("origin", tuple(0.0 for _ in shape))
+    nbl = kwargs.pop("nbl", 10)
+    dtype = kwargs.pop("dtype", np.float32)
+    vp = kwargs.pop("vp", 1.5)
+    nlayers = kwargs.pop("nlayers", 3)
+    fs = kwargs.pop("fs", False)
+    preset = preset.lower()
+
+    if preset == "constant-isotropic":
+        return SeismicModel(space_order=space_order, vp=vp, origin=origin,
+                            shape=shape, dtype=dtype, spacing=spacing, nbl=nbl,
+                            fs=fs, **kwargs)
+
+    if preset == "constant-elastic":
+        return SeismicModel(space_order=space_order, vp=vp, vs=0.5 * vp, b=1.0,
+                            origin=origin, shape=shape, dtype=dtype,
+                            spacing=spacing, nbl=nbl, **kwargs)
+
+    if preset == "constant-viscoelastic":
+        qp = kwargs.pop("qp", 100.0)
+        vs = kwargs.pop("vs", 1.2)
+        qs = kwargs.pop("qs", 70.0)
+        return SeismicModel(space_order=space_order, vp=vp, qp=qp, vs=vs,
+                            qs=qs, b=1 / 2.0, origin=origin, shape=shape,
+                            dtype=dtype, spacing=spacing, nbl=nbl, **kwargs)
+
+    if preset == "constant-viscoacoustic":
+        qp = kwargs.pop("qp", 100.0)
+        return SeismicModel(space_order=space_order, vp=vp, qp=qp, b=1 / 2.0,
+                            nbl=nbl, dtype=dtype, origin=origin, shape=shape,
+                            spacing=spacing, **kwargs)
+
+    if preset == "constant-tti":
+        v = np.full(shape, 1.5, dtype=dtype)
+        epsilon = 0.3 * np.ones(shape, dtype=dtype)
+        delta = 0.2 * np.ones(shape, dtype=dtype)
+        theta = 0.7 * np.ones(shape, dtype=dtype)
+        phi = 0.35 * np.ones(shape, dtype=dtype) if len(shape) > 2 else None
+        return SeismicModel(space_order=space_order, vp=v, origin=origin,
+                            shape=shape, dtype=dtype, spacing=spacing, nbl=nbl,
+                            epsilon=epsilon, delta=delta, theta=theta, phi=phi,
+                            bcs="damp", **kwargs)
+
+    if preset == "layers-isotropic":
+        vp_top = kwargs.pop("vp_top", 1.5)
+        vp_bottom = kwargs.pop("vp_bottom", 3.5)
+        v = _layered_v(shape, dtype, vp_top, vp_bottom, nlayers)
+        return SeismicModel(space_order=space_order, vp=v, origin=origin,
+                            shape=shape, dtype=dtype, spacing=spacing, nbl=nbl,
+                            bcs="damp", fs=fs, **kwargs)
+
+    if preset == "layers-elastic":
+        vp_top = kwargs.pop("vp_top", 1.5)
+        vp_bottom = kwargs.pop("vp_bottom", 3.5)
+        v = _layered_v(shape, dtype, vp_top, vp_bottom, nlayers)
+        vs = 0.5 * v[:]
+        b = 1 / (0.31 * (1e3 * v) ** 0.25)  # Gardner relation
+        b[v < 1.51] = 1.0
+        vs[v < 1.51] = 0.0
+        return SeismicModel(space_order=space_order, vp=v, vs=vs, b=b,
+                            origin=origin, shape=shape, dtype=dtype,
+                            spacing=spacing, nbl=nbl, **kwargs)
+
+    if preset == "layers-viscoelastic":
+        qp = kwargs.pop("qp", 100.0)
+        qs = kwargs.pop("qs", 70.0)
+        vp_top = kwargs.pop("vp_top", 1.6)
+        vp_bottom = kwargs.pop("vp_bottom", 2.2)
+        v = _layered_v(shape, dtype, vp_top, vp_bottom, nlayers)
+        qpf = np.full(shape, qp, dtype=dtype)
+        qsf = np.full(shape, qs, dtype=dtype)
+        vs = 0.5 * v[:]
+        b = 1 / (0.31 * (1e3 * v) ** 0.25)
+        return SeismicModel(space_order=space_order, vp=v, qp=qpf, vs=vs,
+                            qs=qsf, b=b, origin=origin, shape=shape,
+                            dtype=dtype, spacing=spacing, nbl=nbl, **kwargs)
+
+    if preset == "layers-viscoacoustic":
+        vp_top = kwargs.pop("vp_top", 1.5)
+        vp_bottom = kwargs.pop("vp_bottom", 3.5)
+        v = _layered_v(shape, dtype, vp_top, vp_bottom, nlayers)
+        qp = 3.516 * ((v * 1000.0) ** 2.2) * 1e-6  # Li & Gurevich relation
+        b = 1 / (0.31 * (1e3 * v) ** 0.25)
+        return SeismicModel(space_order=space_order, vp=v, qp=qp, b=b,
+                            origin=origin, shape=shape, dtype=dtype,
+                            spacing=spacing, nbl=nbl, **kwargs)
+
+    if preset == "layers-tti":
+        vp_top = kwargs.pop("vp_top", 1.5)
+        vp_bottom = kwargs.pop("vp_bottom", 3.5)
+        v = _layered_v(shape, dtype, vp_top, vp_bottom, nlayers)
+        epsilon = 0.3 * (v - 1.5)
+        delta = 0.2 * (v - 1.5)
+        theta = 0.5 * (v - 1.5)
+        phi = 0.25 * (v - 1.5) if len(shape) > 2 else None
+        model = SeismicModel(space_order=space_order, vp=v, origin=origin,
+                             shape=shape, dtype=dtype, spacing=spacing,
+                             nbl=nbl, epsilon=epsilon, delta=delta,
+                             theta=theta, phi=phi, bcs="damp", **kwargs)
+        if kwargs.get("smooth", False):
+            names = ("epsilon", "delta", "theta") if len(shape) == 2 else \
+                ("epsilon", "delta", "theta", "phi")
+            model.smooth(names)
+        return model
+
+    if preset == "circle-isotropic":
+        # Camembert model (reference seismic/preset_models.py:231-251)
+        vp_circle = kwargs.pop("vp_circle", 3.0)
+        vp_background = kwargs.pop("vp_background", 2.5)
+        r = kwargs.pop("r", 15)
+        assert len(shape) == 2
+        v = np.empty(shape, dtype=dtype)
+        v[:] = vp_background
+        a, b = shape[0] / 2, shape[1] / 2
+        y, x = np.ogrid[-a:shape[0] - a, -b:shape[1] - b]
+        v[x * x + y * y <= r * r] = vp_circle
+        kwargs.pop("grid", None)  # devito grid-sharing arg; not needed here
+        return SeismicModel(space_order=space_order, vp=v, origin=origin,
+                            shape=shape, dtype=dtype, spacing=spacing, nbl=nbl,
+                            bcs="damp", fs=fs, **kwargs)
+
+    if preset in ("marmousi-isotropic", "marmousi2d-isotropic"):
+        # SMARMN-format raw binary (reference marmousi_fwi.py:62-71)
+        data_path = kwargs.pop("data_path")
+        shape = kwargs.pop("marmousi_shape", (300, 106))
+        spacing = kwargs.pop("marmousi_spacing", (30.0, 30.0))
+        v = load_velocity(data_path, shape, dtype)
+        return SeismicModel(space_order=space_order, vp=v, origin=origin,
+                            shape=shape, dtype=dtype, spacing=spacing, nbl=nbl,
+                            bcs="damp", **kwargs)
+
+    raise ValueError("Unknown model preset name: %s" % preset)

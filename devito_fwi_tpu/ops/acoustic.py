@@ -1,0 +1,402 @@
+"""Acoustic isotropic propagators: forward / adjoint / gradient / Born.
+
+TPU-native re-design of the reference's devito operators
+(``seismic/acoustic/operators.py``): instead of symbolic codegen -> C, the
+time loop is a ``jax.lax.scan`` over a fused VPU stencil update; sources are
+scatter-adds and receivers gathers from precomputed tables (``ops.interp``).
+
+Discretization parity notes (all checked against the reference):
+
+* update rule = devito ``solve(m*u.dt2 - lap - q + damp*u.dt, u.forward)``
+  with first-order forward-difference ``u.dt = (u[t+1]-u[t])/s``:
+      u[t+1] = (s^2*(lap+q) + (2m + s*damp)*u[t] - m*u[t-1]) / (m + s*damp)
+  (reference ``seismic/acoustic/operators.py:59-95``; the forward-difference
+  damping term and the uniform t = 1..nt-2 loop bounds below were validated
+  empirically against the reference's camembert regression values
+  39113/-821/2442 — see tests/test_regression.py)
+* source injection adds ``w_p * src[t] * s^2 / m[p]`` at the 2^ndim corner
+  points p of the source location into u[t+1]
+  (reference ``operators.py:134``), receivers sample u[t] multilinearly.
+* time-loop bounds are t = 1 .. nt-2 for every operator (devito derives
+  the iteration space from the time-stencil radius u[t-1]..u[t+1], so the
+  bounds do not depend on whether the wavefield is saved or buffered);
+  rec[0] = rec[nt-1] = 0.
+* free surface = antisymmetric mirror of negative-z accesses with the z=0
+  plane zeroed in mirrored accesses (reference ``operators.py:8-35``). Only
+  rows 0..r (r = space_order//2) actually differ from the interior stencil.
+* OT4 kernel adds ``s^2/12 * lap(1/m * lap(u))``
+  (reference ``operators.py:38-56``); gradient OT4 adds the matching
+  biharmonic term (``operators.py:219``).
+* gradient accumulates ``-u.dt2[t] * v[t]`` over t = nt-2 .. 1 while
+  stepping v backward with receiver-residual injection into v[t-1]
+  (reference ``operators.py:183-225``).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.fd import second_derivative_weights
+
+__all__ = [
+    "forward", "adjoint", "gradient", "born", "gradient_checkpointed",
+    "laplacian_parts",
+]
+
+
+# ---------------------------------------------------------------------------
+# stencil pieces
+# ---------------------------------------------------------------------------
+
+def _axis_d2(u, w, axis):
+    """Order-(2r) accurate second derivative along `axis` (unscaled by 1/h^2),
+    zero-Dirichlet beyond the padded grid (devito halo semantics)."""
+    r = len(w) - 1
+    nd = u.ndim
+    pad = [(0, 0)] * nd
+    pad[axis] = (r, r)
+    up = jnp.pad(u, pad)
+    n = u.shape[axis]
+
+    def sl(shift):
+        s = [slice(None)] * nd
+        s[axis] = slice(r + shift, r + shift + n)
+        return tuple(s)
+
+    out = w[0] * u
+    for k in range(1, r + 1):
+        out = out + w[k] * (up[sl(k)] + up[sl(-k)])
+    return out
+
+
+def _fs_fix_last_axis(u, d2_last, w):
+    """Replace rows 0..r of the last-axis second derivative with the
+    free-surface mirrored stencil (see module docstring)."""
+    r = len(w) - 1
+    cols = []
+    for z in range(r + 1):
+        acc = w[0] * u[..., z] if z > 0 else w[0] * u[..., 0]
+        for k in range(1, r + 1):
+            # positive offset: always the plain value
+            acc = acc + w[k] * u[..., z + k]
+            # negative offset: odd mirror about z=0, zero at z=0
+            i = z - k
+            if i > 0:
+                acc = acc + w[k] * u[..., i]
+            elif i < 0:
+                acc = acc - w[k] * u[..., -i]
+            # i == 0 contributes nothing
+        cols.append(acc)
+    fs_block = jnp.stack(cols, axis=-1)
+    return jnp.concatenate([fs_block, d2_last[..., r + 1:]], axis=-1)
+
+
+def laplacian_parts(u, weights, inv_h2, fs):
+    """Laplacian as a sum of per-axis second derivatives; the last axis gets
+    the free-surface fix when `fs`."""
+    ndim_sp = len(inv_h2)
+    lap = 0.0
+    offset = u.ndim - ndim_sp
+    for d in range(ndim_sp):
+        axis = offset + d
+        d2 = _axis_d2(u, weights, axis)
+        if fs and d == ndim_sp - 1:
+            d2 = _fs_fix_last_axis(u, d2, weights)
+        lap = lap + d2 * inv_h2[d]
+    return lap
+
+
+def _make_lap(m, weights, inv_h2, fs, kernel, s2):
+    """Returns lap(u) including the OT4 biharmonic correction."""
+    def lap_fn(u):
+        lap = laplacian_parts(u, weights, inv_h2, fs)
+        if kernel == "OT4":
+            # s^2/12 * lap(1/m * lap(u))  (reference operators.py:38-56)
+            lap = lap + (s2 / 12.0) * laplacian_parts(lap / m, weights,
+                                                      inv_h2, fs)
+        return lap
+    return lap_fn
+
+
+def _scatter_add(field, idx, vals):
+    """field[idx] += vals with OOB corners dropped. idx: (..., ndim)."""
+    coords = tuple(idx[..., d] for d in range(idx.shape[-1]))
+    return field.at[coords].add(vals, mode="drop")
+
+
+def _gather(field, idx):
+    coords = tuple(idx[..., d] for d in range(idx.shape[-1]))
+    return field.at[coords].get(mode="fill", fill_value=0)
+
+
+def _update(u, u_prev, lap_u, q, m, hd, s2):
+    """The devito-solved leapfrog update (see module docstring).
+    ``hd = s*damp``; the same formula serves forward and backward stepping
+    because the transposed damping term ``damp*u.dt.T`` solved for
+    ``u.backward`` yields the identical expression with the roles of
+    u[t+1]/u[t-1] swapped."""
+    return (s2 * (lap_u + q) + (2.0 * m + hd) * u - m * u_prev) / (m + hd)
+
+
+def _prep(vp, damp, dt, spacing, space_order):
+    dtype = vp.dtype
+    w = jnp.asarray(second_derivative_weights(space_order)[space_order // 2:],
+                    dtype=dtype)  # [w0, w1, ..., wr] (symmetric)
+    inv_h2 = [jnp.asarray(1.0 / (h * h), dtype=dtype) for h in spacing]
+    m = 1.0 / (vp * vp)
+    s = jnp.asarray(dt, dtype=dtype)
+    s2 = s * s
+    hd = s * damp
+    return w, inv_h2, m, s2, hd
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "kernel", "fs",
+                                   "save", "spacing"))
+def forward(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
+            nt, spacing, space_order=4, kernel="OT2", fs=False, save=False):
+    """Forward acoustic modeling.
+
+    Returns (rec, u) where rec is (nt, nrec) and u is the saved wavefield
+    (nt, *grid) if `save` else the final two time slices (2, *grid).
+    """
+    if kernel == "OT4" and fs:
+        raise NotImplementedError("OT4 with free surface not supported")
+    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    m_src = _gather(m, src_idx)
+    src_scale = src_w * s2 / m_src          # (nsrcpt, 2**d)
+
+    def step(carry, src_t):
+        u, u_prev = carry
+        rec_t = jnp.sum(_gather(u, rec_idx) * rec_w, axis=-1)
+        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
+        unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
+        return (unext, u), (rec_t, unext if save else None)
+
+    z = jnp.zeros_like(vp)
+    (u_last, u_prev), (recs, us) = jax.lax.scan(step, (z, z),
+                                                src_wav[1:nt - 1])
+    rec = jnp.zeros((nt, rec_idx.shape[0]), dtype=vp.dtype)
+    rec = rec.at[1:nt - 1].set(recs)
+    if save:
+        u_full = jnp.concatenate([jnp.zeros((2,) + vp.shape, vp.dtype), us])
+        return rec, u_full
+    return rec, jnp.stack([u_last, u_prev])
+
+
+# ---------------------------------------------------------------------------
+# adjoint
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "kernel", "fs",
+                                   "spacing"))
+def adjoint(vp, damp, rec_data, rec_idx, rec_w, src_idx, src_w, dt, *,
+            nt, spacing, space_order=4, kernel="OT2", fs=False):
+    """Adjoint modeling: inject receiver data backward in time, sample at the
+    source locations (reference ``operators.py:143-180``). Returns
+    (srca (nt, nsrcpt), v final slices)."""
+    if kernel == "OT4" and fs:
+        raise NotImplementedError("OT4 with free surface not supported")
+    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    m_rec = _gather(m, rec_idx)
+    rec_scale = rec_w * s2 / m_rec
+
+    def step(carry, rec_t):
+        v, v_next = carry
+        srca_t = jnp.sum(_gather(v, src_idx) * src_w, axis=-1)
+        vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2)
+        vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
+        return (vprev, v), srca_t
+
+    z = jnp.zeros_like(vp)
+    # reverse loop t = nt-2 .. 1
+    (v_last, v_prev), srcas = jax.lax.scan(step, (z, z),
+                                           rec_data[1:nt - 1][::-1])
+    srca = jnp.zeros((nt, src_idx.shape[0]), dtype=vp.dtype)
+    srca = srca.at[1:nt - 1].set(srcas[::-1])
+    return srca, jnp.stack([v_last, v_prev])
+
+
+# ---------------------------------------------------------------------------
+# gradient (jacobian adjoint)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "kernel", "fs",
+                                   "spacing"))
+def gradient(vp, damp, u_save, rec_res, rec_idx, rec_w, dt, *,
+             nt, spacing, space_order=4, kernel="OT2", fs=False):
+    """Adjoint-state gradient w.r.t. squared slowness m:
+    ``grad = sum_t -u.dt2[t] * v[t]`` with v the receiver-residual adjoint
+    field (reference ``operators.py:183-225``). Returns grad on the padded
+    grid."""
+    if kernel == "OT4" and fs:
+        raise NotImplementedError("OT4 with free surface not supported")
+    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    m_rec = _gather(m, rec_idx)
+    rec_scale = rec_w * s2 / m_rec
+    if kernel == "OT4":
+        m2inv = 1.0 / (m * m)
+
+    def step(carry, xs):
+        v, v_next, grad = carry
+        t, rec_t = xs
+        u_tm1 = jax.lax.dynamic_index_in_dim(u_save, t - 1, keepdims=False)
+        u_t = jax.lax.dynamic_index_in_dim(u_save, t, keepdims=False)
+        u_tp1 = jax.lax.dynamic_index_in_dim(u_save, t + 1, keepdims=False)
+        udt2 = (u_tp1 - 2.0 * u_t + u_tm1) / s2
+        if kernel == "OT4":
+            # - (u.dt2 + s^2/12 * u.biharmonic(m^-2)) * v   (operators.py:219)
+            lap_u = laplacian_parts(u_t, w, inv_h2, fs)
+            udt2 = udt2 + (s2 / 12.0) * laplacian_parts(lap_u * m2inv, w,
+                                                        inv_h2, fs)
+        grad = grad - udt2 * v
+        vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2)
+        vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
+        return (vprev, v, grad), None
+
+    z = jnp.zeros_like(vp)
+    ts = jnp.arange(nt - 2, 0, -1, dtype=jnp.int32)
+    rec_r = rec_res[1:nt - 1][::-1]
+    (v_last, _, grad), _ = jax.lax.scan(step, (z, z, jnp.zeros_like(vp)),
+                                        (ts, rec_r))
+    return grad, jnp.stack([v_last, z])
+
+
+# ---------------------------------------------------------------------------
+# gradient with segment checkpointing (pyrevolve equivalent)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "kernel", "fs",
+                                   "spacing", "n_checkpoints"))
+def gradient_checkpointed(vp, damp, src_wav, src_idx, src_w, rec_res,
+                          rec_idx, rec_w, dt, *, nt, spacing, space_order=4,
+                          kernel="OT2", fs=False, n_checkpoints=16):
+    """Memory-lean gradient: instead of storing the full forward wavefield
+    (nt slices), store ~n_checkpoints (u[t], u[t-1]) pairs during a forward
+    sweep and recompute each segment during the reverse sweep. This is the
+    TPU-native equivalent of the reference's pyrevolve checkpointing
+    (``seismic/acoustic/wavesolver.py:188-201``), with uniform rather than
+    binomial checkpoint placement (recompute factor ~1x since we keep every
+    segment's starting state).
+    """
+    if kernel == "OT4" and fs:
+        raise NotImplementedError("OT4 with free surface not supported")
+    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    m_src = _gather(m, src_idx)
+    src_scale = src_w * s2 / m_src
+    m_rec = _gather(m, rec_idx)
+    rec_scale = rec_w * s2 / m_rec
+
+    nsteps = nt - 2                      # forward steps t = 1 .. nt-2
+    seg = -(-nsteps // n_checkpoints)    # steps per segment (ceil)
+    nseg = -(-nsteps // seg)
+    total = nseg * seg                   # padded step count
+
+    # pad source to `total` steps so every segment has static length
+    src_pad = jnp.zeros((total, src_wav.shape[1]), src_wav.dtype)
+    src_pad = src_pad.at[:nsteps].set(src_wav[1:nt - 1])
+
+    def fwd_step(carry, src_t):
+        u, u_prev = carry
+        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
+        unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
+        return (unext, u), None
+
+    # ---- forward sweep: record the carry at each segment start -------------
+    def seg_fwd(carry, src_seg):
+        start = carry
+        out, _ = jax.lax.scan(fwd_step, start, src_seg)
+        return out, jnp.stack(start)
+
+    src_segs = src_pad.reshape(nseg, seg, -1)
+    _, seg_starts = jax.lax.scan(seg_fwd, (jnp.zeros_like(vp),) * 2, src_segs)
+
+    # residual, padded & reversed into segment layout. rec index for forward
+    # step k (k = t-1, t = 1..nt-2): residual injected at iteration t is
+    # rec_res[t].
+    rec_pad = jnp.zeros((total, rec_res.shape[1]), rec_res.dtype)
+    rec_pad = rec_pad.at[:nsteps].set(rec_res[1:nt - 1])
+
+    def seg_rev(carry, xs):
+        v, v_next, grad = carry
+        seg_start, src_seg, rec_seg, seg_idx = xs
+        # recompute u within this segment: u[t], u[t-1] at each local step
+        def refwd(c, s):
+            u, u_prev = c
+            unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
+            unext = _scatter_add(unext, src_idx, s[:, None] * src_scale)
+            return (unext, u), jnp.stack([unext, u, u_prev])
+        (_, _), u_trip = jax.lax.scan(refwd, (seg_start[0], seg_start[1]),
+                                      src_seg)
+        # u_trip[k] = (u[t+1], u[t], u[t-1]) at forward step k (t = base+k+1)
+
+        def rev_step(c, xs_local):
+            v, v_next, grad = c
+            u3, rec_t, valid = xs_local
+            udt2 = (u3[0] - 2.0 * u3[1] + u3[2]) / s2
+            grad = grad - jnp.where(valid, 1.0, 0.0) * udt2 * v
+            vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2)
+            vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
+            new_v = jnp.where(valid, vprev, v)
+            new_vn = jnp.where(valid, v, v_next)
+            return (new_v, new_vn, grad), None
+
+        base = seg_idx * seg
+        local = jnp.arange(seg - 1, -1, -1)
+        valid = (base + local) < nsteps      # skip padded steps
+        (v, v_next, grad), _ = jax.lax.scan(
+            rev_step, (v, v_next, grad),
+            (u_trip[::-1], rec_seg[::-1], valid))
+        return (v, v_next, grad), None
+
+    rec_segs = rec_pad.reshape(nseg, seg, -1)
+    z = jnp.zeros_like(vp)
+    (v, _, grad), _ = jax.lax.scan(
+        seg_rev, (z, z, jnp.zeros_like(vp)),
+        (seg_starts[::-1], src_segs[::-1], rec_segs[::-1],
+         jnp.arange(nseg - 1, -1, -1)))
+    return grad, jnp.stack([v, z])
+
+
+# ---------------------------------------------------------------------------
+# Born / linearized forward (jacobian)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "kernel", "fs",
+                                   "spacing"))
+def born(vp, damp, dm, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
+         nt, spacing, space_order=4, kernel="OT2", fs=False):
+    """Linearized Born modeling: twin fields (u, U) with
+    ``q = -dm * u.dt2`` driving U (reference ``operators.py:228-273``).
+    Returns rec sampled from U."""
+    if kernel == "OT4" and fs:
+        raise NotImplementedError("OT4 with free surface not supported")
+    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    m_src = _gather(m, src_idx)
+    src_scale = src_w * s2 / m_src
+
+    def step(carry, src_t):
+        u, u_prev, U, U_prev = carry
+        rec_t = jnp.sum(_gather(U, rec_idx) * rec_w, axis=-1)
+        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
+        unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
+        udt2 = (unext - 2.0 * u + u_prev) / s2
+        Unext = _update(U, U_prev, lap_fn(U), -dm * udt2, m, hd, s2)
+        return (unext, u, Unext, U), rec_t
+
+    z = jnp.zeros_like(vp)
+    (_, _, _, _), recs = jax.lax.scan(step, (z, z, z, z), src_wav[1:nt - 1])
+    rec = jnp.zeros((nt, rec_idx.shape[0]), dtype=vp.dtype)
+    rec = rec.at[1:nt - 1].set(recs)
+    return rec

@@ -1,0 +1,16 @@
+"""Test configuration: run on CPU with 8 virtual devices and float64 enabled.
+
+Multi-chip sharding paths are validated on a virtual 8-device CPU mesh, and
+the adjoint/linearization tests need float64 (the reference runs them in f64
+on CPU too — seismic/self_adjoint/test_wavesolver_iso.py).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,223 @@
+"""Acoustic propagator correctness.
+
+Ports the reference's operator test strategy
+(``seismic/self_adjoint/test_wavesolver_iso.py`` and devito's acoustic
+adjoint tests): forward linearity, forward/adjoint dot test, Born/gradient
+dot test, Born linearization convergence, free-surface behavior, and
+long-run stability. Run in float64 on CPU (conftest).
+"""
+import numpy as np
+import pytest
+
+from devito_fwi_tpu import demo_model, setup_geometry, AcousticWaveSolver
+from devito_fwi_tpu.models.sources import RickerSource
+from devito_fwi_tpu.ops.wavesolver import Wavefield
+
+
+def make_solver(shape=(51, 51), spacing=(15., 15.), tn=400., nbl=10,
+                space_order=4, kernel='OT2', fs=False, dtype=np.float64,
+                preset='layers-isotropic', **kwargs):
+    model = demo_model(preset, space_order=space_order, shape=shape, nbl=nbl,
+                       dtype=dtype, spacing=spacing, fs=fs, **kwargs)
+    geometry = setup_geometry(model, tn)
+    return AcousticWaveSolver(model, geometry, kernel=kernel,
+                              space_order=space_order)
+
+
+def test_forward_smoke():
+    solver = make_solver()
+    rec, u, summary = solver.forward(save=True)
+    assert rec.data.shape == (solver.nt, 51)
+    assert np.isfinite(rec.data).all()
+    assert np.linalg.norm(rec.data) > 0
+    # saved wavefield history grows from zero
+    u = np.asarray(u.data)
+    assert np.allclose(u[0], 0) and np.allclose(u[1], 0)
+    assert np.abs(u[-1]).max() > 0
+
+
+@pytest.mark.parametrize('ndim', [1, 2, 3])
+@pytest.mark.parametrize('kernel', ['OT2', 'OT4'])
+def test_stability(ndim, kernel):
+    # finite after very long runs with no damping layer
+    # (reference seismic/acoustic/acoustic_example.py:66-72)
+    shape = tuple([11] * ndim)
+    solver = make_solver(shape=shape, spacing=tuple([20.] * ndim), tn=4000.,
+                         nbl=0, kernel=kernel, dtype=np.float32)
+    rec, _, _ = solver.forward()
+    assert np.isfinite(np.linalg.norm(rec.data))
+
+
+def test_forward_linearity():
+    # a * F(src) == F(a * src)  (reference test_wavesolver_iso.py:17-43)
+    solver = make_solver()
+    src = solver.geometry.src
+    a = 2.5
+    rec1, _, _ = solver.forward(src=src)
+    src2 = solver.geometry.src
+    src2.data[:] *= a
+    rec2, _, _ = solver.forward(src=src2, rec=solver.geometry.rec)
+    diff = np.linalg.norm(a * rec1.data - rec2.data)
+    assert diff / np.linalg.norm(rec2.data) < 1e-12
+
+
+def test_forward_adjoint_dot():
+    # <F s, r> == <s, F^T r> to near machine precision in f64.
+    solver = make_solver(shape=(41, 41), tn=300.)
+    src = solver.geometry.src
+    rec, _, _ = solver.forward(src=src)
+    # random adjoint data
+    rng = np.random.default_rng(0)
+    rec_in = solver.geometry.rec
+    rec_in.data[:] = rng.normal(size=rec_in.data.shape)
+    srca, _, _ = solver.adjoint(rec_in)
+    term1 = np.dot(rec.data.ravel(), rec_in.data.ravel())
+    term2 = np.dot(src.data.ravel(), srca.data.ravel())
+    assert abs(term1 - term2) / abs(term1) < 1e-11
+
+
+def test_born_gradient_dot():
+    # <J dm, r> == <dm, J^T r>  (exact discrete transpose, see ops.acoustic)
+    solver = make_solver(shape=(41, 41), tn=300.)
+    model = solver.model
+    rng = np.random.default_rng(1)
+    dm = rng.normal(size=model.padded_shape)
+    # zero dm in the absorbing layer to stay in the physical domain
+    dm_phys = np.zeros_like(dm)
+    nbl = model.nbl
+    dm_phys[nbl:-nbl, nbl:-nbl] = dm[nbl:-nbl, nbl:-nbl]
+
+    rec_lin, _ = solver.jacobian(dm_phys)
+    rec_res = solver.geometry.rec
+    rec_res.data[:] = rng.normal(size=rec_res.data.shape)
+
+    _, u0, _ = solver.forward(save=True)
+    grad, _ = solver.jacobian_adjoint(rec_res, u0)
+
+    term1 = np.dot(rec_lin.data.ravel(), rec_res.data.ravel())
+    term2 = np.dot(dm_phys.ravel(), np.asarray(grad).ravel())
+    assert abs(term1 - term2) / abs(term1) < 1e-11
+
+
+def test_born_linearization():
+    # || F(m0 + h dm) - F(m0) - h J dm || -> O(h^2)
+    # (reference test_wavesolver_iso.py:97-168)
+    solver = make_solver(shape=(41, 41), tn=300., preset='constant-isotropic',
+                         vp=2.0)
+    model = solver.model
+    vp0 = np.asarray(model.vp, dtype=np.float64)
+    m0 = 1.0 / vp0 ** 2
+    # smooth perturbation confined to the interior
+    nbl = model.nbl
+    x = np.linspace(-1, 1, model.padded_shape[0])[:, None]
+    z = np.linspace(-1, 1, model.padded_shape[1])[None, :]
+    dm = 0.05 * np.exp(-((x / 0.3) ** 2 + (z / 0.3) ** 2))
+
+    rec0, _, _ = solver.forward(vp=vp0)
+    rec_lin, _ = solver.jacobian(dm, vp=vp0)
+
+    hs = [0.5 ** i for i in range(3, 7)]
+    errs = []
+    for h in hs:
+        vp_h = 1.0 / np.sqrt(m0 + h * dm)
+        rec_h, _, _ = solver.forward(vp=vp_h, rec=solver.geometry.rec)
+        errs.append(np.linalg.norm(rec_h.data - rec0.data - h * rec_lin.data))
+    slope = np.polyfit(np.log(hs), np.log(errs), 1)[0]
+    assert slope > 1.85  # second-order convergence
+
+
+def test_gradient_checkpointed_matches_full():
+    solver = make_solver(shape=(41, 41), tn=300.)
+    rng = np.random.default_rng(2)
+    rec_res = solver.geometry.rec
+    rec_res.data[:] = rng.normal(size=rec_res.data.shape)
+    _, u0, _ = solver.forward(save=True)
+    g_full, _ = solver.jacobian_adjoint(rec_res, u0)
+    g_ckpt, _ = solver.jacobian_adjoint(rec_res, None, checkpointing=True,
+                                        n_checkpoints=7)
+    np.testing.assert_allclose(np.asarray(g_ckpt), np.asarray(g_full),
+                               rtol=1e-10, atol=1e-12)
+
+
+def _numpy_reference_step(u, u_prev, m, damp, s, w, h, fs):
+    """Literal per-point implementation of the devito update
+    (seismic/acoustic/operators.py:59-95 with the freesurface substitution at
+    operators.py:8-35), for cross-checking the scan kernel."""
+    nx, nz = u.shape
+    r = len(w) - 1
+    lap = np.zeros_like(u)
+    for ix in range(nx):
+        for iz in range(nz):
+            acc = 2 * w[0] * u[ix, iz] / h ** 2 if False else 0.0
+            # x direction (zero beyond grid)
+            acc = w[0] * u[ix, iz]
+            for k in range(1, r + 1):
+                up = u[ix + k, iz] if ix + k < nx else 0.0
+                dn = u[ix - k, iz] if ix - k >= 0 else 0.0
+                acc += w[k] * (up + dn)
+            lap[ix, iz] += acc / h ** 2
+            # z direction
+            acc = w[0] * u[ix, iz]
+            for k in range(1, r + 1):
+                up = u[ix, iz + k] if iz + k < nz else 0.0
+                if fs and iz < r + 1:
+                    # antisymmetric mirror with zeroed z=0 in mirrored access
+                    i = iz - k
+                    if i > 0:
+                        dn = u[ix, i]
+                    elif i == 0:
+                        dn = 0.0
+                    else:
+                        dn = -u[ix, -i]
+                else:
+                    dn = u[ix, iz - k] if iz - k >= 0 else 0.0
+                acc += w[k] * (up + dn)
+            lap[ix, iz] += acc / h ** 2
+    hd = s * damp
+    return (s * s * lap + (2 * m + hd) * u - m * u_prev) / (m + hd)
+
+
+@pytest.mark.parametrize('fs', [False, True])
+def test_scan_kernel_matches_literal_stencil(fs):
+    # run 40 steps and compare the scan kernel against the literal loops
+    rng = np.random.default_rng(3)
+    solver = make_solver(shape=(17, 17), spacing=(15., 15.), tn=100., nbl=4,
+                         fs=fs, preset='constant-isotropic', vp=2.0)
+    model = solver.model
+    src = solver.geometry.src
+    rec, u, _ = solver.forward(save=True)
+    u = np.asarray(u.data)
+
+    vp = np.full(model.padded_shape, 2.0)
+    m = 1.0 / vp ** 2
+    damp = model.damp if isinstance(model.damp, np.ndarray) else 0.0
+    s = float(solver.dt)
+    from devito_fwi_tpu.utils.fd import second_derivative_weights
+    w = second_derivative_weights(4)[2:]
+    from devito_fwi_tpu.ops.interp import interp_table
+    s_idx, s_w = interp_table(src.coordinates, model.origin_pml,
+                              model.spacing, dtype=np.float64)
+
+    u_ref = [np.zeros(model.padded_shape), np.zeros(model.padded_shape)]
+    nsteps = min(40, solver.nt - 2)
+    for t in range(1, nsteps):
+        unext = _numpy_reference_step(u_ref[t], u_ref[t - 1], m, damp, s, w,
+                                      15.0, fs)
+        for p in range(s_idx.shape[0]):
+            for c in range(s_idx.shape[1]):
+                ii, kk = s_idx[p, c]
+                if 0 <= ii < unext.shape[0] and 0 <= kk < unext.shape[1]:
+                    unext[ii, kk] += (src.data[t, p] * s * s / m[ii, kk]
+                                      * s_w[p, c])
+        u_ref.append(unext)
+    np.testing.assert_allclose(u[:nsteps + 1], np.stack(u_ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_ot4_runs_and_differs():
+    s2 = make_solver(kernel='OT2', tn=300.)
+    s4 = make_solver(kernel='OT4', tn=300.)
+    rec2, _, _ = s2.forward()
+    rec4, _, _ = s4.forward()
+    assert np.isfinite(rec4.data).all()
+    assert not np.allclose(rec2.data, rec4.data)

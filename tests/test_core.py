@@ -1,0 +1,118 @@
+"""Core container tests: FD weights, CFL, damping, time axis, geometry.
+
+Ports the semantics of the reference's seismic/test_seismic_utils.py plus
+checks of the exact constants the reference derives through sympy/devito.
+"""
+import numpy as np
+import pytest
+
+from devito_fwi_tpu.utils.fd import (fd_weights, second_derivative_weights,
+                                     cfl_coefficient, damping_profile)
+from devito_fwi_tpu import TimeAxis, demo_model, setup_geometry, SeismicModel
+from devito_fwi_tpu.models.sources import ricker_wavelet
+
+
+def test_fd_weights_second_derivative():
+    # classic 4th-order central weights
+    w = second_derivative_weights(4)
+    np.testing.assert_allclose(w, [-1/12, 4/3, -5/2, 4/3, -1/12], atol=1e-12)
+    w8 = second_derivative_weights(8)
+    np.testing.assert_allclose(w8[4], -205/72, atol=1e-12)
+
+
+def test_cfl_matches_reference_formula():
+    # model space_order=2 -> 5-point full stencil, sum|w| = 16/3
+    assert np.isclose(cfl_coefficient(2, 2), np.sqrt(4 / (2 * 16 / 3)), atol=1e-12)
+    # reference seismic/model.py:352 uses range(-so, so+1)
+    w = fd_weights(2, np.arange(-4, 5), 0.0)
+    assert np.isclose(cfl_coefficient(4, 2),
+                      np.sqrt(4 / (2 * np.sum(np.abs(w)))), atol=1e-12)
+
+
+def test_critical_dt_camembert():
+    # the camembert inversion example: so=2 model, vp max 3.0, h=10
+    model = demo_model('circle-isotropic', vp_circle=3.0, vp_background=2.5,
+                       origin=(0., 0.), shape=(101, 101),
+                       spacing=(10., 10.), nbl=40)
+    assert model.critical_dt == np.float32("%.3e" % (np.sqrt(0.375) * 10 / 3.0))
+    ta = TimeAxis(start=0.0, stop=1000.0, step=model.critical_dt)
+    assert ta.num == 491
+
+
+def test_timeaxis_three_of_four():
+    a = TimeAxis(start=0.0, step=2.0, num=6)
+    assert a.stop == 10.0
+    b = TimeAxis(start=0.0, stop=10.0, num=6)
+    assert b.step == 2.0
+    c = TimeAxis(start=0.0, stop=10.0, step=3.0)
+    assert c.num == 5 and np.isclose(c.stop, 12.0)
+    with pytest.raises(ValueError):
+        TimeAxis(start=0.0, stop=10.0, step=3.0, num=5)
+
+
+@pytest.mark.parametrize('nbl', [20, 0])
+def test_damp_layer_bounds(nbl):
+    # damp: 0 inside, >0 in layer; mask: 1 inside, <1 in layer
+    # (reference seismic/test_seismic_utils.py:12-36)
+    model = demo_model('layers-isotropic', shape=(51, 51), nbl=nbl)
+    if nbl == 0:
+        assert model.damp == 0.0
+        return
+    damp = model.damp
+    interior = damp[nbl:-nbl, nbl:-nbl]
+    np.testing.assert_allclose(interior, 0.0)
+    assert damp[0, damp.shape[1] // 2] > 0
+    model._initialize_bcs(bcs="mask")
+    mask = model.damp
+    np.testing.assert_allclose(mask[nbl:-nbl, nbl:-nbl], 1.0)
+    assert mask[0, mask.shape[1] // 2] < 1
+
+
+def test_damp_fs_skips_top():
+    model = demo_model('layers-isotropic', shape=(51, 51), nbl=10, fs=True)
+    assert model.padded_shape == (71, 61)
+    # top z rows (interior x) must be undamped
+    np.testing.assert_allclose(model.damp[10:-10, 0], 0.0)
+    assert model.damp[10, -1] > 0
+
+
+@pytest.mark.parametrize('ndim', [1, 2, 3])
+def test_geometry_defaults(ndim):
+    # (reference seismic/test_seismic_utils.py:39-97)
+    shape = tuple([21] * ndim)
+    model = demo_model('layers-isotropic', shape=shape, nbl=5,
+                       spacing=tuple([15.] * ndim))
+    geometry = setup_geometry(model, 300.)
+    assert geometry.nsrc == 1
+    assert geometry.nrec == 21 ** (max(ndim - 1, 1))
+    assert geometry.src_type == 'Ricker'
+    assert geometry.src.data.shape == (geometry.nt, 1)
+    assert geometry.rec.data.shape == (geometry.nt, geometry.nrec)
+    # resample changes dt and nt
+    nt0 = geometry.nt
+    geometry.resample(geometry.dt / 2)
+    assert geometry.nt >= 2 * nt0 - 2
+
+
+def test_ricker_wavelet():
+    t = np.linspace(0, 1000, 501)
+    w = ricker_wavelet(t, 0.010)
+    assert np.isclose(w[np.argmin(np.abs(t - 100.0))], 1.0)  # peak at t0=1/f0
+    assert abs(w[0]) < 1e-3 and abs(w[-1]) < 1e-10
+
+
+def test_model_update_and_m():
+    model = demo_model('circle-isotropic', shape=(51, 51), nbl=10)
+    v = np.full((51, 51), 2.0, dtype=np.float32)
+    model.update('vp', v)
+    assert model.vp.shape == (71, 71)
+    np.testing.assert_allclose(model.m, 0.25)
+    np.testing.assert_allclose(model.crop(model.vp), 2.0)
+
+
+def test_edge_padding():
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.), shape=(11, 11),
+                         space_order=4, vp=np.linspace(1.5, 3.5, 121)
+                         .reshape(11, 11).astype(np.float32), nbl=4)
+    assert model.vp.shape == (19, 19)
+    np.testing.assert_allclose(model.vp[0, 4:-4], model.vp[4, 4:-4])
