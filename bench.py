@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: grid-point time-steps/sec/chip on the Marmousi FWI workload.
+
+Measures one full FWI gradient evaluation (all shots: forward with wavefield
+save + adjoint gradient, misfit fused) on the SMARMN Marmousi configuration
+from the reference flagship driver (``marmousi_fwi.py:62-96``: 300x106 grid,
+dx=30m, nbl=40, so=8, dt=2.95ms, tn=4000ms, 29 shots) and reports throughput
+in grid-point time-steps per second per chip (fwd+adjoint cell-updates).
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md), so the ratio is against a nominal devito-CPU throughput of
+5e8 cell-steps/s (typical for its OpenMP-generated 2-D so=8 kernels on a
+server-class CPU).
+
+Prints ONE JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NOMINAL_DEVITO_CPU = 5e8  # cell-steps/s, assumed reference baseline
+
+
+def main():
+    import jax
+    from devito_fwi_tpu import SeismicModel, AcquisitionGeometry
+    from devito_fwi_tpu.models.presets import load_velocity
+    from devito_fwi_tpu.fwi import fwi_obj_multi, fm_multi
+    from devito_fwi_tpu.misfit import least_square
+
+    # SMARMN Marmousi (reference marmousi_fwi.py:62-96)
+    shape = (300, 106)
+    spacing = (30.0, 30.0)
+    origin = (0.0, 0.0)
+    nbl, so, dt = 40, 8, 2.95
+    t0, tn, f0 = 0.0, 4000.0, 0.007
+    nshots = 29
+
+    data = "/root/reference/model_data/SMARMN/vp.true"
+    if os.path.exists(data):
+        # files store m/s; the reference divides by 1000 (marmousi_fwi.py:70)
+        v_true = load_velocity(data, shape) / 1000
+        v_init = load_velocity(
+            "/root/reference/model_data/SMARMN/vp.smooth_20", shape) / 1000
+    else:  # synthetic stand-in with the same dimensions
+        z = np.linspace(1.5, 4.5, shape[1])[None, :]
+        v_true = (z + 0.3 * np.sin(np.linspace(0, 12, shape[0]))[:, None]
+                  ).astype(np.float32)
+        v_init = np.full(shape, 3.0, dtype=np.float32)
+
+    model1 = SeismicModel(origin=origin, spacing=spacing, shape=shape,
+                          space_order=so, vp=v_true, nbl=nbl, dt=dt,
+                          bcs="damp")
+    model0 = SeismicModel(origin=origin, spacing=spacing, shape=shape,
+                          space_order=so, vp=v_init, nbl=nbl, dt=dt,
+                          bcs="damp")
+
+    # acquisition layout per reference marmousi_fwi.py:93-103
+    src_coordinates = np.empty((nshots, 2))
+    src_coordinates[:, 0] = np.linspace(0, model1.domain_size[0], nshots)
+    src_coordinates[:, -1] = 2 * spacing[0]
+    nrec = shape[0]
+    rec_coordinates = np.empty((nrec, 2))
+    rec_coordinates[:, 0] = np.linspace(spacing[0],
+                                        model1.domain_size[0] - spacing[0],
+                                        nrec)
+    rec_coordinates[:, 1] = 2 * spacing[0]
+
+    geometry1 = AcquisitionGeometry(model1, rec_coordinates, src_coordinates,
+                                    t0, tn, f0=f0, src_type="Ricker")
+    geometry0 = AcquisitionGeometry(model0, rec_coordinates, src_coordinates,
+                                    t0, tn, f0=f0, src_type="Ricker")
+
+    obs = fm_multi(geometry1)
+
+    def one_gradient():
+        return fwi_obj_multi(geometry0, obs, least_square, None, None, True,
+                             calc_grad=True)
+
+    one_gradient()  # warm up / compile
+    n_iters = 3
+    tic = time.perf_counter()
+    for _ in range(n_iters):
+        fval, grad, _ = one_gradient()
+    elapsed = (time.perf_counter() - tic) / n_iters
+
+    nt = geometry0.nt
+    cells = np.prod(model0.padded_shape)
+    # fwd (save) + adjoint backward + gradient accumulation ~ 2 propagations
+    cell_steps = 2.0 * nshots * nt * cells
+    value = cell_steps / elapsed
+    print(json.dumps({
+        "metric": "marmousi_fwi_gradient_cell_steps_per_sec_per_chip",
+        "value": float(value),
+        "unit": "grid-point time-steps/s/chip (fwd+adjoint, 29 shots)",
+        "vs_baseline": float(value / NOMINAL_DEVITO_CPU),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,5 +15,7 @@ from .models.model import (SeismicModel, Model, ModelElastic,
 from .models.geometry import AcquisitionGeometry, setup_geometry, setup_rec_coords
 from .models.presets import demo_model, load_velocity
 from .ops.wavesolver import AcousticWaveSolver
+from .utils.plotting import (plot_perturbation, plot_velocity,
+                             plot_shotrecord, plot_image)
 
 __version__ = "0.1.0"

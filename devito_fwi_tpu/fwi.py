@@ -1,0 +1,436 @@
+"""FWI objective layer: multi-shot forward modeling + misfit + gradient.
+
+Re-design of the reference root-level ``fwi.py``. The API is preserved
+(``fm_single/fm_multi/fm_multi_parallel``, ``fwi_obj_single/multi/
+multi_parallel``, ``fwi_loss``, ``Filter``, ``resample``,
+``fix_source_illumination``), but the execution model is TPU-native:
+
+* shots are batched into a leading array axis and evaluated in one jitted
+  program (``vmap`` over source scatter tables) instead of dask futures
+  (reference ``fwi.py:83-102,207-234``);
+* ``*_parallel`` variants shard the shot axis over the device mesh with
+  ``shard_map`` + ``psum`` (see ``parallel.sharding``) — dask's
+  ``client.submit``/``wait``/result-sum loop becomes one collective;
+* the illumination preconditioner ``grad /= sqrt(illum + 1e-30)``, bathy
+  masks, direct-wave subtraction and source/receiver illumination fixes
+  match the reference numerics exactly (``fwi.py:104-129,175-205``).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import interpolate
+
+from .models.geometry import AcquisitionGeometry
+from .models.sources import PointSource
+from .ops.wavesolver import AcousticWaveSolver, Wavefield
+from .ops import acoustic as _ac
+from .ops.interp import interp_table
+from .utils.filters import bandpass, lowpass, highpass
+
+__all__ = ["seismic_filter", "Filter", "resample", "fm_single", "fm_multi",
+           "fm_multi_parallel", "fix_source_illumination", "fwi_obj_single",
+           "fwi_obj_multi", "fwi_obj_multi_parallel", "fwi_loss"]
+
+
+# ---------------------------------------------------------------------------
+# filters / resampling (reference fwi.py:10-57)
+# ---------------------------------------------------------------------------
+
+def seismic_filter(data, filter_type, freqmin=None, freqmax=None, df=None,
+                   corners=16, zerophase=False, axis=-1):
+    assert filter_type.lower() in ("bandpass", "lowpass", "highpass")
+    if filter_type == "bandpass":
+        if freqmin and freqmax and df:
+            return bandpass(data, freqmin, freqmax, df, corners, zerophase,
+                            axis)
+        raise ValueError
+    if filter_type == "lowpass":
+        if freqmax and df:
+            return lowpass(data, freqmax, df, corners, zerophase, axis)
+        raise ValueError
+    if filter_type == "highpass":
+        if freqmin and df:
+            return highpass(data, freqmin, df, corners, zerophase, axis)
+        raise ValueError
+
+
+class Filter:
+    def __init__(self, filter_type, freqmin=None, freqmax=None, df=None,
+                 corners=10, zerophase=False, axis=-1):
+        self.filter_type = filter_type
+        self.freqmin = freqmin
+        self.freqmax = freqmax
+        self.df = df
+        self.corners = corners
+        self.zerophase = zerophase
+        self.axis = axis
+
+    def __call__(self, data):
+        return seismic_filter(data, self.filter_type, self.freqmin,
+                              self.freqmax, self.df, self.corners,
+                              self.zerophase, self.axis)
+
+
+def resample(x, t, t0, order=3):
+    """Spline trace resampling from time axis t0 to t
+    (reference ``fwi.py:47-57``)."""
+    dt = t[1] - t[0]
+    dt0 = t0[1] - t0[0]
+    if np.isclose(dt, dt0):
+        return x
+    nsamples, ntraces = x.shape
+    new_x = np.zeros((t.size, ntraces), dtype=np.float32)
+    for i in range(ntraces):
+        tck = interpolate.splrep(t0, x[:, i], k=order)
+        new_x[:, i] = interpolate.splev(t, tck)
+    return new_x
+
+
+# ---------------------------------------------------------------------------
+# forward modeling (reference fwi.py:59-102)
+# ---------------------------------------------------------------------------
+
+def fm_single(geometry, save=False):
+    """Model one shot; returns (rec PointSource, wavefield)."""
+    solver = AcousticWaveSolver(geometry.model, geometry,
+                                space_order=geometry.model.space_order)
+    rec, u, _ = solver.forward(vp=geometry.model.vp, save=save)
+    return rec, u
+
+
+def _shot_geometry(geometry, i):
+    return AcquisitionGeometry(geometry.model, geometry.rec_positions,
+                               geometry.src_positions[i, :], geometry.t0,
+                               geometry.tn, f0=geometry.f0,
+                               src_type=geometry.src_type,
+                               filter=geometry._filter)
+
+
+def _batched_tables(geometry):
+    """Per-shot source tables + shared receiver table + wavelet."""
+    model = geometry.model
+    s_idx, s_w = interp_table(geometry.src_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    # (nsrc, 2^d, d) -> one point per shot -> (nsrc, 1, 2^d, d)
+    s_idx = s_idx[:, None]
+    s_w = s_w[:, None]
+    r_idx, r_w = interp_table(geometry.rec_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    src_wav = _shot_geometry(geometry, 0).src.data  # (nt, 1); same per shot
+    return s_idx, s_w, r_idx, r_w, src_wav
+
+
+def _solver_dt(geometry):
+    return geometry.model.critical_dt
+
+
+def fm_multi(geometry, save=False):
+    """Model all shots of `geometry`; returns a list of PointSource shot
+    records (API parity with reference ``fwi.py:67-81``). Shots run as a
+    python loop of VMEM-resident single-shot programs with one stacked
+    device->host transfer."""
+    model = geometry.model
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    damp = model.damp if isinstance(model.damp, np.ndarray) \
+        else model.dtype(0.0)
+    vp = jnp.asarray(model.vp)
+    dt = _solver_dt(geometry)
+    fwd = partial(_ac.forward, nt=geometry.nt, spacing=model.spacing,
+                  space_order=model.space_order, kernel="OT2", fs=model.fs,
+                  save=False)
+    recs = [fwd(vp, damp, src_wav, s_idx[i], s_w[i], r_idx, r_w, dt)[0]
+            for i in range(geometry.nsrc)]
+    rec_all = np.asarray(jnp.stack(recs))
+    shots = []
+    for i in range(geometry.nsrc):
+        shot = PointSource(name="rec", time_range=geometry.time_axis,
+                           coordinates=geometry.rec_positions,
+                           dtype=model.dtype)
+        shot.data[:] = rec_all[i]
+        shots.append(shot)
+    return shots
+
+
+def fm_multi_parallel(client, geometry, save=False):
+    """Shot-parallel modeling. `client` is accepted for signature parity with
+    the dask-based reference (``fwi.py:83-102``) and ignored — shots run as
+    one sharded batch over the device mesh."""
+    from .parallel.sharding import fm_multi_sharded
+    return fm_multi_sharded(geometry, save=save)
+
+
+# ---------------------------------------------------------------------------
+# illumination fixes (reference fwi.py:104-129)
+# ---------------------------------------------------------------------------
+
+def fix_source_illumination(geometry, g):
+    """Gaussian-mask damping of the gradient at source/receiver locations.
+    Literal port of reference ``fwi.py:104-129`` (including its meshgrid
+    axis convention)."""
+    if geometry.src_positions.shape[0] > 1:
+        raise ValueError("Only single source valid.")
+    src_pos = geometry.src_positions
+    return np.asarray(_fix_illum_jax(
+        jnp.asarray(g), jnp.asarray(src_pos[0]),
+        jnp.asarray(geometry.rec_positions),
+        geometry.model.spacing, geometry.model.shape))
+
+
+@partial(jax.jit, static_argnames=("spacing", "shape"))
+def _fix_illum_jax(g, src_pos, rec_positions, spacing, shape):
+    dx, dz = spacing
+    nx, nz = shape
+    x = jnp.arange(0, nx) * dx
+    z = jnp.arange(0, nz) * dz
+    # reference quirk preserved: meshgrid(z, x) -> xx holds z-values
+    xx, zz = jnp.meshgrid(z, x)
+    sigma = dx + dz
+    sx, sz = src_pos[0], src_pos[1]
+    mask = jnp.exp(-.5 * ((xx - sx) ** 2 + (zz - sz) ** 2) / sigma ** 2)
+    g = g * (1. - mask)
+    rx = rec_positions[:, 0][:, None, None]
+    rz = rec_positions[:, 1][:, None, None]
+    masks = jnp.exp(-.5 * ((xx[None] - rx) ** 2 + (zz[None] - rz) ** 2)
+                    / sigma ** 2)
+    g = g * jnp.prod(1. - masks, axis=0)
+    return g
+
+
+# ---------------------------------------------------------------------------
+# objective + gradient (reference fwi.py:131-234)
+# ---------------------------------------------------------------------------
+
+def _misfit_jax(misfit_func):
+    """Return a traceable (syn, obs) -> (fval, residual) function."""
+    from .misfit.w2 import least_square_jax
+    from .misfit import least_square
+    if misfit_func is least_square or misfit_func is None:
+        return least_square_jax
+    if hasattr(misfit_func, "jax"):
+        return misfit_func.jax
+    return None
+
+
+def fwi_obj_single(geometry, obs, misfit_func, direct_wave=None,
+                   resample_dt=None, calc_grad=False):
+    """Single-shot objective (host path, API parity with reference
+    ``fwi.py:131-173``), including trace resampling for the misfit."""
+    from copy import deepcopy
+    solver = AcousticWaveSolver(geometry.model, geometry,
+                                space_order=geometry.model.space_order)
+    pred, wfd, _ = solver.forward(vp=geometry.model.vp, save=calc_grad)
+
+    if resample_dt is None:
+        resample_dt = geometry.dt
+    else:
+        obs = deepcopy(obs).resample(resample_dt)
+        pred = pred.resample(resample_dt)
+        if direct_wave is not None:
+            direct_wave = deepcopy(direct_wave).resample(resample_dt)
+    syn_data = pred.data
+    obs_data = obs.data
+    if direct_wave is not None:
+        syn_data = syn_data - direct_wave.data
+        obs_data = obs_data - direct_wave.data
+    fval, residual_data = misfit_func(syn_data, obs_data)
+
+    residual = PointSource(name="rec", time_range=geometry.time_axis,
+                           coordinates=geometry.rec_positions,
+                           dtype=geometry.model.dtype)
+    residual.data[:] = resample(np.asarray(residual_data),
+                                geometry.time_axis.time_values,
+                                pred.time_values)[:]
+    illum, crop_grad = None, None
+    if calc_grad:
+        grad, _ = solver.jacobian_adjoint(residual, wfd,
+                                          vp=geometry.model.vp)
+        nbl = geometry.model.nbl
+        crop_grad = np.array(grad)[nbl:-nbl, nbl:-nbl]
+        crop_grad = fix_source_illumination(geometry, crop_grad)
+        illum = np.asarray(
+            (wfd.data * wfd.data).sum(axis=0))[nbl:-nbl, nbl:-nbl]
+        illum = fix_source_illumination(geometry, illum)
+    return fval, crop_grad, residual.data, illum
+
+
+@partial(jax.jit, static_argnames=("misfit_jax", "calc_grad", "nt",
+                                   "spacing", "space_order", "kernel", "fs",
+                                   "nbl", "shape", "n_checkpoints"))
+def _shot_fused(vp, damp, src_wav, si, sw, r_idx, r_w, obs_i, dw_i, src_pos,
+                rec_positions, dt, *, misfit_jax, calc_grad, nt, spacing,
+                space_order, kernel, fs, nbl, shape, n_checkpoints):
+    """One fused single-shot TPU program: forward + misfit (+ checkpointed
+    adjoint gradient + illumination). A single shot keeps its wavefield
+    carries VMEM-resident (~100x faster than streaming a saved wavefield
+    through HBM — see the perf note in ``ops.acoustic``)."""
+    static = dict(nt=nt, spacing=spacing, space_order=space_order,
+                  kernel=kernel, fs=fs)
+    if calc_grad:
+        rec, seg_starts, illum_pad = _ac.forward_ckpt(
+            vp, damp, src_wav, si, sw, r_idx, r_w, dt,
+            n_checkpoints=n_checkpoints, **static)
+    else:
+        rec, _ = _ac.forward(vp, damp, src_wav, si, sw, r_idx, r_w, dt,
+                             save=False, **static)
+    syn = rec - dw_i
+    obs_c = obs_i - dw_i
+    fval, res = misfit_jax(syn, obs_c)
+    if not calc_grad:
+        return fval, res
+    grad, _ = _ac.gradient_from_ckpt(vp, damp, src_wav, si, sw, seg_starts,
+                                     res, r_idx, r_w, dt,
+                                     n_checkpoints=n_checkpoints, **static)
+    crop = grad[nbl:-nbl, nbl:-nbl]
+    crop = _fix_illum_jax(crop, src_pos, rec_positions, spacing, shape)
+    illum = illum_pad[nbl:-nbl, nbl:-nbl]
+    illum = _fix_illum_jax(illum, src_pos, rec_positions, spacing, shape)
+    return fval, res, crop, illum
+
+
+@jax.jit
+def _sum_scalars(x):
+    return jnp.sum(x)
+
+
+@jax.jit
+def _sum_fields(g, il):
+    return jnp.sum(g, axis=0), jnp.sum(il, axis=0)
+
+
+def _default_checkpoints(nt):
+    """sqrt(nt) segments: nseg*2 + seg*3 wavefield slices live at once."""
+    return max(4, int(np.sqrt(max(nt - 2, 1))))
+
+
+def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
+                            calc_grad, shot_chunk=None):
+    """Multi-shot objective: python loop of fused single-shot programs
+    (dispatch overhead is negligible against VMEM-resident propagation).
+    Returns (fval, grad_sum, illum_sum, residuals)."""
+    model = geometry.model
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    # pre-upload every operand once: each implicit host->device put is a
+    # round trip over the TPU tunnel, which would dominate the ~1.5 ms/shot
+    # compute if paid per call
+    s_idx, s_w = jnp.asarray(s_idx), jnp.asarray(s_w)
+    r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
+    src_wav = jnp.asarray(src_wav)
+    damp = jnp.asarray(model.damp) if isinstance(model.damp, np.ndarray) \
+        else model.dtype(0.0)
+    vp = jnp.asarray(model.vp)
+    dt = _solver_dt(geometry)
+    statics = dict(misfit_jax=misfit_jax, calc_grad=calc_grad,
+                   nt=geometry.nt, spacing=model.spacing,
+                   space_order=model.space_order, kernel="OT2", fs=model.fs,
+                   nbl=model.nbl, shape=model.shape,
+                   n_checkpoints=_default_checkpoints(geometry.nt))
+
+    nsrc = geometry.nsrc
+    src_pos_all = jnp.asarray(geometry.src_positions)
+    rec_positions = jnp.asarray(geometry.rec_positions)
+    outs = []
+    for i in range(nsrc):
+        dw_i = dw_stack[min(i, dw_stack.shape[0] - 1)]
+        outs.append(_shot_fused(vp, damp, src_wav, s_idx[i], s_w[i], r_idx,
+                                r_w, obs_stack[i], dw_i, src_pos_all[i],
+                                rec_positions, dt, **statics))
+    # reduce on device and transfer once — host<->device round trips are the
+    # bottleneck, not compute (each shot is ~1.5 ms on-chip)
+    fval = float(_sum_scalars(jnp.stack([o[0] for o in outs])))
+    # residuals stay on device; callers convert lazily if they dump them
+    residuals = [o[1] for o in outs]
+    grad = np.zeros(model.shape, dtype=np.float64)
+    illum = np.zeros(model.shape, dtype=np.float64)
+    if calc_grad:
+        g, il = _sum_fields(jnp.stack([o[2] for o in outs]),
+                            jnp.stack([o[3] for o in outs]))
+        grad += np.asarray(g, dtype=np.float64)
+        illum += np.asarray(il, dtype=np.float64)
+    return fval, grad, illum, residuals
+
+
+_DEVICE_STACK_CACHE = {}
+
+
+def _device_stack(objs):
+    """Upload a list of shot records once and reuse the device copy across
+    objective calls (obs/direct-wave data is constant through an inversion;
+    host->device transfers over the TPU tunnel are expensive)."""
+    key = tuple(id(o) for o in objs)
+    st = _DEVICE_STACK_CACHE.get(key)
+    if st is None:
+        st = jnp.stack([jnp.asarray(o.data) for o in objs])
+        if len(_DEVICE_STACK_CACHE) > 8:
+            _DEVICE_STACK_CACHE.clear()
+        _DEVICE_STACK_CACHE[key] = st
+    return st
+
+
+def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
+                  precond=True, calc_grad=False, resample_dt=None,
+                  shot_chunk=8):
+    """Multi-shot objective/gradient (reference ``fwi.py:175-205``)."""
+    misfit_jax = None if resample_dt not in (None, geometry.dt) \
+        else _misfit_jax(misfit_func)
+
+    if misfit_jax is not None:
+        obs_stack = _device_stack(obs)
+        if direct_wave is not None:
+            dw_stack = _device_stack(direct_wave)
+        else:
+            dw_stack = jnp.zeros_like(obs_stack[:, :1, :1])
+        fval, grad, illum, residuals = _shot_objective_batched(
+            geometry, obs_stack, misfit_jax, dw_stack, calc_grad, shot_chunk)
+    else:
+        # host fallback: per-shot loop (custom numpy misfits / resampling)
+        fval = 0.0
+        grad = np.zeros(geometry.model.shape)
+        illum = np.zeros(geometry.model.shape)
+        residuals = []
+        for i in range(geometry.nsrc):
+            geom_i = _shot_geometry(geometry, i)
+            dw_i = direct_wave[i] if direct_wave is not None else None
+            f_i, g_i, res_i, il_i = fwi_obj_single(
+                geom_i, obs[i], misfit_func, dw_i,
+                resample_dt if resample_dt is not None else geometry.dt,
+                calc_grad)
+            fval += f_i
+            residuals.append(res_i)
+            if calc_grad:
+                grad += g_i
+                illum += il_i
+
+    if calc_grad:
+        if precond:
+            grad /= np.sqrt(illum + 1e-30)
+        if mask is not None:
+            grad *= mask
+    return fval, grad.reshape(-1).astype(np.float64), residuals
+
+
+def fwi_obj_multi_parallel(client, geometry, obs, misfit_func,
+                           direct_wave=None, mask=None, precond=True,
+                           calc_grad=False):
+    """Mesh-sharded variant (reference dask path, ``fwi.py:207-234``). The
+    `client` argument is accepted for parity and ignored; shots shard over
+    the JAX device mesh with gradients summed by psum."""
+    from .parallel.sharding import fwi_obj_sharded
+    fval, grad = fwi_obj_sharded(geometry, obs, misfit_func, direct_wave,
+                                 mask, precond, calc_grad)
+    return fval, grad
+
+
+def fwi_loss(x, geometry, obs, misfit_func, direct_wave=None, mask=None,
+             precond=True, calc_grad=True):
+    """Objective in squared-slowness parameterization
+    (reference ``fwi.py:236-246``)."""
+    v = 1.0 / np.sqrt(x.reshape(geometry.model.shape))
+    geometry.model.update("vp", v.reshape(geometry.model.shape))
+    fval, grad, residuals = fwi_obj_multi(geometry, obs, misfit_func,
+                                          direct_wave, mask, precond,
+                                          calc_grad)
+    return fval, grad, residuals

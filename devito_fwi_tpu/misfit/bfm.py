@@ -1,0 +1,230 @@
+"""Back-and-forth method (BFM) for the 2-D quadratic-Wasserstein distance.
+
+TPU-native re-implementation of the reference's C solver
+(``misfit/QW2D/src/fot2d.c``) as a single jittable JAX function:
+
+* DCT-based Poisson (H^-1) ascent steps (``fot2d.c:459-482``, DCT-II/III
+  pair == orthonormal ``dctn``/``idctn`` with the negative-Laplace kernel
+  of ``fot2d.c:4-17``).
+* c-transform for quadratic cost as a separable discrete Legendre transform.
+  The C code evaluates it with a sequential convex-hull scan
+  (``fot2d.c:50-178``); that computes exactly ``max_j(s_i x_j - u[j])``, so
+  here it is a dense vectorized max — O(n^2) instead of O(n), but
+  embarrassingly parallel, which is the right trade on a TPU's VPU.
+* mass-conserving density pushforward through the map ``grad(potential)``
+  (``fot2d.c:294-457``). The C version supersamples each cell adaptively;
+  data-dependent trip counts don't jit, so we use a fixed S x S
+  supersampling (default 2, matching the C minimum) with the same
+  stretch-cutoff cell rejection.
+* adaptive step-size control and the final gradient
+  ``(psi - <mu, psi>)/mean(f)`` (``fot2d.c:484-496, 606-656``).
+
+Run it over a batch of shot gathers with ``jax.vmap`` — the TPU-native
+replacement for the reference's MPI ``mpibfm2d`` binary.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.fft import dctn, idctn
+
+__all__ = ["bfm_jax", "bfm"]
+
+
+def _legendre_last(u, s):
+    """Discrete Legendre transform along the last axis:
+    out[..., i] = max_j (s[i]*s[j] - u[..., j])."""
+    # (n, n) slope matrix; broadcast over leading dims
+    ss = s[:, None] * s[None, :]
+    return jnp.max(ss[None, :, :] - u[..., None, :],
+                   axis=-1) if u.ndim == 2 else jnp.max(ss - u[None, :], -1)
+
+
+def _legendre_2d(u, sx, sy):
+    """2-D Legendre transform, separable (fot2d.c:151-173):
+    out[iy, ix] = max_{jx, jy} (x_ix x_jx + y_iy y_jy - u[jy, jx])."""
+    a = _legendre_last(u, sx)           # (n2, n1) max over jx
+    b = _legendre_last(-a.T, sy)        # (n1, n2) max over jy
+    return b.T
+
+
+def _interp_c(f, X, Y, n1, n2):
+    """Bilinear interpolation with the C code's clamped-extrapolation
+    convention (fot2d.c:268-292). X, Y in map coordinates [0, 1]."""
+    xi = jnp.clip(X * n1 - 0.5, 0, n1 - 1)
+    yi = jnp.clip(Y * n2 - 0.5, 0, n2 - 1)
+    xIndex = jnp.floor(xi).astype(jnp.int32)
+    yIndex = jnp.floor(yi).astype(jnp.int32)
+    xfrac = X * n1 - xIndex - 0.5
+    yfrac = Y * n2 - yIndex - 0.5
+    xOther = jnp.clip(xIndex + jnp.sign(xfrac).astype(jnp.int32), 0, n1 - 1)
+    yOther = jnp.clip(yIndex + jnp.sign(yfrac).astype(jnp.int32), 0, n2 - 1)
+    ax, ay = jnp.abs(xfrac), jnp.abs(yfrac)
+    return ((1 - ax) * (1 - ay) * f[yIndex, xIndex] +
+            ax * (1 - ay) * f[yIndex, xOther] +
+            (1 - ax) * ay * f[yOther, xIndex] +
+            ax * ay * f[yOther, xOther])
+
+
+def _pushforward_map(dual, n1, n2):
+    """Corner-grid map = central-difference gradient of the potential
+    (fot2d.c:294-325)."""
+    j = jnp.arange(n1 + 1, dtype=dual.dtype)
+    i = jnp.arange(n2 + 1, dtype=dual.dtype)
+    X, Y = jnp.meshgrid(j / n1, i / n2)          # (n2+1, n1+1)
+    xStep, yStep = 1.0 / n1, 1.0 / n2
+    xMap = 0.5 * n1 * (_interp_c(dual, X + xStep, Y, n1, n2) -
+                       _interp_c(dual, X - xStep, Y, n1, n2))
+    yMap = 0.5 * n2 * (_interp_c(dual, X, Y + yStep, n1, n2) -
+                       _interp_c(dual, X, Y - yStep, n1, n2))
+    return xMap, yMap
+
+
+def _sampling_pushforward(mu, xMap, yMap, n1, n2, nsub):
+    """Scatter the density mu through the corner map, supersampling each
+    cell nsub x nsub (fot2d.c:373-457 with fixed sampling)."""
+    dtype = mu.dtype
+    pcount = n1 * n2
+    # per-cell corner values
+    c00x, c01x = xMap[:-1, :-1], xMap[:-1, 1:]
+    c10x, c11x = xMap[1:, :-1], xMap[1:, 1:]
+    c00y, c01y = yMap[:-1, :-1], yMap[:-1, 1:]
+    c10y, c11y = yMap[1:, :-1], yMap[1:, 1:]
+    xStretch = jnp.maximum(jnp.abs(c01x - c00x), jnp.abs(c11x - c10x))
+    yStretch = jnp.maximum(jnp.abs(c10y - c00y), jnp.abs(c11y - c01y))
+    xCut = (1.0 / n1) ** (1.0 / 3)
+    yCut = (1.0 / n2) ** (1.0 / 3)
+    keep = (mu > 0) & (xStretch < xCut) & (yStretch < yCut)
+    mass = jnp.where(keep, mu, 0.0) / (nsub * nsub)
+
+    rho = jnp.zeros((n2, n1), dtype=dtype)
+    for l in range(nsub):
+        for k in range(nsub):
+            a = (k + 0.5) / nsub
+            b = (l + 0.5) / nsub
+            xPoint = ((1 - b) * (1 - a) * c00x + (1 - b) * a * c01x +
+                      b * (1 - a) * c10x + a * b * c11x)
+            yPoint = ((1 - b) * (1 - a) * c00y + (1 - b) * a * c01y +
+                      b * (1 - a) * c10y + a * b * c11y)
+            X = xPoint * n1 - 0.5
+            Y = yPoint * n2 - 0.5
+            xIndex = jnp.floor(X).astype(jnp.int32)
+            yIndex = jnp.floor(Y).astype(jnp.int32)
+            xFrac = X - xIndex
+            yFrac = Y - yIndex
+            xI = jnp.clip(xIndex, 0, n1 - 1)
+            xO = jnp.clip(xIndex + 1, 0, n1 - 1)
+            yI = jnp.clip(yIndex, 0, n2 - 1)
+            yO = jnp.clip(yIndex + 1, 0, n2 - 1)
+            rho = rho.at[yI, xI].add((1 - xFrac) * (1 - yFrac) * mass)
+            rho = rho.at[yO, xI].add((1 - xFrac) * yFrac * mass)
+            rho = rho.at[yI, xO].add(xFrac * (1 - yFrac) * mass)
+            rho = rho.at[yO, xO].add(xFrac * yFrac * mass)
+    total = jnp.sum(rho) / pcount
+    return rho / jnp.where(total > 0, total, 1.0)
+
+
+@partial(jax.jit, static_argnames=("num_steps", "nsub"))
+def bfm_jax(f, g, num_steps=10, step_scale=1.0, nsub=2):
+    """Quadratic-Wasserstein distance and gradient d W2 / d f of two
+    same-shape 2-D densities (rows = time/y, cols = traces/x).
+
+    Mirrors ``fotGradient2d`` (``fot2d.c:606-656``): inputs are normalized
+    to unit mean, the BFM iteration alternates H^-1 ascent + convexification
+    + pushforward on each potential, and the gradient is
+    ``(psi - <mu, psi>/pcount)/mean(f)``.
+    """
+    dtype = f.dtype
+    n2, n1 = f.shape
+    pcount = n1 * n2
+
+    sum1 = jnp.sum(f) / pcount
+    sum2 = jnp.sum(g) / pcount
+    mu = jnp.where(sum1 > 0, f / sum1, 0.0)
+    nu = jnp.where(sum2 > 0, g / sum2, 0.0)
+
+    sigma0 = step_scale / jnp.maximum(jnp.max(mu), jnp.max(nu))
+
+    xs = (jnp.arange(n1, dtype=dtype) + 0.5) / n1
+    ys = (jnp.arange(n2, dtype=dtype) + 0.5) / n2
+    quad = 0.5 * (xs[None, :] ** 2 + ys[:, None] ** 2)
+
+    # negative-Laplace DCT kernel (fot2d.c:4-17)
+    kx = 2.0 * n1 * n1 * (1 - jnp.cos(jnp.pi * jnp.arange(n1) / n1))
+    ky = 2.0 * n2 * n2 * (1 - jnp.cos(jnp.pi * jnp.arange(n2) / n2))
+    kernel = (kx[None, :] + ky[:, None]).astype(dtype)
+    kernel = kernel.at[0, 0].set(1.0)
+
+    def update_potential(phi, rho, target, sigma):
+        r = rho - target
+        w = dctn(r, type=2, norm="ortho") / kernel
+        w = w.at[0, 0].set(0.0)
+        w = idctn(w, type=2, norm="ortho")
+        h1 = jnp.sum(w * r) / pcount
+        return phi + sigma * w, h1
+
+    def compute_w2(phi, dual):
+        return jnp.sum(quad * (mu + nu) - nu * phi - mu * dual) / pcount
+
+    def step_update(sigma, value, old, h1):
+        diff = value - old
+        up = diff > h1 * sigma * 0.75
+        dn = diff < h1 * sigma * 0.25
+        return jnp.where(up, sigma / 0.8, jnp.where(dn, sigma * 0.8, sigma))
+
+    def body(carry, _):
+        phi, dual, rho, sigma, old = carry
+        # first half: update phi against nu, push nu through phi's map
+        phi, h1 = update_potential(phi, rho, nu, sigma)
+        dual = _legendre_2d(phi, xs, ys)
+        phi = _legendre_2d(dual, xs, ys)
+        value = compute_w2(phi, dual)
+        sigma = step_update(sigma, value, old, h1)
+        old = value
+        xMap, yMap = _pushforward_map(phi, n1, n2)
+        rho = _sampling_pushforward(nu, xMap, yMap, n1, n2, nsub)
+        # second half: update dual against mu, push mu through dual's map
+        dual, h1 = update_potential(dual, rho, mu, sigma)
+        phi = _legendre_2d(dual, xs, ys)
+        dual = _legendre_2d(phi, xs, ys)
+        xMap, yMap = _pushforward_map(dual, n1, n2)
+        rho = _sampling_pushforward(mu, xMap, yMap, n1, n2, nsub)
+        value = compute_w2(phi, dual)
+        sigma = step_update(sigma, value, old, h1)
+        old = value
+        return (phi, dual, rho, sigma, old), None
+
+    init = (quad, quad, mu, sigma0.astype(dtype),
+            compute_w2(quad, quad).astype(dtype))
+    (phi, dual, rho, sigma, wd), _ = jax.lax.scan(body, init, None,
+                                                  length=num_steps)
+
+    dual_f = quad - dual
+    term = jnp.sum(mu * dual_f) / pcount
+    grad = jnp.where(sum1 > 0, (dual_f - term) / sum1, 0.0)
+    return wd, grad
+
+
+class bfm:
+    """Host-facing wrapper matching the reference driver's call shape
+    (``misfit/bfm.py:145-192``): ``gradient(f, g) -> (loss, grad)`` with f, g
+    of shape (nt, ntraces)."""
+
+    def __init__(self, num_steps=10, step_scale=8.0, nsub=2):
+        self.num_steps = num_steps
+        self.step_scale = step_scale
+        self.nsub = nsub
+
+    def gradient(self, f, g):
+        import numpy as np
+        f = jnp.asarray(f)
+        g = jnp.asarray(g)
+        # reference layout: rows = time (y in the C solver), cols = traces
+        loss, grad = bfm_jax(f, g, num_steps=self.num_steps,
+                             step_scale=self.step_scale, nsub=self.nsub)
+        return float(loss), np.asarray(grad)
+
+
+bfmx = bfm  # reference alias: bfmx was the subprocess driver

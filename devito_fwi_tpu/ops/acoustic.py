@@ -43,7 +43,7 @@ from ..utils.fd import second_derivative_weights
 
 __all__ = [
     "forward", "adjoint", "gradient", "born", "gradient_checkpointed",
-    "laplacian_parts",
+    "forward_ckpt", "gradient_from_ckpt", "laplacian_parts",
 ]
 
 
@@ -272,7 +272,137 @@ def gradient(vp, damp, u_save, rec_res, rec_idx, rec_w, dt, *,
 
 
 # ---------------------------------------------------------------------------
-# gradient with segment checkpointing (pyrevolve equivalent)
+# segment-checkpointed forward + reverse (pyrevolve equivalent)
+#
+# Performance note (measured on TPU v5e, Marmousi 380x186): a single-shot
+# scan keeps both wavefield carries in VMEM and runs at ~250 Gcell-steps/s,
+# while saving the full (nt, nx, nz) history to HBM is ~100x slower. So the
+# production gradient path never materializes the wavefield: the forward
+# sweep stores ~n_checkpoints (u[t], u[t-1]) pairs, and the reverse sweep
+# recomputes each segment at VMEM speed.
+# ---------------------------------------------------------------------------
+
+def _ckpt_layout(nt, n_checkpoints):
+    nsteps = nt - 2                      # forward steps t = 1 .. nt-2
+    seg = -(-nsteps // n_checkpoints)    # steps per segment (ceil)
+    nseg = -(-nsteps // seg)
+    return nsteps, seg, nseg
+
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "kernel", "fs",
+                                   "spacing", "n_checkpoints"))
+def forward_ckpt(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
+                 nt, spacing, space_order=4, kernel="OT2", fs=False,
+                 n_checkpoints=16):
+    """Forward modeling that records receivers, per-cell illumination
+    (sum_t u[t]^2, reference ``fwi.py:170``) and segment-start states for a
+    later ``gradient_from_ckpt`` reverse sweep. Returns
+    (rec (nt, nrec), seg_starts (nseg, 2, *grid), illum (*grid))."""
+    if kernel == "OT4" and fs:
+        raise NotImplementedError("OT4 with free surface not supported")
+    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    m_src = _gather(m, src_idx)
+    src_scale = src_w * s2 / m_src
+
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    total = nseg * seg
+    src_pad = jnp.zeros((total, src_wav.shape[1]), src_wav.dtype)
+    src_pad = src_pad.at[:nsteps].set(src_wav[1:nt - 1])
+    valid = (jnp.arange(total) < nsteps).reshape(nseg, seg)
+
+    def fwd_step(carry, xs):
+        u, u_prev, illum = carry
+        src_t, valid_t = xs
+        rec_t = jnp.sum(_gather(u, rec_idx) * rec_w, axis=-1)
+        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
+        unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
+        illum = illum + jnp.where(valid_t, unext * unext, 0.0)
+        return (unext, u, illum), rec_t
+
+    def seg_fwd(carry, xs):
+        u, u_prev, illum = carry
+        out, rec_seg = jax.lax.scan(fwd_step, (u, u_prev, illum), xs)
+        return out, (jnp.stack([u, u_prev]), rec_seg)
+
+    z = jnp.zeros_like(vp)
+    src_segs = src_pad.reshape(nseg, seg, -1)
+    (_, _, illum), (seg_starts, rec_segs) = jax.lax.scan(
+        seg_fwd, (z, z, z), (src_segs, valid))
+    rec = jnp.zeros((nt, rec_idx.shape[0]), dtype=vp.dtype)
+    rec = rec.at[1:nt - 1].set(rec_segs.reshape(total, -1)[:nsteps])
+    return rec, seg_starts, illum
+
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "kernel", "fs",
+                                   "spacing", "n_checkpoints"))
+def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
+                       rec_res, rec_idx, rec_w, dt, *, nt, spacing,
+                       space_order=4, kernel="OT2", fs=False,
+                       n_checkpoints=16):
+    """Reverse sweep of the checkpointed gradient: recompute each forward
+    segment from its stored start state, step the adjoint field backward
+    with residual injection, accumulate ``-u.dt2[t] * v[t]``."""
+    if kernel == "OT4" and fs:
+        raise NotImplementedError("OT4 with free surface not supported")
+    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    m_src = _gather(m, src_idx)
+    src_scale = src_w * s2 / m_src
+    m_rec = _gather(m, rec_idx)
+    rec_scale = rec_w * s2 / m_rec
+
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    total = nseg * seg
+    src_pad = jnp.zeros((total, src_wav.shape[1]), src_wav.dtype)
+    src_pad = src_pad.at[:nsteps].set(src_wav[1:nt - 1])
+    rec_pad = jnp.zeros((total, rec_res.shape[1]), rec_res.dtype)
+    rec_pad = rec_pad.at[:nsteps].set(rec_res[1:nt - 1])
+
+    def seg_rev(carry, xs):
+        v, v_next, grad = carry
+        seg_start, src_seg, rec_seg, seg_idx = xs
+
+        def refwd(c, s):
+            u, u_prev = c
+            unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
+            unext = _scatter_add(unext, src_idx, s[:, None] * src_scale)
+            return (unext, u), jnp.stack([unext, u, u_prev])
+
+        (_, _), u_trip = jax.lax.scan(refwd, (seg_start[0], seg_start[1]),
+                                      src_seg)
+
+        def rev_step(c, xs_local):
+            v, v_next, grad = c
+            u3, rec_t, valid = xs_local
+            udt2 = (u3[0] - 2.0 * u3[1] + u3[2]) / s2
+            grad = grad - jnp.where(valid, udt2 * v, 0.0)
+            vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2)
+            vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
+            new_v = jnp.where(valid, vprev, v)
+            new_vn = jnp.where(valid, v, v_next)
+            return (new_v, new_vn, grad), None
+
+        base = seg_idx * seg
+        local = jnp.arange(seg - 1, -1, -1)
+        valid = (base + local) < nsteps
+        (v, v_next, grad), _ = jax.lax.scan(
+            rev_step, (v, v_next, grad),
+            (u_trip[::-1], rec_seg[::-1], valid))
+        return (v, v_next, grad), None
+
+    src_segs = src_pad.reshape(nseg, seg, -1)
+    rec_segs = rec_pad.reshape(nseg, seg, -1)
+    z = jnp.zeros_like(vp)
+    (v, _, grad), _ = jax.lax.scan(
+        seg_rev, (z, z, jnp.zeros_like(vp)),
+        (seg_starts[::-1], src_segs[::-1], rec_segs[::-1],
+         jnp.arange(nseg - 1, -1, -1)))
+    return grad, jnp.stack([v, z])
+
+
+# ---------------------------------------------------------------------------
+# gradient with segment checkpointing (combined convenience wrapper)
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("nt", "space_order", "kernel", "fs",
@@ -288,84 +418,14 @@ def gradient_checkpointed(vp, damp, src_wav, src_idx, src_w, rec_res,
     binomial checkpoint placement (recompute factor ~1x since we keep every
     segment's starting state).
     """
-    if kernel == "OT4" and fs:
-        raise NotImplementedError("OT4 with free surface not supported")
-    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
-    lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
-    m_src = _gather(m, src_idx)
-    src_scale = src_w * s2 / m_src
-    m_rec = _gather(m, rec_idx)
-    rec_scale = rec_w * s2 / m_rec
-
-    nsteps = nt - 2                      # forward steps t = 1 .. nt-2
-    seg = -(-nsteps // n_checkpoints)    # steps per segment (ceil)
-    nseg = -(-nsteps // seg)
-    total = nseg * seg                   # padded step count
-
-    # pad source to `total` steps so every segment has static length
-    src_pad = jnp.zeros((total, src_wav.shape[1]), src_wav.dtype)
-    src_pad = src_pad.at[:nsteps].set(src_wav[1:nt - 1])
-
-    def fwd_step(carry, src_t):
-        u, u_prev = carry
-        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
-        unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
-        return (unext, u), None
-
-    # ---- forward sweep: record the carry at each segment start -------------
-    def seg_fwd(carry, src_seg):
-        start = carry
-        out, _ = jax.lax.scan(fwd_step, start, src_seg)
-        return out, jnp.stack(start)
-
-    src_segs = src_pad.reshape(nseg, seg, -1)
-    _, seg_starts = jax.lax.scan(seg_fwd, (jnp.zeros_like(vp),) * 2, src_segs)
-
-    # residual, padded & reversed into segment layout. rec index for forward
-    # step k (k = t-1, t = 1..nt-2): residual injected at iteration t is
-    # rec_res[t].
-    rec_pad = jnp.zeros((total, rec_res.shape[1]), rec_res.dtype)
-    rec_pad = rec_pad.at[:nsteps].set(rec_res[1:nt - 1])
-
-    def seg_rev(carry, xs):
-        v, v_next, grad = carry
-        seg_start, src_seg, rec_seg, seg_idx = xs
-        # recompute u within this segment: u[t], u[t-1] at each local step
-        def refwd(c, s):
-            u, u_prev = c
-            unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
-            unext = _scatter_add(unext, src_idx, s[:, None] * src_scale)
-            return (unext, u), jnp.stack([unext, u, u_prev])
-        (_, _), u_trip = jax.lax.scan(refwd, (seg_start[0], seg_start[1]),
-                                      src_seg)
-        # u_trip[k] = (u[t+1], u[t], u[t-1]) at forward step k (t = base+k+1)
-
-        def rev_step(c, xs_local):
-            v, v_next, grad = c
-            u3, rec_t, valid = xs_local
-            udt2 = (u3[0] - 2.0 * u3[1] + u3[2]) / s2
-            grad = grad - jnp.where(valid, 1.0, 0.0) * udt2 * v
-            vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2)
-            vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
-            new_v = jnp.where(valid, vprev, v)
-            new_vn = jnp.where(valid, v, v_next)
-            return (new_v, new_vn, grad), None
-
-        base = seg_idx * seg
-        local = jnp.arange(seg - 1, -1, -1)
-        valid = (base + local) < nsteps      # skip padded steps
-        (v, v_next, grad), _ = jax.lax.scan(
-            rev_step, (v, v_next, grad),
-            (u_trip[::-1], rec_seg[::-1], valid))
-        return (v, v_next, grad), None
-
-    rec_segs = rec_pad.reshape(nseg, seg, -1)
-    z = jnp.zeros_like(vp)
-    (v, _, grad), _ = jax.lax.scan(
-        seg_rev, (z, z, jnp.zeros_like(vp)),
-        (seg_starts[::-1], src_segs[::-1], rec_segs[::-1],
-         jnp.arange(nseg - 1, -1, -1)))
-    return grad, jnp.stack([v, z])
+    _, seg_starts, _ = forward_ckpt(
+        vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, nt=nt,
+        spacing=spacing, space_order=space_order, kernel=kernel, fs=fs,
+        n_checkpoints=n_checkpoints)
+    return gradient_from_ckpt(
+        vp, damp, src_wav, src_idx, src_w, seg_starts, rec_res, rec_idx,
+        rec_w, dt, nt=nt, spacing=spacing, space_order=space_order,
+        kernel=kernel, fs=fs, n_checkpoints=n_checkpoints)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,99 @@
+"""Misfit layer tests: L2, W2-1d trace-wise, and the 2-D BFM solver.
+
+The BFM is validated analytically (quadratic-OT cost of a translated blob
+is .5*|delta|^2) and for self-consistency (W2(f,f) ~ 0, gradient descent
+direction reduces the distance) — mirroring the intent of the reference's
+``test_misfit.py`` comparison script.
+"""
+import numpy as np
+import pytest
+
+from devito_fwi_tpu.misfit import least_square, qWasserstein, bfm_jax
+
+
+def _ricker(t, f0=5.0, t0=0.25):
+    r = np.pi * f0 * (t - t0)
+    return (1 - 2 * r**2) * np.exp(-(r**2))
+
+
+def test_least_square():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(100, 7)).astype(np.float32)
+    y = rng.normal(size=(100, 7)).astype(np.float32)
+    fval, res = least_square(x, y)
+    assert np.isclose(fval, 0.5 * np.sum((x - y) ** 2), rtol=1e-6)
+    np.testing.assert_allclose(res, x - y)
+
+
+def test_w2_1d_identical_zero():
+    t = np.linspace(0, 1, 200)
+    f = np.float64(_ricker(t) + 2.0)  # positive
+    w2 = qWasserstein(trans_type='linear', method='1d')
+    loss, grad = w2(f, f)
+    assert loss < 1e-12
+
+
+def test_w2_1d_shift_quadratic():
+    # W2^2 between a density and its translate grows ~ shift^2
+    t = np.linspace(0, 1, 400)
+    base = np.exp(-((t - 0.4) / 0.05) ** 2)
+    w2 = qWasserstein(trans_type='linear', method='1d')
+    losses = []
+    for shift in (0.05, 0.1):
+        g = np.exp(-((t - 0.4 - shift) / 0.05) ** 2)
+        loss, _ = w2(base, g)
+        losses.append(loss)
+    assert losses[1] / losses[0] == pytest.approx(4.0, rel=0.1)
+
+
+def test_w2_1d_gradient_descent_direction():
+    t = np.linspace(0, 1, 300)
+    f = _ricker(t, t0=0.3)
+    g = _ricker(t, t0=0.5)
+    w2 = qWasserstein(trans_type='linear', gamma=1.01, method='1d')
+    loss, grad = w2(f[:, None], g[:, None])
+    assert loss > 0
+    # first-order decrease check
+    eps = 1e-3 / (np.abs(grad).max() + 1e-30)
+    loss2, _ = w2(f[:, None] - eps * grad, g[:, None])
+    assert loss2 < loss
+
+
+def test_bfm_identical_near_zero():
+    rng = np.random.default_rng(1)
+    x = np.linspace(0, 1, 64)
+    y = np.linspace(0, 1, 96)
+    f = (np.exp(-((y[:, None] - 0.5) ** 2 + (x[None, :] - 0.5) ** 2) / 0.02)
+         + 0.05).astype(np.float32)
+    loss, grad = bfm_jax(f, f, num_steps=10, step_scale=1.0)
+    assert abs(loss) < 1e-4
+
+
+def test_bfm_translation_cost():
+    # translated blob: optimal transport cost = .5 * delta^2 per unit mass
+    n = 128
+    x = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(x, x)
+    delta = 0.15
+    f = np.exp(-((X - 0.35) ** 2 + (Y - 0.5) ** 2) / 0.005).astype(np.float64)
+    g = np.exp(-((X - 0.35 - delta) ** 2 + (Y - 0.5) ** 2) / 0.005).astype(np.float64)
+    loss, grad = bfm_jax(f, g, num_steps=30, step_scale=1.0)
+    assert loss == pytest.approx(0.5 * delta ** 2, rel=0.15)
+    # gradient must push f toward g: descent reduces the distance
+    eps = 0.02 / np.abs(np.asarray(grad)).max()
+    loss2, _ = bfm_jax(f - eps * np.asarray(grad) * f.mean(), g,
+                       num_steps=30, step_scale=1.0)
+    assert loss2 < loss
+
+
+def test_qwasserstein_2d_dispatch():
+    t = np.linspace(0, 1, 120)
+    f = _ricker(t, t0=0.3)[:, None] * np.ones((1, 48))
+    g = _ricker(t, t0=0.4)[:, None] * np.ones((1, 48))
+    w2 = qWasserstein(trans_type='linear', gamma=1.01, method='2d',
+                      num_steps=10, step_scale=1.0)
+    loss, grad = w2(f.astype(np.float32), g.astype(np.float32))
+    assert np.isfinite(loss) and loss > 0
+    assert grad.shape == f.shape
+    with pytest.raises(ValueError):
+        w2(f[:, 0], g[:, 0])

@@ -1,0 +1,133 @@
+"""Optimizer / line-search / outer-loop tests.
+
+Validates the direction engines on quadratic objectives and the full
+minimize loop on a small camembert FWI (3 iterations, L2 + bracket line
+search) — the reference's structural test is running circle_fwi.py.
+"""
+import os
+import numpy as np
+import pytest
+
+from devito_fwi_tpu.optimize import SteepestDescent, NLCG, LBFGS, minimize
+from devito_fwi_tpu.optimize.optimizers import _LBFGS, _NLCG
+from devito_fwi_tpu.optimize.line_search import Bracket, Backtrack
+
+
+def quad(x, A, b):
+    return 0.5 * x @ A @ x - b @ x, A @ x - b
+
+
+def _minimize_quad(opt_engine, n=8, iters=60, seed=0):
+    rng = np.random.default_rng(seed)
+    Q = rng.normal(size=(n, n))
+    A = Q @ Q.T + n * np.eye(n)
+    b = rng.normal(size=n)
+    x = np.zeros(n)
+    xstar = np.linalg.solve(A, b)
+    for _ in range(iters):
+        f, g = quad(x, A, b)
+        p, restarted = opt_engine.compute_direction(x, g)
+        # exact line search for quadratics
+        denom = p @ A @ p
+        alpha = -(g @ p) / denom if denom > 0 else 0.0
+        x = x + alpha * p
+    return np.linalg.norm(x - xstar) / np.linalg.norm(xstar)
+
+
+def test_nlcg_quadratic_convergence():
+    # CG on an SPD quadratic converges in ~n steps
+    err = _minimize_quad(_NLCG(beta_type='FR', thresh=np.inf), n=8, iters=12)
+    assert err < 1e-6
+
+
+def test_lbfgs_quadratic_convergence():
+    err = _minimize_quad(_LBFGS(memory=8), n=8, iters=30)
+    assert err < 1e-5
+
+
+def test_lbfgs_secant_is_gradient_difference():
+    # guards the deliberate fix of reference optimizer/LBFGS.py:58
+    eng = _LBFGS(memory=3)
+    g0 = np.array([1.0, 2.0]); m0 = np.array([0.0, 0.0])
+    eng.compute_direction(m0, g0)
+    # positive-curvature pair: y.s > 0
+    g1 = np.array([1.2, 2.3]); m1 = np.array([0.1, 0.2])
+    eng.compute_direction(m1, g1)
+    np.testing.assert_allclose(eng.Y[:, 0], g1 - g0)
+    np.testing.assert_allclose(eng.S[:, 0], m1 - m0)
+
+
+def test_bracket_line_search_minimizes_parabola(tmp_path):
+    ls = Bracket(step_count_max=20, path=str(tmp_path))
+    f = lambda a: (a - 2.0) ** 2 + 1.0
+    gtg, gtp = 4.0, -4.0  # g = -4 at a=0 along p
+    alpha, status = ls.initialize(0.0, f(0.0), gtg, gtp)
+    for _ in range(30):
+        alpha, status = ls.update(alpha, f(alpha))
+        if status != 0:
+            break
+    assert status > 0
+    x, fv = ls.search_history()[0:2]
+    assert abs(x[fv.argmin()] - 2.0) < 0.5
+    assert os.path.exists(os.path.join(str(tmp_path), "optim_info"))
+
+
+def test_backtrack_accepts_unit_step(tmp_path):
+    ls = Backtrack(step_count_max=10, path=str(tmp_path))
+    # simulate second iteration (update_count>0 requires a zero step in history)
+    ls.initialize(0.0, 5.0, 1.0, -1.0)
+    ls.clear_history()
+    ls.step_lens = [0.0, 1.0, 0.0]
+    ls.func_vals = [5.0, 4.0, 4.0]
+    ls.gtg = [1.0, 1.0]
+    ls.gtp = [-1.0, -1.0]
+    ls.step_count = 0
+    alpha, status = ls.calculate_step()
+    assert alpha == 1.0 and status == 0
+
+
+def test_minimize_camembert_small(tmp_path):
+    # end-to-end: 3 LBFGS iterations reduce the misfit on a small camembert
+    from devito_fwi_tpu import demo_model, AcquisitionGeometry
+    from devito_fwi_tpu.fwi import fm_multi
+    from devito_fwi_tpu.misfit import least_square
+
+    shape, spacing = (61, 61), (10., 10.)
+    nbl, nsrc = 20, 3
+    true_model = demo_model('circle-isotropic', vp_circle=3.3,
+                            vp_background=3.0, r=15, origin=(0., 0.),
+                            shape=shape, spacing=spacing, space_order=4,
+                            nbl=nbl, dt=1.2)
+    init_model = demo_model('circle-isotropic', vp_circle=3.0,
+                            vp_background=3.0, r=15, origin=(0., 0.),
+                            shape=shape, spacing=spacing, space_order=4,
+                            nbl=nbl, dt=1.2)
+    src_coordinates = np.empty((nsrc, 2))
+    src_coordinates[:, 1] = np.linspace(0, true_model.domain_size[0], nsrc)
+    src_coordinates[:, 0] = 20.
+    rec_coordinates = np.empty((31, 2))
+    rec_coordinates[:, 1] = np.linspace(0, true_model.domain_size[0], 31)
+    rec_coordinates[:, 0] = 580.
+    geometry1 = AcquisitionGeometry(true_model, rec_coordinates,
+                                    src_coordinates, 0., 400., f0=0.010,
+                                    src_type='Ricker')
+    geometry0 = AcquisitionGeometry(init_model, rec_coordinates,
+                                    src_coordinates, 0., 400., f0=0.010,
+                                    src_type='Ricker')
+    obs = fm_multi(geometry1)
+
+    v0 = init_model.crop(init_model.vp)
+    m0 = 1.0 / (v0.reshape(-1).astype(np.float64)) ** 2
+    bounds = [1.0 / 4.0 ** 2, 1.0 / 2.5 ** 2]
+    optimizer = LBFGS(memory=5, ls_method='Bracket', step_len_init=0.05,
+                      max_ls=5, log_path=str(tmp_path))
+    minimizer = minimize(optimizer, maxIter=3, ftol=1e-6,
+                         log_path=str(tmp_path))
+    m = minimizer.run(m0, geometry0, obs, least_square, None, None, True,
+                      bounds)
+    misfits = np.loadtxt(os.path.join(str(tmp_path), 'misfit'))
+    assert misfits.shape[0] == 3
+    assert misfits[-1, 0] < misfits[0, 0]  # misfit decreased
+    # log files written with the reference formats
+    for name in ('optim_info', 'fval', 'step_length', 'sim_count'):
+        assert os.path.exists(os.path.join(str(tmp_path), name))
