@@ -15,6 +15,8 @@ from .models.model import (SeismicModel, Model, ModelElastic,
 from .models.geometry import AcquisitionGeometry, setup_geometry, setup_rec_coords
 from .models.presets import demo_model, load_velocity
 from .ops.wavesolver import AcousticWaveSolver
+from .ops.sa_wavesolver import SaIsoAcousticWaveSolver, acoustic_sa_setup
+from .ops.self_adjoint import setup_w_over_q
 from .utils.plotting import (plot_perturbation, plot_velocity,
                              plot_shotrecord, plot_image)
 

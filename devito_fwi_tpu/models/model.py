@@ -86,6 +86,14 @@ class SeismicModel:
 
     # ------------------------------------------------------------------- bcs
     def _initialize_bcs(self, bcs="damp"):
+        if callable(bcs):
+            # custom boundary initializer, e.g. the self-adjoint w/Q field
+            # (reference seismic/self_adjoint/example_iso.py:22 passes a
+            # callable bcs into Model)
+            self.damp = np.asarray(bcs(self), dtype=self.dtype)
+            self._bcs_type = "custom"
+            self._physical_parameters.add("damp")
+            return
         assert bcs in ("damp", "mask")
         if self.nbl == 0:
             self.damp = 1.0 if bcs == "mask" else 0.0
