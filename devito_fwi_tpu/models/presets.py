@@ -100,19 +100,23 @@ def demo_model(preset, **kwargs):
                             origin=origin, shape=shape, dtype=dtype,
                             spacing=spacing, nbl=nbl, **kwargs)
 
-    if preset == "layers-viscoelastic":
-        qp = kwargs.pop("qp", 100.0)
-        qs = kwargs.pop("qs", 70.0)
-        vp_top = kwargs.pop("vp_top", 1.6)
-        vp_bottom = kwargs.pop("vp_bottom", 2.2)
-        v = _layered_v(shape, dtype, vp_top, vp_bottom, nlayers)
-        qpf = np.full(shape, qp, dtype=dtype)
-        qsf = np.full(shape, qs, dtype=dtype)
-        vs = 0.5 * v[:]
-        b = 1 / (0.31 * (1e3 * v) ** 0.25)
-        return SeismicModel(space_order=space_order, vp=v, qp=qpf, vs=vs,
-                            qs=qsf, b=b, origin=origin, shape=shape,
-                            dtype=dtype, spacing=spacing, nbl=nbl, **kwargs)
+    if preset in ("layers-viscoelastic", "twolayer-viscoelastic",
+                  "2layer-viscoelastic"):
+        # Two-layer viscoelastic model (reference preset_models.py:152-196)
+        ratio = kwargs.pop("ratio", 3)
+        vals = dict(vp=(kwargs.pop("vp_top", 1.6), kwargs.pop("vp_bottom", 2.2)),
+                    qp=(kwargs.pop("qp_top", 40.), kwargs.pop("qp_bottom", 100.)),
+                    vs=(kwargs.pop("vs_top", 0.4), kwargs.pop("vs_bottom", 1.2)),
+                    qs=(kwargs.pop("qs_top", 30.), kwargs.pop("qs_bottom", 70.)),
+                    b=(kwargs.pop("b_top", 1 / 1.3), kwargs.pop("b_bottom", 1 / 2.)))
+        fields = {}
+        for name, (top, bottom) in vals.items():
+            f = np.full(shape, top, dtype=dtype)
+            f[..., int(shape[-1] / ratio):] = bottom
+            fields[name] = f
+        return SeismicModel(space_order=space_order, origin=origin,
+                            shape=shape, dtype=dtype, spacing=spacing,
+                            nbl=nbl, **fields, **kwargs)
 
     if preset == "layers-viscoacoustic":
         vp_top = kwargs.pop("vp_top", 1.5)

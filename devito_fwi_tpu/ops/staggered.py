@@ -1,0 +1,268 @@
+"""Staggered-grid building blocks + elastic / viscoelastic forward kernels.
+
+TPU-native re-design of the reference's first-order velocity-stress systems
+(``seismic/elastic/operators.py``, ``seismic/viscoelastic/operators.py``):
+devito's ``VectorTimeFunction``/``TensorTimeFunction`` symbolic machinery
+becomes explicit field tuples with known staggering, and the generated C
+time loop becomes one ``jax.lax.scan`` over a fused VPU stencil update.
+
+Staggering conventions (matching devito's):
+
+* velocity component ``v[i]`` lives at nodes shifted +h/2 in dim i;
+* diagonal stress ``tau_ii`` lives at nodes; off-diagonal ``tau_ij`` is
+  shifted +h/2 in both i and j;
+* derivative of a node field evaluated at +h/2 uses the staggered D+
+  stencil (Fornberg weights at x0=+1/2), of a +h/2-staggered field at a
+  node the D- stencil — the exact skew-adjoint pair of
+  ``ops.self_adjoint.staggered_weights``;
+* node-centered parameters (b, mu, damp, qp, qs) appearing in an equation
+  evaluated at a staggered point are arithmetically averaged over the
+  staggered dims with zero halo, which is devito's automatic staggered
+  averaging behavior.
+
+Update equations (reference ``elastic/operators.py:62-65``):
+
+    v[t+1]   = damp (v + dt b div(tau[t]))
+    tau[t+1] = damp (tau + dt lam diag(div v[t+1])
+                         + dt mu (grad v[t+1] + grad v[t+1]^T))
+
+with source ``w_p src[t] dt`` injected into the diagonal stresses at t+1
+and receivers recording tau_zz (rec1) and div v (rec2) at t
+(``elastic/operators.py:6-31``). The viscoelastic SLS variant adds the
+memory tensor r with relaxation times t_s, t_ep, t_es derived from qp/qs/f0
+(``viscoelastic/operators.py:30-58``). Both systems are forward-only in
+the reference; time loop t = 0..nt-2 (time_order=1 fields).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .self_adjoint import staggered_weights, shifted_derivative
+
+__all__ = ["elastic_forward", "viscoelastic_forward", "avg_to", "d_plus",
+           "d_minus"]
+
+
+# ---------------------------------------------------------------------------
+# staggered helpers
+# ---------------------------------------------------------------------------
+
+def _wgt(space_order, dtype):
+    w_p, off_p, w_m, off_m = staggered_weights(space_order)
+    return (jnp.asarray(w_p, dtype), off_p, jnp.asarray(w_m, dtype), off_m)
+
+
+def d_plus(u, wgt, axis, inv_h):
+    """First derivative of a node-centered field evaluated at +h/2."""
+    w_p, off_p, _, _ = wgt
+    return shifted_derivative(u, w_p, off_p, axis, inv_h)
+
+
+def d_minus(u, wgt, axis, inv_h):
+    """First derivative of a +h/2-staggered field evaluated at the node."""
+    _, _, w_m, off_m = wgt
+    return shifted_derivative(u, w_m, off_m, axis, inv_h)
+
+
+def avg_to(p, dims, ndim):
+    """Arithmetic average of a node-centered parameter to the grid point
+    shifted +h/2 in each dim of `dims` (zero beyond the array, like
+    devito's halo)."""
+    if not hasattr(p, "ndim") or p.ndim == 0:
+        return p
+    for d in dims:
+        axis = p.ndim - ndim + d
+        pad = [(0, 0)] * p.ndim
+        pad[axis] = (0, 1)
+        pp = jnp.pad(p, pad)
+        sl = [slice(None)] * p.ndim
+        sl[axis] = slice(1, 1 + p.shape[axis])
+        p = 0.5 * (p + pp[tuple(sl)])
+    return p
+
+
+def _gather(field, idx):
+    coords = tuple(idx[..., d] for d in range(idx.shape[-1]))
+    return field.at[coords].get(mode="fill", fill_value=0)
+
+
+def _scatter_add(field, idx, vals):
+    coords = tuple(idx[..., d] for d in range(idx.shape[-1]))
+    return field.at[coords].add(vals, mode="drop")
+
+
+def _pairs(ndim):
+    return [(i, j) for i in range(ndim) for j in range(i + 1, ndim)]
+
+
+# ---------------------------------------------------------------------------
+# elastic
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "spacing", "avg"))
+def elastic_forward(lam, mu, b, damp, src_wav, src_idx, src_w, rec_idx,
+                    rec_w, dt, *, nt, spacing, space_order=4, avg=True):
+    """Velocity-stress elastic forward modeling. Returns
+    (rec1 = tau_zz traces, rec2 = div(v) traces), each (nt, nrec)."""
+    dtype = lam.dtype
+    ndim = len(spacing)
+    wgt = _wgt(space_order, dtype)
+    inv_h = [jnp.asarray(1.0 / h, dtype=dtype) for h in spacing]
+    s = jnp.asarray(dt, dtype=dtype)
+    pairs = _pairs(ndim)
+
+    def mavg(p, dims):
+        return avg_to(p, dims, ndim) if avg else p
+
+    b_i = [mavg(b, (i,)) for i in range(ndim)]
+    damp_i = [mavg(damp, (i,)) for i in range(ndim)]
+    mu_ij = {ij: mavg(mu, ij) for ij in pairs}
+    damp_ij = {ij: mavg(damp, ij) for ij in pairs}
+
+    src_scale = src_w * s  # inject w_p * src[t] * dt (operators.py:20-25)
+
+    def step(carry, src_t):
+        v, td, to = carry
+        # receivers sample fields at time t
+        rec1_t = jnp.sum(_gather(td[-1], rec_idx) * rec_w, axis=-1)
+        div_v = sum(d_minus(v[i], wgt, i, inv_h[i]) for i in range(ndim))
+        rec2_t = jnp.sum(_gather(div_v, rec_idx) * rec_w, axis=-1)
+
+        # v[t+1] = damp (v + dt b div(tau))
+        vn = []
+        for i in range(ndim):
+            dtau = d_plus(td[i], wgt, i, inv_h[i])
+            for (a, c) in pairs:
+                if a == i:
+                    dtau = dtau + d_minus(to[(a, c)], wgt, c, inv_h[c])
+                elif c == i:
+                    dtau = dtau + d_minus(to[(a, c)], wgt, a, inv_h[a])
+            vn.append(damp_i[i] * (v[i] + s * b_i[i] * dtau))
+        dv = [d_minus(vn[i], wgt, i, inv_h[i]) for i in range(ndim)]
+        div_vn = sum(dv)
+
+        # tau[t+1] = damp (tau + dt lam diag(div v') + dt mu (grad+grad^T))
+        tdn = [damp * (td[i] + s * lam * div_vn + 2.0 * s * mu * dv[i])
+               for i in range(ndim)]
+        ton = {}
+        for (i, j) in pairs:
+            g = d_plus(vn[i], wgt, j, inv_h[j]) + \
+                d_plus(vn[j], wgt, i, inv_h[i])
+            ton[(i, j)] = damp_ij[(i, j)] * (to[(i, j)] +
+                                             s * mu_ij[(i, j)] * g)
+        # source into the diagonal stresses at t+1
+        inj = src_t[:, None] * src_scale
+        tdn = [_scatter_add(t_, src_idx, inj) for t_ in tdn]
+        return (tuple(vn), tuple(tdn), ton), (rec1_t, rec2_t)
+
+    z = jnp.zeros_like(lam)
+    init = (tuple(z for _ in range(ndim)), tuple(z for _ in range(ndim)),
+            {ij: z for ij in pairs})
+    _, (r1, r2) = jax.lax.scan(step, init, src_wav[0:nt - 1])
+    rec1 = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
+    rec2 = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
+    rec1 = rec1.at[0:nt - 1].set(r1)
+    rec2 = rec2.at[0:nt - 1].set(r2)
+    return rec1, rec2
+
+
+# ---------------------------------------------------------------------------
+# viscoelastic (SLS)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "spacing", "avg"))
+def viscoelastic_forward(lam, mu, b, qp, qs, damp, f0, src_wav, src_idx,
+                         src_w, rec_idx, rec_w, dt, *, nt, spacing,
+                         space_order=4, avg=True):
+    """SLS viscoelastic forward modeling with a memory-variable stress
+    tensor r (reference ``viscoelastic/operators.py:8-63``). Returns
+    (rec1 = tau_zz, rec2 = div v)."""
+    dtype = lam.dtype
+    ndim = len(spacing)
+    wgt = _wgt(space_order, dtype)
+    inv_h = [jnp.asarray(1.0 / h, dtype=dtype) for h in spacing]
+    s = jnp.asarray(dt, dtype=dtype)
+    f0 = jnp.asarray(f0, dtype=dtype)
+    pairs = _pairs(ndim)
+
+    def relax(qp_, qs_):
+        t_s = (jnp.sqrt(1. + 1. / qp_ ** 2) - 1. / qp_) / f0
+        t_ep = 1. / (f0 ** 2 * t_s)
+        t_es = (1. + f0 * qs_ * t_s) / (f0 * qs_ - f0 ** 2 * t_s)
+        return t_s, t_ep, t_es
+
+    def mavg(p, dims):
+        return avg_to(p, dims, ndim) if avg else p
+
+    t_s, t_ep, t_es = relax(qp, qs)
+    b_i = [mavg(b, (i,)) for i in range(ndim)]
+    damp_i = [mavg(damp, (i,)) for i in range(ndim)]
+    off = {}
+    for ij in pairs:
+        ts_a, _, tes_a = relax(mavg(qp, ij), mavg(qs, ij))
+        off[ij] = (mavg(mu, ij), mavg(damp, ij), ts_a, tes_a)
+
+    src_scale = src_w * s
+
+    def step(carry, src_t):
+        v, td, to, rd, ro = carry
+        rec1_t = jnp.sum(_gather(td[-1], rec_idx) * rec_w, axis=-1)
+        div_v = sum(d_minus(v[i], wgt, i, inv_h[i]) for i in range(ndim))
+        rec2_t = jnp.sum(_gather(div_v, rec_idx) * rec_w, axis=-1)
+
+        vn = []
+        for i in range(ndim):
+            dtau = d_plus(td[i], wgt, i, inv_h[i])
+            for (a, c) in pairs:
+                if a == i:
+                    dtau = dtau + d_minus(to[(a, c)], wgt, c, inv_h[c])
+                elif c == i:
+                    dtau = dtau + d_minus(to[(a, c)], wgt, a, inv_h[a])
+            vn.append(damp_i[i] * (v[i] + s * b_i[i] * dtau))
+        dv = [d_minus(vn[i], wgt, i, inv_h[i]) for i in range(ndim)]
+        div_vn = sum(dv)
+
+        # memory variable first (tau reads r[t+1]; operators.py:56-58)
+        rdn = [damp * (rd[i] - s / t_s * (rd[i] +
+                                          mu * (t_es / t_s - 1.) * 2. * dv[i] +
+                                          lam * (t_ep / t_s - 1.) * div_vn))
+               for i in range(ndim)]
+        ron = {}
+        for (i, j) in pairs:
+            mu_a, damp_a, ts_a, tes_a = off[(i, j)]
+            g = d_plus(vn[i], wgt, j, inv_h[j]) + \
+                d_plus(vn[j], wgt, i, inv_h[i])
+            ron[(i, j)] = damp_a * (ro[(i, j)] - s / ts_a * (
+                ro[(i, j)] + mu_a * (tes_a / ts_a - 1.) * g))
+
+        tdn = [damp * (s * rdn[i] + td[i] +
+                       s * (lam * t_ep / t_s * div_vn +
+                            mu * t_es / t_s * 2. * dv[i]))
+               for i in range(ndim)]
+        ton = {}
+        for (i, j) in pairs:
+            mu_a, damp_a, ts_a, tes_a = off[(i, j)]
+            g = d_plus(vn[i], wgt, j, inv_h[j]) + \
+                d_plus(vn[j], wgt, i, inv_h[i])
+            ton[(i, j)] = damp_a * (s * ron[(i, j)] + to[(i, j)] +
+                                    s * mu_a * tes_a / ts_a * g)
+
+        inj = src_t[:, None] * src_scale
+        tdn = [_scatter_add(t_, src_idx, inj) for t_ in tdn]
+        return (tuple(vn), tuple(tdn), ton, tuple(rdn), ron), \
+            (rec1_t, rec2_t)
+
+    z = jnp.zeros_like(lam)
+    init = (tuple(z for _ in range(ndim)), tuple(z for _ in range(ndim)),
+            {ij: z for ij in pairs}, tuple(z for _ in range(ndim)),
+            {ij: z for ij in pairs})
+    _, (r1, r2) = jax.lax.scan(step, init, src_wav[0:nt - 1])
+    rec1 = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
+    rec2 = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
+    rec1 = rec1.at[0:nt - 1].set(r1)
+    rec2 = rec2.at[0:nt - 1].set(r2)
+    return rec1, rec2
