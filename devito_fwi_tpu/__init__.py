@@ -18,6 +18,7 @@ from .ops.wavesolver import AcousticWaveSolver
 from .ops.sa_wavesolver import SaIsoAcousticWaveSolver, acoustic_sa_setup
 from .ops.elastic_wavesolver import ElasticWaveSolver, ViscoelasticWaveSolver
 from .ops.viscoacoustic_wavesolver import ViscoacousticWaveSolver
+from .ops.tti_wavesolver import AnisotropicWaveSolver
 from .ops.self_adjoint import setup_w_over_q
 from .utils.plotting import (plot_perturbation, plot_velocity,
                              plot_shotrecord, plot_image)

@@ -1,0 +1,103 @@
+"""TTI solver tests: stability (the reference's only TTI gate,
+``seismic/tti/tti_example.py:42-49``), isotropic-limit consistency against
+the acoustic solver, and adjoint dot tests (f64) for F and J — stronger
+gates than the reference has for this family."""
+import numpy as np
+import pytest
+
+from devito_fwi_tpu.models.presets import demo_model
+from devito_fwi_tpu.models.geometry import setup_geometry
+from devito_fwi_tpu.ops.tti_wavesolver import AnisotropicWaveSolver
+
+
+def _tti_setup(shape=(50, 50), spacing=(20., 20.), tn=250., nbl=10, so=4,
+               dtype=np.float32, preset="layers-tti", **kw):
+    model = demo_model(preset, space_order=so, shape=shape, nbl=nbl,
+                       dtype=dtype, spacing=spacing, **kw)
+    geometry = setup_geometry(model, tn)
+    return AnisotropicWaveSolver(model, geometry, space_order=so)
+
+
+def test_tti_forward_smoke():
+    solver = _tti_setup()
+    rec, u, v, _ = solver.forward()
+    assert np.isfinite(rec.data).all()
+    assert np.abs(rec.data).max() > 0
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_tti_stability(ndim):
+    shape = tuple([11] * ndim)
+    spacing = tuple([20.] * ndim)
+    solver = _tti_setup(shape=shape, spacing=spacing, tn=16000.0, nbl=0)
+    rec, _, _, _ = solver.forward()
+    assert np.isfinite(np.linalg.norm(rec.data))
+
+
+def test_tti_zero_anisotropy_matches_acoustic():
+    """With eps=delta=theta=0, the TTI u-field satisfies the isotropic wave
+    equation; compare u+v receivers against 2x the acoustic solution (both
+    fields receive the same source)."""
+    from devito_fwi_tpu.models.model import SeismicModel
+    from devito_fwi_tpu.ops.wavesolver import AcousticWaveSolver
+
+    shape, spacing = (51, 51), (10., 10.)
+    v0 = np.full(shape, 2.0, dtype=np.float64)
+    zeros = np.zeros(shape, dtype=np.float64)
+    model = SeismicModel(origin=(0., 0.), spacing=spacing, shape=shape,
+                        space_order=8, vp=v0, nbl=20, bcs="damp",
+                        dtype=np.float64, epsilon=zeros, delta=zeros,
+                        theta=zeros)
+    geometry = setup_geometry(model, 300.)
+    tti = AnisotropicWaveSolver(model, geometry, space_order=8)
+    rec_tti, _, _, _ = tti.forward()
+
+    model2 = SeismicModel(origin=(0., 0.), spacing=spacing, shape=shape,
+                          space_order=8, vp=v0, nbl=20, bcs="damp",
+                          dtype=np.float64)
+    geometry2 = setup_geometry(model2, 300.)
+    ac = AcousticWaveSolver(model2, geometry2, space_order=8)
+    rec_ac, _, _ = ac.forward(dt=geometry.dt)
+
+    # same dt: TTI records u+v = 2x acoustic field up to the different
+    # (half-order rotated vs full-order) spatial stencils
+    scale = np.abs(rec_ac.data).max()
+    assert np.allclose(rec_tti.data, 2 * rec_ac.data, atol=0.05 * 2 * scale)
+
+
+def _dot_setup():
+    return _tti_setup(shape=(41, 41), spacing=(10., 10.), tn=250., nbl=10,
+                      so=8, dtype=np.float64)
+
+
+def test_tti_adjoint_F():
+    solver = _dot_setup()
+    np.random.seed(0)
+    src1 = solver.geometry.src
+    rec1 = solver.geometry.new_rec()
+    rec1.data[:] = np.random.rand(*rec1.data.shape)
+    rec2, _, _, _ = solver.forward(src1)
+    srca, _ = solver.adjoint(rec1)
+    sum_s = np.dot(src1.data.ravel(), srca.data.ravel())
+    sum_r = np.dot(rec1.data.ravel(), rec2.data.ravel())
+    diff = (sum_s - sum_r) / (sum_s + sum_r)
+    assert np.isclose(diff, 0.0, atol=1e-11)
+
+
+def test_tti_adjoint_J():
+    solver = _dot_setup()
+    np.random.seed(0)
+    model = solver.model
+    dm1 = np.zeros(model.padded_shape, dtype=np.float64)
+    c = [n // 2 for n in model.padded_shape]
+    dm1[c[0] - 5:c[0] + 6, c[1] - 5:c[1] + 6] = \
+        -1 + 2 * np.random.rand(11, 11)
+    rec1 = solver.geometry.new_rec()
+    rec1.data[:] = np.random.rand(*rec1.data.shape)
+    rec2, _ = solver.jacobian(dm1)
+    _, u0, v0, _ = solver.forward(save=True)
+    dm2, _ = solver.jacobian_adjoint(rec1, u0, v0)
+    sum_m = np.dot(dm1.ravel(), dm2.ravel())
+    sum_d = np.dot(rec1.data.ravel(), rec2.data.ravel())
+    diff = (sum_m - sum_d) / (sum_m + sum_d)
+    assert np.isclose(diff, 0.0, atol=1e-11)
