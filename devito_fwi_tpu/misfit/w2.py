@@ -53,6 +53,27 @@ def transform_jax(f, g, trans_type="linear", gamma=1.0):
         return f, g, jnp.ones_like(f)
 
 
+def _interp_mono(x, xp, fp):
+    """``jnp.interp`` for monotone `xp`, with the index search as a dense
+    vectorized count instead of a binary search: ``jnp.interp``/
+    ``searchsorted`` compile to minutes-slow while-loops on TPU, while the
+    O(n^2) compare-reduce fuses into one VPU reduction (~1 ms for a full
+    shot gather). Matches ``jnp.interp`` to float rounding."""
+    n = xp.shape[0]
+    idx = jnp.sum((xp[None, :] <= x[:, None]).astype(jnp.int32), axis=1) - 1
+    idx = jnp.clip(idx, 0, n - 2)
+    x0 = jnp.take(xp, idx)
+    x1 = jnp.take(xp, idx + 1)
+    f0 = jnp.take(fp, idx)
+    f1 = jnp.take(fp, idx + 1)
+    dx = x1 - x0
+    w = jnp.where(dx > 0, (x - x0) / jnp.where(dx > 0, dx, 1.0), 0.0)
+    y = f0 + w * (f1 - f0)
+    y = jnp.where(x <= xp[0], fp[0], y)
+    y = jnp.where(x >= xp[-1], fp[-1], y)
+    return y
+
+
 def w2_1d_jax(f, g):
     """Trace-wise quadratic Wasserstein distance of two positive 1-D signals.
 
@@ -64,7 +85,7 @@ def w2_1d_jax(f, g):
     t = jnp.linspace(0.0, 1.0, mu.shape[0], dtype=f.dtype)
     F = jnp.cumsum(mu)
     G = jnp.cumsum(nu)
-    T = jnp.interp(F, G, t)
+    T = _interp_mono(F, G, t)
     d = t - T
     loss = 0.5 * jnp.sum(d * d * mu)
     grad = jnp.cumsum(d) - jnp.sum(d)
@@ -90,6 +111,7 @@ class qWasserstein:
         self.step_scale = step_scale
         self.bfm_backend = bfm_backend
         self._bfm = None
+        self._jitted = None
 
     # ------------------------------------------------------------------ jax
     def jax(self, f, g):
@@ -115,7 +137,11 @@ class qWasserstein:
         if f.ndim == 1:
             f = f[:, None]
             g = g[:, None]
-        loss, grad = self.jax(jnp.asarray(f), jnp.asarray(g))
+        if self._jitted is None:
+            # jit the whole misfit: eager per-op dispatch over the TPU
+            # tunnel would pay one host round-trip per primitive
+            self._jitted = jax.jit(self.jax)
+        loss, grad = self._jitted(jnp.asarray(f), jnp.asarray(g))
         return float(loss), np.asarray(grad).reshape(shape)
 
 

@@ -1,0 +1,254 @@
+"""Shared Marmousi driver logic (SMARMN and SMARM2 configurations).
+
+CLI/flow parity with the reference ``marmousi_fwi.py`` / ``marmousi2_fwi.py``
+/ ``marmousi_fm.py`` / ``marmousi2_fm.py`` drivers: same flags, same model
+and acquisition constants, same misfit selection, same result-file layout.
+Execution is TPU-native (batched shots, fused objective).
+
+The raw velocity models (float32 LE binaries) are looked up in
+``--data-dir`` (default: $DEVITO_FWI_TPU_DATA or ./model_data); when no
+data is available a synthetic layered stand-in with the same dimensions is
+generated so the drivers stay runnable end-to-end.
+"""
+import argparse
+import os
+import sys
+from dataclasses import dataclass
+from time import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+from devito_fwi_tpu import SeismicModel, AcquisitionGeometry  # noqa: E402
+from devito_fwi_tpu.fwi import Filter, fm_multi, fwi_obj_multi  # noqa: E402
+from devito_fwi_tpu.misfit import least_square, qWasserstein  # noqa: E402
+from devito_fwi_tpu.optimize import LBFGS, minimize  # noqa: E402
+
+
+@dataclass
+class MarmousiConfig:
+    name: str           # 'SMARMN' | 'SMARM2'
+    shape: tuple        # (nx, nz)
+    dt: float
+    tn: float
+    nsrc_default: int
+    bathy_rows: int     # water rows zeroed by the bathy mask
+    w2_step_scale: float
+    spacing: tuple = (30., 30.)
+    f0: float = 0.007
+    space_order: int = 8
+    nbl: int = 40
+    w2_num_steps: int = 15
+
+
+SMARMN = MarmousiConfig(name="SMARMN", shape=(300, 106), dt=2.95, tn=4000.,
+                        nsrc_default=29, bathy_rows=7, w2_step_scale=1.)
+SMARM2 = MarmousiConfig(name="SMARM2", shape=(340, 140), dt=3., tn=4500.,
+                        nsrc_default=31, bathy_rows=15, w2_step_scale=4.)
+
+
+def make_parser(cfg, fm=False):
+    p = argparse.ArgumentParser(description="Full waveform inversion"
+                                if not fm else "Forward modeling")
+    if not fm:
+        p.add_argument("--misfit", type=int, default=0, choices=[0, 1, 2],
+                       help="misfit function type:"
+                            "0=least square/1=1d W2/2=2d W2")
+        p.add_argument("--precond", type=int, default=1,
+                       help="apply precondition")
+        p.add_argument("--check-gradient", type=int, default=0,
+                       help="check the gradient at 1st iteration")
+        p.add_argument("--resample", type=float, default=0.,
+                       help="resample dt, default 0 will not resample")
+        p.add_argument("--ftol", type=float, default=1e-5,
+                       help="Optimizing loss tolerance")
+        p.add_argument("--gtol", type=float, default=1e-10,
+                       help="Optimizing gradient norm tolerance")
+        p.add_argument("--maxiter", type=int, default=200,
+                       help="FWI iteration")
+        p.add_argument("--steplen", type=float, default=0.1,
+                       help="initial step length for line search")
+        p.add_argument("--maxls", type=int, default=5,
+                       help="max number of line search in each iteration")
+    p.add_argument("--odir", type=str, default="./result/" + cfg.name,
+                   help="directory to output result")
+    p.add_argument("--bathy", type=int, default=1, help="apply bathy mask")
+    p.add_argument("--filter", type=int, default=0, help="filtering data")
+    p.add_argument("--nsrc", type=int,
+                   default=cfg.nsrc_default if not fm else 21,
+                   help="number of shots")
+    p.add_argument("--data-dir", type=str,
+                   default=os.environ.get("DEVITO_FWI_TPU_DATA",
+                                          "./model_data"),
+                   help="directory holding %s/vp.true etc." % cfg.name)
+    return p
+
+
+def _synthetic_vp(shape, seed=0):
+    """Layered stand-in with a water column, same value range as Marmousi."""
+    rng = np.random.RandomState(seed)
+    nx, nz = shape
+    depth = np.linspace(1.5, 4.5, nz)[None, :]
+    wob = 0.3 * np.sin(np.linspace(0, 6 * np.pi, nx))[:, None] \
+        * np.linspace(0, 1, nz)[None, :]
+    v = (depth + wob + 0.1 * rng.randn(nx, nz) * np.linspace(0, 1, nz))
+    v[:, :7] = 1.5
+    return np.asarray(v, dtype=np.float32)
+
+
+def load_models(cfg, data_dir):
+    """Returns (true_vp, smooth_vp) in km/s."""
+    base = os.path.join(data_dir, cfg.name)
+    tpath = os.path.join(base, "vp.true")
+    spath = os.path.join(base, "vp.smooth_20")
+    if os.path.exists(tpath):
+        true_vp = np.fromfile(tpath, dtype=np.float32).reshape(cfg.shape) \
+            / 1000
+        if os.path.exists(spath):
+            smooth_vp = np.fromfile(spath, dtype=np.float32) \
+                .reshape(cfg.shape) / 1000
+        else:
+            from scipy.ndimage import gaussian_filter
+            smooth_vp = gaussian_filter(true_vp, sigma=20).astype(np.float32)
+    else:
+        print("WARNING: %s not found - using a synthetic stand-in model"
+              % tpath)
+        from scipy.ndimage import gaussian_filter
+        true_vp = _synthetic_vp(cfg.shape)
+        smooth_vp = gaussian_filter(true_vp, sigma=20).astype(np.float32)
+        smooth_vp[:, :7] = 1.5
+    return true_vp, smooth_vp
+
+
+def setup(cfg, args, nsources):
+    """Build (true, init, constant-water) models + geometries + bathy mask
+    (reference marmousi_fwi.py:62-117)."""
+    origin = (0, 0)
+    true_vp, smooth_vp = load_models(cfg, args.data_dir)
+    constant_vp = np.ones(cfg.shape) * 1.5
+
+    bathy_mask = np.ones(cfg.shape, dtype=np.float32)
+    bathy_mask[:, :cfg.bathy_rows] = 0
+    if not args.bathy:
+        bathy_mask = None
+
+    def model(vp):
+        return SeismicModel(origin=origin, spacing=cfg.spacing,
+                            shape=cfg.shape, space_order=cfg.space_order,
+                            vp=vp, nbl=cfg.nbl, fs=False, dt=cfg.dt,
+                            bcs="damp")
+
+    true_model = model(true_vp)
+    init_model = model(smooth_vp)
+    constant_model = model(constant_vp)
+
+    src_coordinates = np.empty((nsources, 2))
+    src_coordinates[:, 0] = np.linspace(0, true_model.domain_size[0],
+                                        num=nsources)
+    src_coordinates[:, -1] = 2 * cfg.spacing[0]
+    nreceivers = cfg.shape[0]
+    rec_coordinates = np.empty((nreceivers, 2))
+    rec_coordinates[:, 0] = np.linspace(cfg.spacing[0],
+                                        true_model.domain_size[0]
+                                        - cfg.spacing[0], num=nreceivers)
+    rec_coordinates[:, 1] = 2 * cfg.spacing[0]
+
+    filt_func = None
+    if args.filter:
+        filt_func = Filter(filter_type="highpass", freqmin=3, corners=6,
+                           df=1000 / cfg.dt)
+    geoms = [AcquisitionGeometry(m, rec_coordinates, src_coordinates, 0.,
+                                 cfg.tn, f0=cfg.f0, src_type="Ricker",
+                                 filter=filt_func)
+             for m in (true_model, init_model, constant_model)]
+    return (true_model, init_model, constant_model), geoms, \
+        (true_vp, smooth_vp), bathy_mask
+
+
+def run_fwi(cfg):
+    args = make_parser(cfg).parse_args()
+    result_dir = args.odir
+    os.makedirs(result_dir, exist_ok=True)
+    misfit_type = args.misfit
+    print("---------------- Parameter Setting ------------\n",
+          "\t Result dir: %s \t Misfit function: %d \t Precondition: %d\n"
+          % (result_dir, misfit_type, args.precond),
+          "\t Use mask: %d \t Filtering source: %d \t Resample rate: %.2f\n"
+          % (args.bathy, args.filter, args.resample),
+          "\t ftol: %e \t gtol: %e \t nsrc: %d\n"
+          % (args.ftol, args.gtol, args.nsrc),
+          "\t maxiter:%d \t maxls: %d \t init step length: %.3f\n"
+          % (args.maxiter, args.maxls, args.steplen),
+          "-------------------------------------------------")
+
+    models, geoms, vps, bathy_mask = setup(cfg, args, args.nsrc)
+    geometry1, geometry0, geometry2 = geoms
+    _, smooth_vp = vps
+    resample_dt = args.resample or cfg.dt
+    geometry0.resample(resample_dt)
+
+    obs = fm_multi(geometry1, save=False)
+    direct_wave = fm_multi(geometry2, save=False)
+
+    qW1d = qWasserstein(gamma=1.01, method="1d")
+    qW2d = qWasserstein(gamma=1.01, method="2d",
+                        num_steps=cfg.w2_num_steps,
+                        step_scale=cfg.w2_step_scale)
+    misfit_func = [least_square, qW1d, qW2d][misfit_type]
+
+    if args.check_gradient:
+        f, g, _ = fwi_obj_multi(geometry0, obs, misfit_func, None,
+                                bathy_mask, args.precond, True)
+        g.tofile(os.path.join(result_dir, "marmousi_1st_grad_"
+                              + str(misfit_type)))
+        print("check-gradient: f=%.6e |g|max=%.3e" % (f, np.abs(g).max()))
+
+    vmin, vmax = 1.5, 5.2
+    bounds = [1.0 / vmax ** 2, 1.0 / vmin ** 2]
+    m0 = 1. / (smooth_vp.reshape(-1).astype(np.float64)) ** 2
+
+    tic = time()
+    optimizer = LBFGS(memory=10, ls_method="Bracket",
+                      step_len_init=args.steplen, max_ls=args.maxls,
+                      log_path=os.path.join(result_dir,
+                                            "log" + str(misfit_type)))
+    minimizer = minimize(optimizer, maxIter=args.maxiter, ftol=args.ftol,
+                         gtol=args.gtol,
+                         log_path=os.path.join(result_dir,
+                                               "log" + str(misfit_type)))
+    m = minimizer.run(m0, geometry0, obs, misfit_func, direct_wave,
+                      bathy_mask, args.precond, bounds)
+    print(f"\n Elapsed time: {time() - tic:.2f}s")
+
+    vp = 1.0 / np.sqrt(m.reshape(cfg.shape))
+    vp.astype(np.float32).tofile(
+        os.path.join(result_dir,
+                     "marmousi_result_misfit_" + str(misfit_type)))
+    print("final model range: %.3f %.3f km/s" % (vp.min(), vp.max()))
+    return m
+
+
+def run_fm(cfg):
+    """Forward-modeling driver: dump obs/syn/direct-wave gathers
+    (reference marmousi_fm.py:107-118)."""
+    args = make_parser(cfg, fm=True).parse_args()
+    result_dir = args.odir
+    os.makedirs(os.path.join(result_dir, "data"), exist_ok=True)
+    nsources = args.nsrc
+
+    models, geoms, _, _ = setup(cfg, args, nsources)
+    geometry1, geometry0, geometry2 = geoms
+
+    obs = fm_multi(geometry1, save=False)
+    syn = fm_multi(geometry0, save=False)
+    direct_wave = fm_multi(geometry2, save=False)
+    print(obs[0].data.shape)
+    for i in range(nsources):
+        obs[i].data[:].astype(np.float32).tofile(
+            os.path.join(result_dir, "data/obs" + str(i)))
+        syn[i].data[:].astype(np.float32).tofile(
+            os.path.join(result_dir, "data/syn" + str(i)))
+        direct_wave[i].data[:].astype(np.float32).tofile(
+            os.path.join(result_dir, "data/dw" + str(i)))
