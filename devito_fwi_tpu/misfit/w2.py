@@ -137,6 +137,18 @@ class qWasserstein:
         if f.ndim == 1:
             f = f[:, None]
             g = g[:, None]
+        if self.method == "2d" and self.bfm_backend == "native":
+            # C++ BFM (native/bfm2d.cpp): host-side parity anchor for the
+            # reference's QW2D/bin/bfm2d subprocess binary
+            from .native import bfm_gradient
+            mu, nu, d = transform_jax(jnp.asarray(f), jnp.asarray(g),
+                                      self.trans_type, self.gamma)
+            mass = float(np.sum(f) / f.size)
+            loss, grad = bfm_gradient(np.asarray(mu), np.asarray(nu),
+                                      num_steps=self.num_steps,
+                                      step_scale=self.step_scale)
+            grad = (grad / mass) * np.asarray(d)
+            return float(loss), grad.reshape(shape)
         if self._jitted is None:
             # jit the whole misfit: eager per-op dispatch over the TPU
             # tunnel would pay one host round-trip per primitive
