@@ -32,7 +32,7 @@ def divides(i, j):
 class minimize:
     def __init__(self, optimizer, maxIter=10, ftol=1e-2, gtol=1e-3,
                  log_path="./log", save_model_freq=5, save_grad_freq=5,
-                 save_res_freq=10):
+                 save_res_freq=10, checkpoint_freq=1, resume=False):
         assert optimizer.name in ("LBFGS", "NLCG", "SteepestDescent")
         self.optimizer = optimizer
         self.ftol = ftol
@@ -42,12 +42,28 @@ class minimize:
         self.save_model_freq = save_model_freq
         self.save_grad_freq = save_grad_freq
         self.save_res_freq = save_res_freq
+        # state persistence with actual resume (the reference dumps
+        # snapshots but cannot resume — SURVEY.md §5)
+        self.checkpoint_freq = checkpoint_freq
+        self.resume = resume
+        self.ckpt_path = os.path.join(log_path, "checkpoint")
         self.optimizer.setup()
-        self.check_path()
+        if not (resume and self._latest_ckpt()):
+            self.check_path()
+
+    def _latest_ckpt(self):
+        from .checkpoint import latest_checkpoint
+        return latest_checkpoint(self.ckpt_path)
 
     def run(self, m, geometry, obs_data, misfit_func, direct_wave=None,
             mask=None, precond=True, bounds=None):
         iter_count = 0
+        if self.resume:
+            from .checkpoint import load_state
+            ck = self._latest_ckpt()
+            if ck:
+                iter_count, m, self.f0 = load_state(ck, self.optimizer)
+                print("Resumed from %s at iteration %d" % (ck, iter_count))
         while iter_count < self.maxIter:
             print("Starting iteration", iter_count + 1)
             print("\t Computing gradient")
@@ -93,6 +109,10 @@ class minimize:
                             return m
             m = self.apply_bounds(m + alpha * p, bounds)
 
+            if divides(iter_count + 1, self.checkpoint_freq):
+                from .checkpoint import save_state
+                save_state(self.ckpt_path, iter_count + 1, m, self.f0,
+                           self.optimizer)
             stop = self.finalize(m, g, fval, fval_try, iter_count)
             print("")
             if stop:

@@ -116,3 +116,41 @@ def test_edge_padding():
                          .reshape(11, 11).astype(np.float32), nbl=4)
     assert model.vp.shape == (19, 19)
     np.testing.assert_allclose(model.vp[0, 4:-4], model.vp[4, 4:-4])
+
+
+def test_filters_suite():
+    """Filter-family coverage (reference seismic/filter/filter.py):
+    band/lowpass attenuation, FIR variants, decimation, cheby2."""
+    from devito_fwi_tpu.utils import filters as F
+    df = 1000.0
+    t = np.arange(2048) / df
+    low = np.sin(2 * np.pi * 5 * t)
+    high = np.sin(2 * np.pi * 200 * t)
+    sig = low + high
+
+    def band_energy(x, f_lo, f_hi):
+        X = np.abs(np.fft.rfft(x))
+        fr = np.fft.rfftfreq(x.shape[0], 1 / df)
+        return np.sum(X[(fr >= f_lo) & (fr <= f_hi)] ** 2)
+
+    out = F.lowpass(sig, 20, df, corners=8)
+    assert band_energy(out, 150, 250) < 1e-4 * band_energy(out, 0, 20)
+    out = F.highpass(sig, 50, df, corners=8)
+    assert band_energy(out, 0, 20) < 1e-4 * band_energy(out, 150, 250)
+    out = F.bandstop(sig, 150, 250, df, corners=6)
+    assert band_energy(out, 190, 210) < 1e-3 * band_energy(out, 0, 20)
+    out = F.lowpass_cheby_2(sig, 50, df)
+    assert band_energy(out, 150, 250) < 1e-4 * band_energy(out, 0, 20)
+    out, wp = F.lowpass_cheby_2(sig, 50, df, freq_passband=True)
+    assert 0 < wp <= 50
+    out = F.remez_fir(sig, 100, 300, df)
+    assert out.shape[0] == sig.shape[0] + 49  # full convolution
+    out = F.lowpass_fir(sig, 20, df, winlen=256)
+    assert np.isfinite(out).all()
+    dec = F.integer_decimation(sig, 4)
+    assert dec.shape[0] == sig.shape[0] // 4
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        F.integer_decimation(sig, 2.0)
+    env = F.envelope(low)
+    assert np.abs(env[200:-200] - 1.0).max() < 0.15

@@ -131,3 +131,59 @@ def test_minimize_camembert_small(tmp_path):
     # log files written with the reference formats
     for name in ('optim_info', 'fval', 'step_length', 'sim_count'):
         assert os.path.exists(os.path.join(str(tmp_path), name))
+
+
+def _camembert_setup():
+    from devito_fwi_tpu import demo_model, AcquisitionGeometry
+    from devito_fwi_tpu.fwi import fm_multi
+    shape, spacing = (61, 61), (10., 10.)
+    nbl, nsrc = 20, 3
+    true_model = demo_model('circle-isotropic', vp_circle=3.3,
+                            vp_background=3.0, r=15, origin=(0., 0.),
+                            shape=shape, spacing=spacing, space_order=4,
+                            nbl=nbl, dt=1.2)
+    init_model = demo_model('circle-isotropic', vp_circle=3.0,
+                            vp_background=3.0, r=15, origin=(0., 0.),
+                            shape=shape, spacing=spacing, space_order=4,
+                            nbl=nbl, dt=1.2)
+    src_coordinates = np.empty((nsrc, 2))
+    src_coordinates[:, 1] = np.linspace(0, true_model.domain_size[0], nsrc)
+    src_coordinates[:, 0] = 20.
+    rec_coordinates = np.empty((31, 2))
+    rec_coordinates[:, 1] = np.linspace(0, true_model.domain_size[0], 31)
+    rec_coordinates[:, 0] = 580.
+    geometry1 = AcquisitionGeometry(true_model, rec_coordinates,
+                                    src_coordinates, 0., 400., f0=0.010,
+                                    src_type='Ricker')
+    geometry0 = AcquisitionGeometry(init_model, rec_coordinates,
+                                    src_coordinates, 0., 400., f0=0.010,
+                                    src_type='Ricker')
+    obs = fm_multi(geometry1)
+    v0 = init_model.crop(init_model.vp)
+    m0 = 1.0 / (v0.reshape(-1).astype(np.float64)) ** 2
+    return geometry0, obs, m0
+
+
+def test_minimize_checkpoint_resume(tmp_path):
+    """An inversion interrupted after 1 iteration and resumed must produce
+    the same model as an uninterrupted 3-iteration run (the reference has
+    no resume at all — SURVEY.md §5)."""
+    from devito_fwi_tpu.misfit import least_square
+    geometry0, obs, m0 = _camembert_setup()
+    bounds = [1.0 / 4.0 ** 2, 1.0 / 2.5 ** 2]
+
+    def run(path, maxiter, resume=False):
+        optimizer = LBFGS(memory=5, ls_method='Bracket', step_len_init=0.05,
+                          max_ls=5, log_path=path)
+        minimizer = minimize(optimizer, maxIter=maxiter, ftol=1e-9,
+                             log_path=path, resume=resume)
+        return minimizer.run(np.array(m0), geometry0, obs, least_square,
+                             None, None, True, bounds)
+
+    pa = str(tmp_path / "a")
+    pb = str(tmp_path / "b")
+    m_full = run(pa, 3)
+    m_part = run(pb, 1)
+    m_resumed = run(pb, 3, resume=True)
+    assert np.allclose(m_resumed, m_full, rtol=1e-6, atol=1e-12)
+    assert not np.allclose(m_part, m_full)
