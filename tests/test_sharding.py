@@ -1,0 +1,63 @@
+"""Mesh-parallel execution tests on the virtual 8-device CPU mesh:
+shot sharding (dask replacement) and spatial domain decomposition
+(devito-MPI replacement) both reproduce single-device results."""
+import numpy as np
+import jax
+
+from devito_fwi_tpu import demo_model, AcquisitionGeometry
+from devito_fwi_tpu.fwi import fm_multi, fwi_obj_multi
+from devito_fwi_tpu.misfit import least_square
+from devito_fwi_tpu.parallel.sharding import (shot_mesh, fwi_obj_sharded,
+                                              fm_multi_sharded, domain_mesh,
+                                              forward_domain_sharded)
+
+
+def _setup(nsrc=5):
+    shape, spacing = (49, 49), (10., 10.)
+    true_model = demo_model("circle-isotropic", vp_circle=3.2,
+                            vp_background=3.0, r=10, origin=(0., 0.),
+                            shape=shape, spacing=spacing, space_order=4,
+                            nbl=10, dt=1.2)
+    init_model = demo_model("circle-isotropic", vp_circle=3.0,
+                            vp_background=3.0, r=10, origin=(0., 0.),
+                            shape=shape, spacing=spacing, space_order=4,
+                            nbl=10, dt=1.2)
+    src = np.stack([np.full(nsrc, 20.0),
+                    np.linspace(0, 480, nsrc)], axis=1)
+    rec = np.stack([np.full(21, 460.0), np.linspace(0, 480, 21)], axis=1)
+    g1 = AcquisitionGeometry(true_model, rec, src, 0., 200., f0=0.010,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(init_model, rec, src, 0., 200., f0=0.010,
+                             src_type="Ricker")
+    return g1, g0
+
+
+def test_shot_sharded_objective_matches_single_device():
+    g1, g0 = _setup()
+    obs = fm_multi(g1)
+    f_ref, grad_ref, _ = fwi_obj_multi(g0, obs, least_square,
+                                       calc_grad=True)
+    f_sh, grad_sh = fwi_obj_sharded(g0, obs, least_square, calc_grad=True,
+                                    mesh=shot_mesh())
+    assert np.isclose(f_sh, f_ref, rtol=1e-5)
+    ref = grad_ref.reshape(g0.model.shape)
+    scale = np.abs(ref).max()
+    assert np.abs(grad_sh - ref).max() < 1e-5 * scale
+
+
+def test_fm_sharded_matches_serial():
+    g1, _ = _setup()
+    obs = fm_multi(g1)
+    obs_sh = fm_multi_sharded(g1)
+    for a, b in zip(obs, obs_sh):
+        assert np.allclose(a.data, b.data, atol=1e-6)
+
+
+def test_domain_sharded_forward_matches():
+    g1, _ = _setup()
+    obs = fm_multi(g1)
+    for axes in [(8, 1), (2, 4)]:
+        mesh = domain_mesh(axes)
+        rec = forward_domain_sharded(g1, mesh=mesh)
+        scale = np.abs(obs[0].data).max()
+        assert np.abs(rec - obs[0].data).max() < 1e-5 * scale
