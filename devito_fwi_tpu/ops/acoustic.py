@@ -247,11 +247,11 @@ def gradient(vp, damp, u_save, rec_res, rec_idx, rec_w, dt, *,
         m2inv = 1.0 / (m * m)
 
     def step(carry, xs):
-        v, v_next, grad = carry
+        # carry two saved slices and read only u[t-1] each step (1/3 of the
+        # wavefield-history read traffic of fetching the full triple)
+        v, v_next, grad, u_tp1, u_t = carry
         t, rec_t = xs
         u_tm1 = jax.lax.dynamic_index_in_dim(u_save, t - 1, keepdims=False)
-        u_t = jax.lax.dynamic_index_in_dim(u_save, t, keepdims=False)
-        u_tp1 = jax.lax.dynamic_index_in_dim(u_save, t + 1, keepdims=False)
         udt2 = (u_tp1 - 2.0 * u_t + u_tm1) / s2
         if kernel == "OT4":
             # - (u.dt2 + s^2/12 * u.biharmonic(m^-2)) * v   (operators.py:219)
@@ -261,13 +261,14 @@ def gradient(vp, damp, u_save, rec_res, rec_idx, rec_w, dt, *,
         grad = grad - udt2 * v
         vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2)
         vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
-        return (vprev, v, grad), None
+        return (vprev, v, grad, u_t, u_tm1), None
 
     z = jnp.zeros_like(vp)
     ts = jnp.arange(nt - 2, 0, -1, dtype=jnp.int32)
     rec_r = rec_res[1:nt - 1][::-1]
-    (v_last, _, grad), _ = jax.lax.scan(step, (z, z, jnp.zeros_like(vp)),
-                                        (ts, rec_r))
+    (v_last, _, grad, _, _), _ = jax.lax.scan(
+        step, (z, z, jnp.zeros_like(vp), u_save[nt - 1], u_save[nt - 2]),
+        (ts, rec_r))
     return grad, jnp.stack([v_last, z])
 
 
@@ -367,28 +368,37 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
             u, u_prev = c
             unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
             unext = _scatter_add(unext, src_idx, s[:, None] * src_scale)
-            return (unext, u), jnp.stack([unext, u, u_prev])
+            return (unext, u), unext
 
-        (_, _), u_trip = jax.lax.scan(refwd, (seg_start[0], seg_start[1]),
-                                      src_seg)
+        (_, _), u_new = jax.lax.scan(refwd, (seg_start[0], seg_start[1]),
+                                     src_seg)
+        # useg[j] = u at local time j-1 for j = 0..seg+1 (two seed slices +
+        # one recomputed slice per step — storing single slices and
+        # carrying the other two of the (t-1, t, t+1) triple saves 2/3 of
+        # the recompute-buffer HBM traffic vs emitting stacked triples)
+        useg = jnp.concatenate([seg_start[1][None], seg_start[0][None],
+                                u_new])
 
         def rev_step(c, xs_local):
-            v, v_next, grad = c
-            u3, rec_t, valid = xs_local
-            udt2 = (u3[0] - 2.0 * u3[1] + u3[2]) / s2
+            v, v_next, grad, u_hi, u_mid = c
+            j, rec_t, valid = xs_local
+            u_lo = jax.lax.dynamic_index_in_dim(useg, j, keepdims=False)
+            udt2 = (u_hi - 2.0 * u_mid + u_lo) / s2
             grad = grad - jnp.where(valid, udt2 * v, 0.0)
             vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2)
             vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
             new_v = jnp.where(valid, vprev, v)
             new_vn = jnp.where(valid, v, v_next)
-            return (new_v, new_vn, grad), None
+            return (new_v, new_vn, grad, u_mid, u_lo), None
 
         base = seg_idx * seg
         local = jnp.arange(seg - 1, -1, -1)
         valid = (base + local) < nsteps
-        (v, v_next, grad), _ = jax.lax.scan(
-            rev_step, (v, v_next, grad),
-            (u_trip[::-1], rec_seg[::-1], valid))
+        u_hi0 = useg[seg + 1]
+        u_mid0 = useg[seg]
+        (v, v_next, grad, _, _), _ = jax.lax.scan(
+            rev_step, (v, v_next, grad, u_hi0, u_mid0),
+            (local, rec_seg[::-1], valid))
         return (v, v_next, grad), None
 
     src_segs = src_pad.reshape(nseg, seg, -1)
