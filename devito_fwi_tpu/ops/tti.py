@@ -244,3 +244,118 @@ def jacobian_adjoint(vp, damp, epsilon, delta, theta, phi, u0_save, v0_save,
     (du_l, _, _, _, dm), _ = jax.lax.scan(
         step, (z, z, z, z, jnp.zeros_like(vp)), (ts, rec_r))
     return dm, du_l
+
+
+# ---------------------------------------------------------------------------
+# staggered TTI forward (reference ``kernel_staggered_2d/3d``,
+# operators.py:312-427): first-order coupled system with rotated particle
+# velocities; u, v at nodes (time_order=1), vx/vy/vz staggered +h/2 in
+# their own dim. Aligned-dim derivatives use the staggered D+/D- stencils,
+# off-dim derivatives the centered stencil (devito's .dyc/.dzc). Forward
+# only, like the reference; absorbing factor dampl = 1 - damp.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "spacing"))
+def forward_staggered(vp, damp, epsilon, delta, theta, phi, src_wav,
+                      src_idx, src_w, rec_idx, rec_w, dt, *, nt, spacing,
+                      space_order=4):
+    from .self_adjoint import staggered_weights, shifted_derivative
+    dtype = vp.dtype
+    ndim = len(spacing)
+    w_p, off_p, w_m, off_m = staggered_weights(space_order)
+    w_p = jnp.asarray(w_p, dtype)
+    w_m = jnp.asarray(w_m, dtype)
+    r1 = space_order // 2 // 2 if space_order >= 4 else 1
+    w1 = np.asarray(fd_weights(1, np.arange(-max(r1, 1), max(r1, 1) + 1),
+                               0.0), dtype=dtype)
+    inv_h = [jnp.asarray(1.0 / h, dtype=dtype) for h in spacing]
+    m = 1.0 / (vp * vp)
+    s = jnp.asarray(dt, dtype=dtype)
+    dampl = 1.0 - damp
+    ehat = 1.0 + 2.0 * epsilon
+    dhat = jnp.sqrt(1.0 + 2.0 * delta)
+    cth, sth = jnp.cos(theta), jnp.sin(theta)
+    if ndim == 3:
+        cph = jnp.cos(phi) if phi is not None else 1.0
+        sph = jnp.sin(phi) if phi is not None else 0.0
+
+    def dplus(f, ax):
+        return shifted_derivative(f, w_p, off_p, ax, inv_h[ax])
+
+    def dminus(f, ax):
+        return shifted_derivative(f, w_m, off_m, ax, inv_h[ax])
+
+    def dc(f, ax):
+        return _d1(f, w1, ax, inv_h[ax])
+
+    def avg_p(f, ax):
+        # node -> staggered +h/2 average along ax (devito evaluates the
+        # off-dim derivative at the staggered LHS position)
+        pad = [(0, 0)] * f.ndim
+        pad[ax] = (0, 1)
+        fp = jnp.pad(f, pad)
+        sl = [slice(None)] * f.ndim
+        sl[ax] = slice(1, 1 + f.shape[ax])
+        return 0.5 * (f + fp[tuple(sl)])
+
+    def avg_m(f, ax):
+        # staggered +h/2 -> node average along ax
+        pad = [(0, 0)] * f.ndim
+        pad[ax] = (1, 0)
+        fp = jnp.pad(f, pad)
+        sl = [slice(None)] * f.ndim
+        sl[ax] = slice(0, f.shape[ax])
+        return 0.5 * (f + fp[tuple(sl)])
+
+    src_scale = src_w * s * s / _gather(m, src_idx)
+
+    if ndim == 2:
+        def step(carry, src_t):
+            u, v, vx, vz = carry
+            rec_t = jnp.sum(_gather(u + v, rec_idx) * rec_w, axis=-1)
+            vx_n = dampl * vx - dampl * s * (cth * dplus(u, 0) -
+                                             sth * avg_p(dc(u, 1), 0))
+            vz_n = dampl * vz - dampl * s * (sth * avg_p(dc(v, 0), 1) +
+                                             cth * dplus(v, 1))
+            dvx = cth * dminus(vx_n, 0) - sth * avg_m(dc(vx_n, 1), 0)
+            dvz = sth * avg_m(dc(vz_n, 0), 1) + cth * dminus(vz_n, 1)
+            v_n = dampl * (v - s / m * (dhat * dvx + dvz))
+            u_n = dampl * (u - s / m * (ehat * dvx + dhat * dvz))
+            inj = src_t[:, None] * src_scale
+            u_n = _scatter_add(u_n, src_idx, inj)
+            v_n = _scatter_add(v_n, src_idx, inj)
+            return (u_n, v_n, vx_n, vz_n), rec_t
+        z = jnp.zeros_like(vp)
+        init = (z, z, z, z)
+    else:
+        def step(carry, src_t):
+            u, v, vx, vy, vz = carry
+            rec_t = jnp.sum(_gather(u + v, rec_idx) * rec_w, axis=-1)
+            vx_n = dampl * vx - dampl * s * (cth * cph * dplus(u, 0) +
+                                             cth * sph * avg_p(dc(u, 1), 0) -
+                                             sth * avg_p(dc(u, 2), 0))
+            vy_n = dampl * vy - dampl * s * (-sph * avg_p(dc(u, 0), 1) +
+                                             cph * dplus(u, 1))
+            vz_n = dampl * vz - dampl * s * (sth * cph * avg_p(dc(v, 0), 2) +
+                                             sth * sph * avg_p(dc(v, 1), 2) +
+                                             cth * dplus(v, 2))
+            dvx = (cth * cph * dminus(vx_n, 0) +
+                   cth * sph * avg_m(dc(vx_n, 1), 0) -
+                   sth * avg_m(dc(vx_n, 2), 0))
+            dvy = -sph * avg_m(dc(vy_n, 0), 1) + cph * dminus(vy_n, 1)
+            dvz = (sth * cph * avg_m(dc(vz_n, 0), 2) +
+                   sth * sph * avg_m(dc(vz_n, 1), 2) +
+                   cth * dminus(vz_n, 2))
+            v_n = dampl * (v - s / m * (dhat * (dvx + dvy) + dvz))
+            u_n = dampl * (u - s / m * (ehat * (dvx + dvy) + dhat * dvz))
+            inj = src_t[:, None] * src_scale
+            u_n = _scatter_add(u_n, src_idx, inj)
+            v_n = _scatter_add(v_n, src_idx, inj)
+            return (u_n, v_n, vx_n, vy_n, vz_n), rec_t
+        z = jnp.zeros_like(vp)
+        init = (z, z, z, z, z)
+
+    _, recs = jax.lax.scan(step, init, src_wav[0:nt - 1])
+    rec = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
+    rec = rec.at[0:nt - 1].set(recs)
+    return rec

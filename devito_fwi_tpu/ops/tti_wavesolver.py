@@ -64,13 +64,23 @@ class AnisotropicWaveSolver:
     def forward(self, src=None, rec=None, u=None, v=None, vp=None,
                 epsilon=None, delta=None, theta=None, phi=None, save=False,
                 kernel="centered", **kwargs):
-        assert kernel == "centered", "only the centered kernel has a solver"
+        assert kernel in ("centered", "staggered")
         src = src or self.geometry.src
         rec = rec or self.geometry.rec
         params = self._params(vp, epsilon, delta, theta, phi)
         dt = kwargs.pop("dt", self.dt)
         s_idx, s_w = self._tables(src.coordinates)
         r_idx, r_w = self._tables(rec.coordinates)
+        if kernel == "staggered":
+            tic = _time.perf_counter()
+            rec_data = _tti.forward_staggered(
+                *params, src.data, s_idx, s_w, r_idx, r_w, dt,
+                **self._static())
+            rec_data.block_until_ready()
+            toc = _time.perf_counter()
+            rec.data[:] = np.asarray(rec_data)
+            return rec, None, None, \
+                PerfSummary(toc - tic, 2 * self.nt * np.prod(params[0].shape))
         tic = _time.perf_counter()
         out = _tti.forward(*params, src.data, s_idx, s_w, r_idx, r_w, dt,
                            save=bool(save), **self._static())

@@ -101,3 +101,21 @@ def test_tti_adjoint_J():
     sum_d = np.dot(rec1.data.ravel(), rec2.data.ravel())
     diff = (sum_m - sum_d) / (sum_m + sum_d)
     assert np.isclose(diff, 0.0, atol=1e-11)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_tti_staggered_stability(ndim):
+    """Staggered-kernel stability (reference tti_example.py:42-49 runs
+    both kernels at tn=16000, nbl=0)."""
+    shape = tuple([11] * ndim)
+    spacing = tuple([20.] * ndim)
+    solver = _tti_setup(shape=shape, spacing=spacing, tn=16000.0, nbl=0)
+    rec, _, _, _ = solver.forward(kernel="staggered")
+    assert np.isfinite(np.linalg.norm(rec.data))
+
+
+def test_tti_staggered_forward_smoke():
+    solver = _tti_setup()
+    rec, _, _, _ = solver.forward(kernel="staggered")
+    assert np.isfinite(rec.data).all()
+    assert np.abs(rec.data).max() > 0
