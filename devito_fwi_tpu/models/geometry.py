@@ -12,7 +12,8 @@ import numpy as np
 from .timeaxis import TimeAxis
 from .sources import PointSource, sources
 
-__all__ = ["AcquisitionGeometry", "setup_geometry", "setup_rec_coords"]
+__all__ = ["AcquisitionGeometry", "setup_geometry", "setup_rec_coords",
+           "seismic_args"]
 
 
 def setup_geometry(model, tn, f0=0.010):
@@ -161,3 +162,47 @@ class AcquisitionGeometry:
             for i in range(self.nsrc):
                 source.data[:, i] = self._filter(source.data[:, i])
         return source
+
+
+def seismic_args(description):
+    """Shared CLI for the example scripts (reference
+    ``seismic/utils.py:195-230``). The devito-specific ``-opt``/``-a``
+    compiler knobs are accepted for flag parity but ignored — XLA owns
+    those decisions here."""
+    from argparse import ArgumentParser, Action
+
+    class _dtype_store(Action):
+        def __call__(self, parser, args, values, option_string=None):
+            values = {"float32": np.float32, "float64": np.float64}[values]
+            setattr(args, self.dest, values)
+
+    parser = ArgumentParser(description=description)
+    parser.add_argument("-nd", dest="ndim", default=3, type=int,
+                        help="Number of dimensions")
+    parser.add_argument("-d", "--shape", default=(51, 51, 51), type=int,
+                        nargs="+",
+                        help="Number of grid points along each axis")
+    parser.add_argument("-f", "--full", default=False, action="store_true",
+                        help="Execute all operators and store the forward "
+                             "wavefield")
+    parser.add_argument("-so", "--space_order", default=4, type=int,
+                        help="Space order of the simulation")
+    parser.add_argument("--nbl", default=40, type=int,
+                        help="Number of boundary layers around the domain")
+    parser.add_argument("--constant", default=False, action="store_true",
+                        help="Constant velocity model, default is a two "
+                             "layer model")
+    parser.add_argument("--checkpointing", default=False,
+                        action="store_true",
+                        help="Use wavefield checkpointing (segment "
+                             "recompute) for the gradient")
+    parser.add_argument("-opt", default="advanced",
+                        help="accepted for reference-CLI parity (ignored)")
+    parser.add_argument("-a", "--autotune", default="off",
+                        help="accepted for reference-CLI parity (ignored)")
+    parser.add_argument("-tn", "--tn", default=0, type=float,
+                        help="Simulation time in millisecond")
+    parser.add_argument("-dtype", action=_dtype_store, dest="dtype",
+                        default=np.float32,
+                        choices=["float32", "float64"])
+    return parser
