@@ -172,4 +172,27 @@ def demo_model(preset, **kwargs):
                             shape=shape, dtype=dtype, spacing=spacing, nbl=nbl,
                             bcs="damp", **kwargs)
 
+    if preset in ("marmousi-tti2d", "marmousi-tti3d", "marmousi-tti"):
+        # TTI Marmousi (reference preset_models.py marmousi-tti*): vp from
+        # the raw binary, Thomsen/tilt fields derived from vp where the
+        # reference's devitocodes/data .mat fields are unavailable
+        data_path = kwargs.pop("data_path")
+        shape2d = kwargs.pop("marmousi_shape", (300, 106))
+        spacing = kwargs.pop("marmousi_spacing", (30.0, 30.0))
+        v = load_velocity(data_path, shape2d, dtype) / 1.0
+        if preset == "marmousi-tti3d":
+            ny = kwargs.pop("ny", 21)
+            v = np.repeat(v[:, None, :], ny, axis=1)
+            spacing = (spacing[0], spacing[0], spacing[1])
+        shape = v.shape
+        epsilon = (0.2 * (v - v.min()) / max(v.max() - v.min(), 1e-6)
+                   ).astype(dtype)
+        delta = (0.5 * epsilon).astype(dtype)
+        theta = (0.5 * epsilon).astype(dtype)
+        phi = (0.25 * epsilon).astype(dtype) if len(shape) == 3 else None
+        return SeismicModel(space_order=space_order, vp=v, origin=origin,
+                            shape=shape, dtype=dtype, spacing=spacing,
+                            nbl=nbl, epsilon=epsilon, delta=delta,
+                            theta=theta, phi=phi, bcs="damp", **kwargs)
+
     raise ValueError("Unknown model preset name: %s" % preset)

@@ -28,13 +28,22 @@ class Wavefield:
 
 
 class PerfSummary:
+    """Per-operator performance summary (the reference consumes devito's
+    ``summary.gflopss/oi/timings``, e.g. acoustic_example.py:40-50)."""
+
+    FLOPS_PER_CELL = 40.0   # nominal so=8 stencil+update flop count
+    BYTES_PER_CELL = 24.0   # nominal streamed bytes (u, u_prev, out, m/damp)
+
     def __init__(self, elapsed, gpoints):
         self.elapsed = elapsed
         self.gpointss = gpoints / elapsed / 1e9 if elapsed > 0 else 0.0
+        self.gflopss = self.gpointss * self.FLOPS_PER_CELL
+        self.oi = self.FLOPS_PER_CELL / self.BYTES_PER_CELL
+        self.timings = {"kernel": elapsed}
 
     def __repr__(self):
         return f"PerfSummary(elapsed={self.elapsed:.4f}s, " \
-               f"gpoints/s={self.gpointss:.3f})"
+               f"gpoints/s={self.gpointss:.3f}, gflops/s~{self.gflopss:.1f})"
 
 
 class AcousticWaveSolver:
