@@ -166,8 +166,6 @@ def forward(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     Returns (rec, u) where rec is (nt, nrec) and u is the saved wavefield
     (nt, *grid) if `save` else the final two time slices (2, *grid).
     """
-    if kernel == "OT4" and fs:
-        raise NotImplementedError("OT4 with free surface not supported")
     w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_src = _gather(m, src_idx)
@@ -202,8 +200,6 @@ def adjoint(vp, damp, rec_data, rec_idx, rec_w, src_idx, src_w, dt, *,
     """Adjoint modeling: inject receiver data backward in time, sample at the
     source locations (reference ``operators.py:143-180``). Returns
     (srca (nt, nsrcpt), v final slices)."""
-    if kernel == "OT4" and fs:
-        raise NotImplementedError("OT4 with free surface not supported")
     w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_rec = _gather(m, rec_idx)
@@ -237,8 +233,6 @@ def gradient(vp, damp, u_save, rec_res, rec_idx, rec_w, dt, *,
     ``grad = sum_t -u.dt2[t] * v[t]`` with v the receiver-residual adjoint
     field (reference ``operators.py:183-225``). Returns grad on the padded
     grid."""
-    if kernel == "OT4" and fs:
-        raise NotImplementedError("OT4 with free surface not supported")
     w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_rec = _gather(m, rec_idx)
@@ -299,8 +293,6 @@ def forward_ckpt(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     (sum_t u[t]^2, reference ``fwi.py:170``) and segment-start states for a
     later ``gradient_from_ckpt`` reverse sweep. Returns
     (rec (nt, nrec), seg_starts (nseg, 2, *grid), illum (*grid))."""
-    if kernel == "OT4" and fs:
-        raise NotImplementedError("OT4 with free surface not supported")
     w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_src = _gather(m, src_idx)
@@ -344,8 +336,6 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
     """Reverse sweep of the checkpointed gradient: recompute each forward
     segment from its stored start state, step the adjoint field backward
     with residual injection, accumulate ``-u.dt2[t] * v[t]``."""
-    if kernel == "OT4" and fs:
-        raise NotImplementedError("OT4 with free surface not supported")
     w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_src = _gather(m, src_idx)
@@ -449,8 +439,6 @@ def born(vp, damp, dm, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     """Linearized Born modeling: twin fields (u, U) with
     ``q = -dm * u.dt2`` driving U (reference ``operators.py:228-273``).
     Returns rec sampled from U."""
-    if kernel == "OT4" and fs:
-        raise NotImplementedError("OT4 with free surface not supported")
     w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_src = _gather(m, src_idx)

@@ -221,3 +221,46 @@ def test_ot4_runs_and_differs():
     rec4, _, _ = s4.forward()
     assert np.isfinite(rec4.data).all()
     assert not np.allclose(rec2.data, rec4.data)
+
+
+def test_ot4_free_surface_stability():
+    """OT4 with a free surface: antisymmetric mirror applied in both the
+    laplacian and the biharmonic correction (reference operators.py:38-56
+    composes freesurface over the OT4 stencil too)."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu import demo_model, AcquisitionGeometry, \
+        AcousticWaveSolver
+    model = demo_model('layers-isotropic', shape=(31, 31), nbl=10,
+                       space_order=4, fs=True, spacing=(10., 10.))
+    geometry = _geom(model, tn=2000.) if '_geom' in dir() else None
+    from devito_fwi_tpu.models.geometry import setup_geometry
+    geometry = setup_geometry(model, 2000.)
+    solver = AcousticWaveSolver(model, geometry, kernel='OT4',
+                                space_order=4)
+    rec, u, _ = solver.forward()
+    assert np.isfinite(rec.data).all()
+    assert np.abs(rec.data).max() > 0
+
+
+def test_adjoint_dot_3d():
+    """3-D forward/adjoint dot test (the kernels are dimension-generic)."""
+    from devito_fwi_tpu.models.model import SeismicModel
+    from devito_fwi_tpu.models.geometry import setup_geometry
+    from devito_fwi_tpu import AcousticWaveSolver
+    shape = (21, 21, 21)
+    model = SeismicModel(origin=(0., 0., 0.), spacing=(10., 10., 10.),
+                         shape=shape, space_order=4,
+                         vp=np.full(shape, 2.0), nbl=8, bcs="damp",
+                         dtype=np.float64)
+    geometry = setup_geometry(model, 150.)
+    solver = AcousticWaveSolver(model, geometry, space_order=4)
+    np.random.seed(0)
+    src1 = geometry.src
+    rec1 = geometry.new_rec()
+    rec1.data[:] = np.random.rand(*rec1.data.shape)
+    rec2, _, _ = solver.forward()
+    srca, _, _ = solver.adjoint(rec1)
+    sum_s = np.dot(src1.data.ravel(), srca.data.ravel())
+    sum_r = np.dot(rec1.data.ravel(), rec2.data.ravel())
+    diff = (sum_s - sum_r) / (sum_s + sum_r)
+    assert np.isclose(diff, 0.0, atol=1e-11)

@@ -97,3 +97,36 @@ def test_qwasserstein_2d_dispatch():
     assert grad.shape == f.shape
     with pytest.raises(ValueError):
         w2(f[:, 0], g[:, 0])
+
+
+def test_fwi_obj_single_resample_path():
+    """Host objective path with trace resampling to a coarser misfit dt
+    (reference fwi.py:139-159 + --resample flag)."""
+    from devito_fwi_tpu import demo_model, AcquisitionGeometry
+    from devito_fwi_tpu.fwi import fm_multi, fwi_obj_multi
+    from devito_fwi_tpu.misfit import least_square
+
+    shape, spacing = (41, 41), (10., 10.)
+    tm = demo_model('circle-isotropic', vp_circle=3.2, vp_background=3.0,
+                    r=8, origin=(0., 0.), shape=shape, spacing=spacing,
+                    space_order=4, nbl=10, dt=1.2)
+    im = demo_model('circle-isotropic', vp_circle=3.0, vp_background=3.0,
+                    r=8, origin=(0., 0.), shape=shape, spacing=spacing,
+                    space_order=4, nbl=10, dt=1.2)
+    src = np.stack([np.full(2, 20.0), np.linspace(50, 350, 2)], axis=1)
+    rec = np.stack([np.full(11, 380.0), np.linspace(0, 400, 11)], axis=1)
+    g1 = AcquisitionGeometry(tm, rec, src, 0., 200., f0=0.010,
+                             src_type='Ricker')
+    g0 = AcquisitionGeometry(im, rec, src, 0., 200., f0=0.010,
+                             src_type='Ricker')
+    obs = fm_multi(g1)
+    f_ref, grad_ref, _ = fwi_obj_multi(g0, obs, least_square,
+                                       calc_grad=True)
+    # coarser misfit sampling: value differs but gradient stays aligned
+    f_rs, grad_rs, _ = fwi_obj_multi(g0, obs, least_square,
+                                     calc_grad=True, resample_dt=3.0)
+    assert np.isfinite(f_rs) and f_rs > 0
+    gr = grad_ref / np.abs(grad_ref).max()
+    gs = grad_rs / np.abs(grad_rs).max()
+    corr = np.corrcoef(gr.ravel(), gs.ravel())[0, 1]
+    assert corr > 0.95
