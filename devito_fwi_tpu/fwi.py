@@ -338,14 +338,28 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     reductions and a single device->host transfer.
     Returns (fval, grad_sum, illum_sum, residuals)."""
     model = geometry.model
-    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
-    # pre-upload every operand once: each implicit host->device put is a
-    # round trip over the TPU tunnel
-    s_idx, s_w = jnp.asarray(s_idx), jnp.asarray(s_w)
-    r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
-    src_wav = jnp.asarray(src_wav)
-    damp = jnp.asarray(model.damp) if isinstance(model.damp, np.ndarray) \
-        else model.dtype(0.0)
+    # cache the per-geometry constant device operands: each host->device
+    # put is a ~50 ms round trip over the TPU tunnel, and an objective
+    # call needs ~8 of them — only vp changes between iterations
+    key = (id(geometry), geometry.nsrc, geometry.nt)
+    cached = _GEOM_DEVICE_CACHE.get(key)
+    if cached is None:
+        s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+        cached = dict(
+            s_idx=jnp.asarray(s_idx), s_w=jnp.asarray(s_w),
+            r_idx=jnp.asarray(r_idx), r_w=jnp.asarray(r_w),
+            src_wav=jnp.asarray(src_wav),
+            damp=jnp.asarray(model.damp)
+            if isinstance(model.damp, np.ndarray) else model.dtype(0.0),
+            src_pos=jnp.asarray(geometry.src_positions),
+            rec_pos=jnp.asarray(geometry.rec_positions))
+        if len(_GEOM_DEVICE_CACHE) > 8:
+            _GEOM_DEVICE_CACHE.clear()
+        _GEOM_DEVICE_CACHE[key] = cached
+    s_idx, s_w = cached["s_idx"], cached["s_w"]
+    r_idx, r_w = cached["r_idx"], cached["r_w"]
+    src_wav = cached["src_wav"]
+    damp = cached["damp"]
     vp = jnp.asarray(model.vp)
     dt = _solver_dt(geometry)
     statics = dict(misfit_jax=misfit_jax, calc_grad=calc_grad,
@@ -355,8 +369,8 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
                    n_checkpoints=_default_checkpoints(geometry.nt))
 
     nsrc = geometry.nsrc
-    src_pos_all = jnp.asarray(geometry.src_positions)
-    rec_positions = jnp.asarray(geometry.rec_positions)
+    src_pos_all = cached["src_pos"]
+    rec_positions = cached["rec_pos"]
     # dw_stack is (nsrc, nt, nrec) or (nsrc, 1, 1) zeros — either
     # broadcasts against the receiver gather inside the vmapped body
     dw_full = dw_stack
@@ -370,11 +384,12 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
                            r_idx, r_w, obs_stack[lo:hi], dw_full[lo:hi],
                            src_pos_all[lo:hi], rec_positions, dt, **statics)
         fvals.append(out[0])
-        residuals.extend(out[1][i] for i in range(hi - lo))
+        residuals.append(out[1])
         if calc_grad:
             grads.append(out[2])
             illums.append(out[3])
     fval = float(_sum_scalars(jnp.stack(fvals)))
+    residuals = ResidualStack(residuals)
     grad = np.zeros(model.shape, dtype=np.float64)
     illum = np.zeros(model.shape, dtype=np.float64)
     if calc_grad:
@@ -384,7 +399,34 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     return fval, grad, illum, residuals
 
 
+class ResidualStack:
+    """Lazy list-like view of the per-shot residual gathers. The stacked
+    array stays on device; splitting it into 29 per-shot arrays eagerly
+    would pay one tunnel dispatch per shot (~0.5 s/objective call). The
+    host copy happens once, only if a caller actually indexes it (e.g.
+    minimize.save_residual every save_res_freq iterations)."""
+
+    def __init__(self, stacks):
+        self._stacks = list(stacks)  # list of (chunk, nt, nrec) arrays
+        self._host = None
+
+    def _materialize(self):
+        if self._host is None:
+            self._host = np.concatenate([np.asarray(s) for s in self._stacks])
+        return self._host
+
+    def __len__(self):
+        return sum(int(s.shape[0]) for s in self._stacks)
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+
 _DEVICE_STACK_CACHE = {}
+_GEOM_DEVICE_CACHE = {}
 
 
 def _device_stack(objs):
@@ -403,7 +445,7 @@ def _device_stack(objs):
 
 def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
                   precond=True, calc_grad=False, resample_dt=None,
-                  shot_chunk=8):
+                  shot_chunk=32):
     """Multi-shot objective/gradient (reference ``fwi.py:175-205``)."""
     misfit_jax = None if resample_dt not in (None, geometry.dt) \
         else _misfit_jax(misfit_func)
