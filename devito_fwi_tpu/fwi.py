@@ -338,24 +338,7 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     reductions and a single device->host transfer.
     Returns (fval, grad_sum, illum_sum, residuals)."""
     model = geometry.model
-    # cache the per-geometry constant device operands: each host->device
-    # put is a ~50 ms round trip over the TPU tunnel, and an objective
-    # call needs ~8 of them — only vp changes between iterations
-    key = (id(geometry), geometry.nsrc, geometry.nt)
-    cached = _GEOM_DEVICE_CACHE.get(key)
-    if cached is None:
-        s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
-        cached = dict(
-            s_idx=jnp.asarray(s_idx), s_w=jnp.asarray(s_w),
-            r_idx=jnp.asarray(r_idx), r_w=jnp.asarray(r_w),
-            src_wav=jnp.asarray(src_wav),
-            damp=jnp.asarray(model.damp)
-            if isinstance(model.damp, np.ndarray) else model.dtype(0.0),
-            src_pos=jnp.asarray(geometry.src_positions),
-            rec_pos=jnp.asarray(geometry.rec_positions))
-        if len(_GEOM_DEVICE_CACHE) > 8:
-            _GEOM_DEVICE_CACHE.clear()
-        _GEOM_DEVICE_CACHE[key] = cached
+    cached = _geom_device(geometry)
     s_idx, s_w = cached["s_idx"], cached["s_w"]
     r_idx, r_w = cached["r_idx"], cached["r_w"]
     src_wav = cached["src_wav"]
@@ -429,6 +412,29 @@ _DEVICE_STACK_CACHE = {}
 _GEOM_DEVICE_CACHE = {}
 
 
+def _geom_device(geometry):
+    """Cache the per-geometry constant device operands: each host->device
+    put is a ~50 ms round trip over the TPU tunnel, and an objective call
+    needs ~8 of them — only vp changes between iterations."""
+    model = geometry.model
+    key = (id(geometry), geometry.nsrc, geometry.nt)
+    cached = _GEOM_DEVICE_CACHE.get(key)
+    if cached is None:
+        s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+        cached = dict(
+            s_idx=jnp.asarray(s_idx), s_w=jnp.asarray(s_w),
+            r_idx=jnp.asarray(r_idx), r_w=jnp.asarray(r_w),
+            src_wav=jnp.asarray(src_wav),
+            damp=jnp.asarray(model.damp)
+            if isinstance(model.damp, np.ndarray) else model.dtype(0.0),
+            src_pos=jnp.asarray(geometry.src_positions),
+            rec_pos=jnp.asarray(geometry.rec_positions))
+        if len(_GEOM_DEVICE_CACHE) > 8:
+            _GEOM_DEVICE_CACHE.clear()
+        _GEOM_DEVICE_CACHE[key] = cached
+    return cached
+
+
 def _device_stack(objs):
     """Upload a list of shot records once and reuse the device copy across
     objective calls (obs/direct-wave data is constant through an inversion;
@@ -443,12 +449,121 @@ def _device_stack(objs):
     return st
 
 
+@partial(jax.jit, static_argnames=("calc_grad", "nt", "spacing",
+                                   "space_order", "kernel", "fs",
+                                   "n_checkpoints"))
+def _fwd_batch_ckpt(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *,
+                    calc_grad, nt, spacing, space_order, kernel, fs,
+                    n_checkpoints):
+    static = dict(nt=nt, spacing=spacing, space_order=space_order,
+                  kernel=kernel, fs=fs)
+    if calc_grad:
+        return jax.vmap(lambda a, b: _ac.forward_ckpt(
+            vp, damp, src_wav, a, b, r_idx, r_w, dt,
+            n_checkpoints=n_checkpoints, **static))(s_idx, s_w)
+    recs, _ = jax.vmap(lambda a, b: _ac.forward(
+        vp, damp, src_wav, a, b, r_idx, r_w, dt, save=False,
+        **static))(s_idx, s_w)
+    return recs, None, None
+
+
+@partial(jax.jit, static_argnames=("nt", "spacing", "space_order", "kernel",
+                                   "fs", "nbl", "shape", "n_checkpoints"))
+def _grad_batch_from_res(vp, damp, src_wav, s_idx, s_w, seg_starts,
+                         res_stack, r_idx, r_w, illum_pad, src_pos, rec_pos,
+                         dt, *, nt, spacing, space_order, kernel, fs, nbl,
+                         shape, n_checkpoints):
+    static = dict(nt=nt, spacing=spacing, space_order=space_order,
+                  kernel=kernel, fs=fs)
+
+    def per(si, sw, sg, r, il, sp):
+        g, _ = _ac.gradient_from_ckpt(vp, damp, src_wav, si, sw, sg, r,
+                                      r_idx, r_w, dt,
+                                      n_checkpoints=n_checkpoints, **static)
+        crop = _fix_illum_jax(g[nbl:-nbl, nbl:-nbl], sp, rec_pos, spacing,
+                              shape)
+        il_c = _fix_illum_jax(il[nbl:-nbl, nbl:-nbl], sp, rec_pos, spacing,
+                              shape)
+        return crop, il_c
+
+    g, il = jax.vmap(per)(s_idx, s_w, seg_starts, res_stack, illum_pad,
+                          src_pos)
+    return jnp.sum(g, axis=0), jnp.sum(il, axis=0)
+
+
+def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
+                                calc_grad, resample_dt):
+    """Objective for host-side misfits (custom numpy callables, the native
+    C++ BFM, trace resampling): the propagation stays device-batched; only
+    the gathers make one round trip to the host for the misfit."""
+    model = geometry.model
+    c = _geom_device(geometry)
+    vp = jnp.asarray(model.vp)
+    dt = _solver_dt(geometry)
+    statics = dict(nt=geometry.nt, spacing=model.spacing,
+                   space_order=model.space_order, kernel="OT2", fs=model.fs,
+                   n_checkpoints=_default_checkpoints(geometry.nt))
+    recs, seg_starts, illum_pad = _fwd_batch_ckpt(
+        vp, c["damp"], c["src_wav"], c["s_idx"], c["s_w"], c["r_idx"],
+        c["r_w"], dt, calc_grad=calc_grad, **statics)
+    rec_host = np.asarray(recs)
+
+    tvals = geometry.time_axis.time_values
+    nsrc = geometry.nsrc
+    fval = 0.0
+    residuals = []
+    for i in range(nsrc):
+        syn = rec_host[i]
+        ob = np.asarray(obs[i].data)
+        t_m = tvals
+        if resample_dt is not None and \
+                not np.isclose(resample_dt, geometry.dt):
+            n_new = int(round((tvals[-1] - tvals[0]) / resample_dt)) + 1
+            t_m = np.linspace(tvals[0], tvals[0]
+                              + (n_new - 1) * resample_dt, n_new)
+            syn = resample(syn, t_m, tvals)
+            ob = resample(ob, t_m, tvals)
+        if direct_wave is not None:
+            dw = np.asarray(direct_wave[i].data)
+            if t_m is not tvals:
+                dw = resample(dw, t_m, tvals)
+            syn = syn - dw
+            ob = ob - dw
+        f_i, res_i = misfit_func(syn, ob)
+        fval += float(f_i)
+        res_i = np.asarray(res_i)
+        if t_m is not tvals:
+            res_i = resample(res_i, tvals, t_m)
+        residuals.append(res_i.astype(model.dtype))
+
+    grad = np.zeros(model.shape, dtype=np.float64)
+    illum = np.zeros(model.shape, dtype=np.float64)
+    if calc_grad:
+        res_stack = jnp.asarray(np.stack(residuals))
+        g, il = _grad_batch_from_res(
+            vp, c["damp"], c["src_wav"], c["s_idx"], c["s_w"], seg_starts,
+            res_stack, c["r_idx"], c["r_w"], illum_pad, c["src_pos"],
+            c["rec_pos"], dt, nbl=model.nbl, shape=model.shape, **statics)
+        grad += np.asarray(g, dtype=np.float64)
+        illum += np.asarray(il, dtype=np.float64)
+    return fval, grad, illum, residuals
+
+
 def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
                   precond=True, calc_grad=False, resample_dt=None,
                   shot_chunk=32):
     """Multi-shot objective/gradient (reference ``fwi.py:175-205``)."""
     misfit_jax = None if resample_dt not in (None, geometry.dt) \
         else _misfit_jax(misfit_func)
+    if getattr(misfit_func, "method", None) == "2d" and \
+            getattr(misfit_func, "bfm_backend", None) == "native":
+        # the native BFM runs on the host (pure_callback is unsupported on
+        # some TPU runtimes); use the batched host-misfit path
+        misfit_jax = None
+    elif getattr(misfit_func, "method", None) == "2d":
+        # the BFM's scatter-heavy pushforward faults the TPU worker at
+        # large vmap widths; chunk the fused program conservatively
+        shot_chunk = min(shot_chunk or 8, 8)
 
     if misfit_jax is not None:
         obs_stack = _device_stack(obs)
@@ -459,23 +574,10 @@ def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
         fval, grad, illum, residuals = _shot_objective_batched(
             geometry, obs_stack, misfit_jax, dw_stack, calc_grad, shot_chunk)
     else:
-        # host fallback: per-shot loop (custom numpy misfits / resampling)
-        fval = 0.0
-        grad = np.zeros(geometry.model.shape)
-        illum = np.zeros(geometry.model.shape)
-        residuals = []
-        for i in range(geometry.nsrc):
-            geom_i = _shot_geometry(geometry, i)
-            dw_i = direct_wave[i] if direct_wave is not None else None
-            f_i, g_i, res_i, il_i = fwi_obj_single(
-                geom_i, obs[i], misfit_func, dw_i,
-                resample_dt if resample_dt is not None else geometry.dt,
-                calc_grad)
-            fval += f_i
-            residuals.append(res_i)
-            if calc_grad:
-                grad += g_i
-                illum += il_i
+        # host-misfit path (custom numpy misfits, native BFM, resampling):
+        # device-batched propagation with a single gather round trip
+        fval, grad, illum, residuals = _shot_objective_host_misfit(
+            geometry, obs, misfit_func, direct_wave, calc_grad, resample_dt)
 
     if calc_grad:
         if precond:

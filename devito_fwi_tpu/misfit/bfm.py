@@ -28,18 +28,35 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.fft import dctn, idctn
 
 __all__ = ["bfm_jax", "bfm"]
 
 
-def _legendre_last(u, s):
+def _legendre_last(u, s, max_tmp_elems=2_000_000):
     """Discrete Legendre transform along the last axis:
-    out[..., i] = max_j (s[i]*s[j] - u[..., j])."""
-    # (n, n) slope matrix; broadcast over leading dims
-    ss = s[:, None] * s[None, :]
-    return jnp.max(ss[None, :, :] - u[..., None, :],
-                   axis=-1) if u.ndim == 2 else jnp.max(ss - u[None, :], -1)
+    out[..., i] = max_j (s[i]*s[j] - u[..., j]).
+
+    Evaluated in blocks of output rows: the naive broadcast materializes a
+    (rows, n, n) intermediate — ~2 GB per Marmousi shot gather, which
+    OOM-crashes the TPU worker under a vmap over shots. Blocking caps the
+    intermediate at ~max_tmp_elems while XLA still fuses the max-reduce."""
+    n = s.shape[0]
+    rows = 1 if u.ndim == 1 else u.shape[0]
+    blk = max(8, min(n, max_tmp_elems // max(rows * n, 1)))
+    nblk = -(-n // blk)
+    pad = nblk * blk - n
+    s_pad = jnp.pad(s, (0, pad))
+    s_blocks = s_pad.reshape(nblk, blk)
+
+    def body(carry, s_i):
+        # (..., blk, n) intermediate
+        val = s_i[:, None] * s[None, :] - u[..., None, :]
+        return carry, jnp.max(val, axis=-1)
+
+    _, out = jax.lax.scan(body, None, s_blocks)
+    # out: (nblk, ..., blk) -> (..., nblk*blk)
+    out = jnp.moveaxis(out, 0, -2).reshape(u.shape[:-1] + (nblk * blk,))
+    return out[..., :n]
 
 
 def _legendre_2d(u, sx, sy):
@@ -99,7 +116,11 @@ def _sampling_pushforward(mu, xMap, yMap, n1, n2, nsub):
     keep = (mu > 0) & (xStretch < xCut) & (yStretch < yCut)
     mass = jnp.where(keep, mu, 0.0) / (nsub * nsub)
 
-    rho = jnp.zeros((n2, n1), dtype=dtype)
+    # accumulate every (subsample, corner) contribution into ONE scatter:
+    # 4*nsub^2 separate .at[].add calls serialize into as many scatter
+    # kernels on TPU; a single fused scatter is ~an order of magnitude
+    # cheaper and compiles to one kernel
+    ys_l, xs_l, vs_l = [], [], []
     for l in range(nsub):
         for k in range(nsub):
             a = (k + 0.5) / nsub
@@ -118,10 +139,16 @@ def _sampling_pushforward(mu, xMap, yMap, n1, n2, nsub):
             xO = jnp.clip(xIndex + 1, 0, n1 - 1)
             yI = jnp.clip(yIndex, 0, n2 - 1)
             yO = jnp.clip(yIndex + 1, 0, n2 - 1)
-            rho = rho.at[yI, xI].add((1 - xFrac) * (1 - yFrac) * mass)
-            rho = rho.at[yO, xI].add((1 - xFrac) * yFrac * mass)
-            rho = rho.at[yI, xO].add(xFrac * (1 - yFrac) * mass)
-            rho = rho.at[yO, xO].add(xFrac * yFrac * mass)
+            ys_l += [yI, yO, yI, yO]
+            xs_l += [xI, xI, xO, xO]
+            vs_l += [(1 - xFrac) * (1 - yFrac) * mass,
+                     (1 - xFrac) * yFrac * mass,
+                     xFrac * (1 - yFrac) * mass,
+                     xFrac * yFrac * mass]
+    yy = jnp.stack(ys_l).ravel()
+    xx = jnp.stack(xs_l).ravel()
+    vv = jnp.stack(vs_l).ravel()
+    rho = jnp.zeros((n2, n1), dtype=dtype).at[yy, xx].add(vv)
     total = jnp.sum(rho) / pcount
     return rho / jnp.where(total > 0, total, 1.0)
 
@@ -157,11 +184,31 @@ def bfm_jax(f, g, num_steps=10, step_scale=1.0, nsub=2):
     kernel = (kx[None, :] + ky[:, None]).astype(dtype)
     kernel = kernel.at[0, 0].set(1.0)
 
+    # orthonormal DCT-II/III as cosine-matrix matmuls: jax.scipy.fft.dctn
+    # is UNIMPLEMENTED on some TPU runtimes (it crashed the axon worker),
+    # while two MXU matmuls at precision='highest' run the whole batch in
+    # ~30 ms with ~1e-6 roundtrip error
+    def _dct_mat(n):
+        k = jnp.arange(n, dtype=dtype)[:, None]
+        i = jnp.arange(n, dtype=dtype)[None, :]
+        C = jnp.sqrt(2.0 / n) * jnp.cos(jnp.pi * (i + 0.5) * k / n)
+        return C.at[0].mul(jnp.sqrt(0.5).astype(dtype))
+    C1 = _dct_mat(n1)
+    C2 = _dct_mat(n2)
+
+    def dct2(x):
+        y = jnp.matmul(C2, x, precision="highest")
+        return jnp.matmul(y, C1.T, precision="highest")
+
+    def idct2(x):
+        y = jnp.matmul(C2.T, x, precision="highest")
+        return jnp.matmul(y, C1, precision="highest")
+
     def update_potential(phi, rho, target, sigma):
         r = rho - target
-        w = dctn(r, type=2, norm="ortho") / kernel
+        w = dct2(r) / kernel
         w = w.at[0, 0].set(0.0)
-        w = idctn(w, type=2, norm="ortho")
+        w = idct2(w)
         h1 = jnp.sum(w * r) / pcount
         return phi + sigma * w, h1
 

@@ -120,10 +120,18 @@ class qWasserstein:
             losses, grads = jax.vmap(w2_1d_jax, in_axes=1, out_axes=(0, 1))(
                 mu, nu)
             return jnp.sum(losses), grads * d
-        from .bfm import bfm_jax
         mass = jnp.sum(f) / f.size
-        loss, grad = bfm_jax(mu, nu, num_steps=self.num_steps,
-                             step_scale=self.step_scale)
+        if self.bfm_backend == "native":
+            # host callback into the C++ OpenMP BFM: the TPU program
+            # pauses, ships the (batched under vmap) densities to the
+            # host, and gets loss/grad back — the in-process analog of
+            # the reference's bfm2d subprocess round trip
+            loss, grad = _native_bfm_callback(mu, nu, self.num_steps,
+                                              self.step_scale)
+        else:
+            from .bfm import bfm_jax
+            loss, grad = bfm_jax(mu, nu, num_steps=self.num_steps,
+                                 step_scale=self.step_scale)
         return loss, (grad / mass) * d
 
     # ---------------------------------------------------------------- numpy
@@ -155,6 +163,31 @@ class qWasserstein:
             self._jitted = jax.jit(self.jax)
         loss, grad = self._jitted(jnp.asarray(f), jnp.asarray(g))
         return float(loss), np.asarray(grad).reshape(shape)
+
+
+def _native_bfm_callback(mu, nu, num_steps, step_scale):
+    """jittable wrapper over the native batch BFM via jax.pure_callback
+    (vmap-batchable: the callback sees the whole shot batch and fans it
+    out over OpenMP threads)."""
+    from .native import bfm_gradient, bfm_gradient_batch
+
+    def cb(mu_h, nu_h):
+        mu_h = np.ascontiguousarray(mu_h, dtype=np.float32)
+        nu_h = np.ascontiguousarray(nu_h, dtype=np.float32)
+        if mu_h.ndim == 3:
+            loss, grad = bfm_gradient_batch(mu_h, nu_h,
+                                            num_steps=num_steps,
+                                            step_scale=step_scale)
+            return loss.astype(np.float32), grad
+        loss, grad = bfm_gradient(mu_h, nu_h, num_steps=num_steps,
+                                  step_scale=step_scale)
+        return np.float32(loss), grad
+
+    out_shape = (jax.ShapeDtypeStruct((), jnp.float32),
+                 jax.ShapeDtypeStruct(mu.shape, jnp.float32))
+    loss, grad = jax.pure_callback(cb, out_shape, mu, nu,
+                                   vmap_method="expand_dims")
+    return loss.astype(mu.dtype), grad.astype(mu.dtype)
 
 
 class Misfit:
