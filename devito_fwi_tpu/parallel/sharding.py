@@ -121,19 +121,32 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
          jnp.asarray(geometry.src_positions, dtype=model.dtype)],
         geometry.nsrc, ndev, model.dtype)
 
+    from ..fwi import _default_checkpoints
+    nck = _default_checkpoints(geometry.nt)
+
     def per_shot(si, sw, obs_i, dw_i, sp, w):
-        rec, u = _ac.forward(vp, damp, src_wav, si, sw, r_idx, r_w, dt,
-                             save=calc_grad, **static)
+        # segment-checkpointed gradient (same memory-lean path as the
+        # single-chip fused objective — full-save wavefields OOM at
+        # production sizes)
+        if calc_grad:
+            rec, seg_starts, illum_pad = _ac.forward_ckpt(
+                vp, damp, src_wav, si, sw, r_idx, r_w, dt,
+                n_checkpoints=nck, **static)
+        else:
+            rec, _ = _ac.forward(vp, damp, src_wav, si, sw, r_idx, r_w, dt,
+                                 save=False, **static)
         syn = rec - dw_i
         obs_c = obs_i - dw_i
         fval, res = misfit_jax(syn, obs_c)
         if not calc_grad:
             return fval * w, jnp.zeros(shape, vp.dtype), \
                 jnp.zeros(shape, vp.dtype)
-        grad, _ = _ac.gradient(vp, damp, u, res, r_idx, r_w, dt, **static)
+        grad, _ = _ac.gradient_from_ckpt(vp, damp, src_wav, si, sw,
+                                         seg_starts, res, r_idx, r_w, dt,
+                                         n_checkpoints=nck, **static)
         crop = grad[nbl:-nbl, nbl:-nbl]
         crop = _fix_illum_jax(crop, sp, rec_positions, spacing, shape)
-        illum = jnp.sum(u * u, axis=0)[nbl:-nbl, nbl:-nbl]
+        illum = illum_pad[nbl:-nbl, nbl:-nbl]
         illum = _fix_illum_jax(illum, sp, rec_positions, spacing, shape)
         return fval * w, crop * w, illum * w
 
