@@ -130,3 +130,37 @@ def test_fwi_obj_single_resample_path():
     gs = grad_rs / np.abs(grad_rs).max()
     corr = np.corrcoef(gr.ravel(), gs.ravel())[0, 1]
     assert corr > 0.95
+
+
+def test_host_misfit_path_matches_fused():
+    """The batched host-misfit objective (native BFM / numpy misfits) must
+    match the fused on-device path."""
+    from devito_fwi_tpu import demo_model, AcquisitionGeometry
+    from devito_fwi_tpu.fwi import fm_multi, fwi_obj_multi
+    from devito_fwi_tpu.misfit import qWasserstein, native
+
+    shape, spacing = (41, 41), (10., 10.)
+    tm = demo_model('circle-isotropic', vp_circle=3.2, vp_background=3.0,
+                    r=8, origin=(0., 0.), shape=shape, spacing=spacing,
+                    space_order=4, nbl=10, dt=1.2)
+    im = demo_model('circle-isotropic', vp_circle=3.0, vp_background=3.0,
+                    r=8, origin=(0., 0.), shape=shape, spacing=spacing,
+                    space_order=4, nbl=10, dt=1.2)
+    src = np.stack([np.full(3, 20.0), np.linspace(50, 350, 3)], axis=1)
+    rec = np.stack([np.full(21, 380.0), np.linspace(0, 400, 21)], axis=1)
+    g1 = AcquisitionGeometry(tm, rec, src, 0., 300., f0=0.010,
+                             src_type='Ricker')
+    g0 = AcquisitionGeometry(im, rec, src, 0., 300., f0=0.010,
+                             src_type='Ricker')
+    obs = fm_multi(g1)
+
+    wj = qWasserstein(gamma=1.01, method="2d", num_steps=8, step_scale=1.)
+    f_j, grad_j, _ = fwi_obj_multi(g0, obs, wj, calc_grad=True)
+
+    if native.available():
+        wn = qWasserstein(gamma=1.01, method="2d", num_steps=8,
+                          step_scale=1., bfm_backend="native")
+        f_n, grad_n, _ = fwi_obj_multi(g0, obs, wn, calc_grad=True)
+        assert np.isclose(f_n, f_j, rtol=1e-3)
+        scale = np.abs(grad_j).max()
+        assert np.abs(grad_n - grad_j).max() < 1e-2 * scale
