@@ -82,23 +82,37 @@ def main():
         return fwi_obj_multi(geometry0, obs, least_square, None, None, True,
                              calc_grad=True)
 
+    def one_objective():
+        return fwi_obj_multi(geometry0, obs, least_square, None, None, True,
+                             calc_grad=False)
+
     one_gradient()  # warm up / compile
+    one_objective()
     n_iters = 3
     tic = time.perf_counter()
     for _ in range(n_iters):
         fval, grad, _ = one_gradient()
     elapsed = (time.perf_counter() - tic) / n_iters
+    tic = time.perf_counter()
+    for _ in range(n_iters):
+        one_objective()
+    elapsed_obj = (time.perf_counter() - tic) / n_iters
 
     nt = geometry0.nt
     cells = np.prod(model0.padded_shape)
     # fwd (save) + adjoint backward + gradient accumulation ~ 2 propagations
     cell_steps = 2.0 * nshots * nt * cells
     value = cell_steps / elapsed
+    # secondary figure for BASELINE.json's "FWI iters/hour": one L-BFGS
+    # iteration ~= 1 gradient eval + ~3 line-search objective-only evals
+    fwd_only_t = elapsed_obj if elapsed_obj else elapsed
+    iters_per_hour = 3600.0 / (elapsed + 3 * fwd_only_t)
     print(json.dumps({
         "metric": "marmousi_fwi_gradient_cell_steps_per_sec_per_chip",
         "value": float(value),
         "unit": "grid-point time-steps/s/chip (fwd+adjoint, 29 shots)",
         "vs_baseline": float(value / NOMINAL_DEVITO_CPU),
+        "fwi_iters_per_hour": float(iters_per_hour),
     }))
 
 
