@@ -27,7 +27,7 @@ from scipy import interpolate
 
 from .models.geometry import AcquisitionGeometry
 from .models.sources import PointSource
-from .ops.wavesolver import AcousticWaveSolver, Wavefield
+from .ops.wavesolver import AcousticWaveSolver
 from .ops import acoustic as _ac
 from .ops.interp import interp_table
 from .utils.filters import bandpass, lowpass, highpass

@@ -8,8 +8,6 @@ data directory (the reference ships `model_data/SMARMN|SMARM2`).
 """
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from .model import SeismicModel

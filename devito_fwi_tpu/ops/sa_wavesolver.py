@@ -11,7 +11,6 @@ from __future__ import annotations
 import time as _time
 
 import numpy as np
-import jax.numpy as jnp
 
 from . import self_adjoint as _sa
 from .interp import interp_table

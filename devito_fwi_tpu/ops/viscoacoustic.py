@@ -76,17 +76,6 @@ def _common(vp, b, qp, damp, f0, dt, spacing, space_order, avg):
                 grad_p=grad_p, div_v=div_v)
 
 
-def _first_order_scan(step_fn, init, src_or_rec, nt, npts, idx, dtype,
-                      reverse=False):
-    data = src_or_rec[0:nt - 1]
-    if reverse:
-        data = data[::-1]
-    _, recs = jax.lax.scan(step_fn, init, data)
-    out = jnp.zeros((nt, npts), dtype=dtype)
-    out = out.at[0:nt - 1].set(recs[::-1] if reverse else recs)
-    return out
-
-
 @partial(jax.jit, static_argnames=("kernel", "time_order", "nt",
                                    "space_order", "spacing", "avg", "save"))
 def forward(vp, b, qp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt,
