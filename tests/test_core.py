@@ -154,3 +154,25 @@ def test_filters_suite():
         F.integer_decimation(sig, 2.0)
     env = F.envelope(low)
     assert np.abs(env[200:-200] - 1.0).max() < 0.15
+
+
+def test_wavelet_sources():
+    """Gabor/DGauss wavelets and the sources registry
+    (reference seismic/source.py:248-351, utils.py:192)."""
+    from devito_fwi_tpu.models.sources import (RickerSource, GaborSource,
+                                               DGaussSource, sources)
+    from devito_fwi_tpu.models.timeaxis import TimeAxis
+    ta = TimeAxis(start=0., stop=500., step=1.0)
+    for cls in (RickerSource, GaborSource, DGaussSource):
+        src = cls(name="src", time_range=ta, f0=0.010)
+        w = src.data[:, 0]
+        assert np.isfinite(w).all() and np.abs(w).max() > 0
+    # Ricker/Gabor are band-limited around f0; DGauss with the reference's
+    # default a=1 is a narrow broadband pulse (source.py:313-351)
+    for cls in (RickerSource, GaborSource):
+        w = cls(name="src", time_range=ta, f0=0.010).data[:, 0]
+        sp = np.abs(np.fft.rfft(w))
+        fr = np.fft.rfftfreq(len(w), 1.0)
+        fpk = fr[np.argmax(sp)]
+        assert 0.002 < fpk < 0.05
+    assert set(sources) >= {"Ricker", "Gabor"}

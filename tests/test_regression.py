@@ -87,3 +87,15 @@ def test_acoustic_forward_norm_f64():
     solver = AcousticWaveSolver(model, geometry, kernel='OT2', space_order=4)
     rec, _, _ = solver.forward()
     assert np.isclose(np.linalg.norm(rec.data), 459.1678, rtol=1e-3, atol=0)
+
+
+def test_acoustic_forward_norm_fs_f32():
+    # reference acoustic_example.py:75-79, fs=True dtype=f32: 369.955
+    from devito_fwi_tpu import setup_geometry
+    model = demo_model('layers-isotropic', space_order=4, shape=(50, 50, 50),
+                       nbl=40, dtype=np.float32, spacing=(20., 20., 20.),
+                       fs=True)
+    geometry = setup_geometry(model, 1000.0)
+    solver = AcousticWaveSolver(model, geometry, kernel='OT2', space_order=4)
+    rec, _, _ = solver.forward()
+    assert np.isclose(np.linalg.norm(rec.data), 369.955, rtol=1e-3, atol=0)
