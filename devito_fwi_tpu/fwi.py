@@ -145,6 +145,11 @@ def fm_multi(geometry, save=False):
     records (API parity with reference ``fwi.py:67-81``). Shots run as one
     vmapped TPU program with a single device->host transfer.
 
+    `save` is accepted for signature parity and does not change the return
+    value — the reference's ``fm_multi`` likewise discards the saved
+    wavefield (``fwi.py:77-79`` keeps only ``fm_single(...)[0]``), so the
+    flag only ever toggled devito's internal buffering.
+
     Set DEVITO_FWI_TPU_PALLAS=1 to route supported geometries through the
     Pallas VMEM-resident kernel (~1.2x faster steady state, ~7 min Mosaic
     compile — see ops/pallas_acoustic.py)."""
@@ -429,40 +434,66 @@ _DEVICE_STACK_CACHE = {}
 _GEOM_DEVICE_CACHE = {}
 
 
+def invalidate_device_caches():
+    """Drop all cached device uploads (geometry tables, obs/direct-wave
+    stacks). Call after mutating obs[i].data in place."""
+    _GEOM_DEVICE_CACHE.clear()
+    _DEVICE_STACK_CACHE.clear()
+
+
+def _geom_fingerprint(geometry):
+    """Content fingerprint of the geometry fields that feed the device
+    tables. src/rec positions are tiny, so hashing them per call is cheap
+    and catches both in-place edits and id() reuse after GC."""
+    return (geometry.nsrc, geometry.nt, geometry.f0, geometry.src_type,
+            hash(np.ascontiguousarray(geometry.src_positions).tobytes()),
+            hash(np.ascontiguousarray(geometry.rec_positions).tobytes()))
+
+
 def _geom_device(geometry):
     """Cache the per-geometry constant device operands: each host->device
     put is a ~50 ms round trip over the TPU tunnel, and an objective call
-    needs ~8 of them — only vp changes between iterations."""
+    needs ~8 of them — only vp changes between iterations. Entries retain
+    a strong reference to the geometry (bounded: cache capped at 8) so a
+    recycled id() can never alias a freed object, and are revalidated
+    against a content fingerprint so in-place position edits are seen."""
     model = geometry.model
-    key = (id(geometry), geometry.nsrc, geometry.nt)
-    cached = _GEOM_DEVICE_CACHE.get(key)
-    if cached is None:
-        s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
-        cached = dict(
-            s_idx=jnp.asarray(s_idx), s_w=jnp.asarray(s_w),
-            r_idx=jnp.asarray(r_idx), r_w=jnp.asarray(r_w),
-            src_wav=jnp.asarray(src_wav),
-            damp=jnp.asarray(model.damp)
-            if isinstance(model.damp, np.ndarray) else model.dtype(0.0),
-            src_pos=jnp.asarray(geometry.src_positions),
-            rec_pos=jnp.asarray(geometry.rec_positions))
-        if len(_GEOM_DEVICE_CACHE) > 8:
-            _GEOM_DEVICE_CACHE.clear()
-        _GEOM_DEVICE_CACHE[key] = cached
+    key = id(geometry)
+    fp = _geom_fingerprint(geometry)
+    entry = _GEOM_DEVICE_CACHE.get(key)
+    if entry is not None and entry[0] is geometry and entry[1] == fp:
+        return entry[2]
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    cached = dict(
+        s_idx=jnp.asarray(s_idx), s_w=jnp.asarray(s_w),
+        r_idx=jnp.asarray(r_idx), r_w=jnp.asarray(r_w),
+        src_wav=jnp.asarray(src_wav),
+        damp=jnp.asarray(model.damp)
+        if isinstance(model.damp, np.ndarray) else model.dtype(0.0),
+        src_pos=jnp.asarray(geometry.src_positions),
+        rec_pos=jnp.asarray(geometry.rec_positions))
+    if len(_GEOM_DEVICE_CACHE) > 8:
+        _GEOM_DEVICE_CACHE.clear()
+    _GEOM_DEVICE_CACHE[key] = (geometry, fp, cached)
     return cached
 
 
 def _device_stack(objs):
     """Upload a list of shot records once and reuse the device copy across
     objective calls (obs/direct-wave data is constant through an inversion;
-    host->device transfers over the TPU tunnel are expensive)."""
+    host->device transfers over the TPU tunnel are expensive). Entries
+    retain strong references to the records, so a recycled id() cannot
+    alias freed objects. The gathers themselves are large, so they are not
+    content-hashed: do not mutate obs[i].data in place between objective
+    calls — build new PointSources or call invalidate_device_caches()."""
     key = tuple(id(o) for o in objs)
-    st = _DEVICE_STACK_CACHE.get(key)
-    if st is None:
-        st = jnp.stack([jnp.asarray(o.data) for o in objs])
-        if len(_DEVICE_STACK_CACHE) > 8:
-            _DEVICE_STACK_CACHE.clear()
-        _DEVICE_STACK_CACHE[key] = st
+    entry = _DEVICE_STACK_CACHE.get(key)
+    if entry is not None and all(a is b for a, b in zip(entry[0], objs)):
+        return entry[1]
+    st = jnp.stack([jnp.asarray(o.data) for o in objs])
+    if len(_DEVICE_STACK_CACHE) > 8:
+        _DEVICE_STACK_CACHE.clear()
+    _DEVICE_STACK_CACHE[key] = (tuple(objs), st)
     return st
 
 
@@ -508,11 +539,30 @@ def _grad_batch_from_res(vp, damp, src_wav, s_idx, s_w, seg_starts,
     return jnp.sum(g, axis=0), jnp.sum(il, axis=0)
 
 
+def _host_misfit_batch(misfit_func, syn_batch, obs_batch):
+    """Evaluate a host misfit over a (chunk, nt, nrec) batch. Uses the
+    misfit's vectorized `batch` entry point when it has one (the native
+    BFM's OpenMP batch, the mpibfm2d analog); falls back to a per-shot
+    python loop otherwise."""
+    batch_fn = getattr(misfit_func, "batch", None)
+    if batch_fn is not None:
+        losses, res = batch_fn(syn_batch, obs_batch)
+        return [float(l) for l in losses], list(res)
+    fvals, residuals = [], []
+    for syn, ob in zip(syn_batch, obs_batch):
+        f_i, res_i = misfit_func(syn, ob)
+        fvals.append(float(f_i))
+        residuals.append(np.asarray(res_i))
+    return fvals, residuals
+
+
 def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
-                                calc_grad, resample_dt):
+                                calc_grad, resample_dt, shot_chunk=32):
     """Objective for host-side misfits (custom numpy callables, the native
     C++ BFM, trace resampling): the propagation stays device-batched; only
-    the gathers make one round trip to the host for the misfit."""
+    the gathers make one round trip to the host for the misfit. Shots run
+    in chunks of `shot_chunk` so the checkpoint buffer
+    (chunk x n_checkpoints x 2 x grid) stays bounded for large surveys."""
     model = geometry.model
     c = _geom_device(geometry)
     vp = jnp.asarray(model.vp)
@@ -520,49 +570,61 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
     statics = dict(nt=geometry.nt, spacing=model.spacing,
                    space_order=model.space_order, kernel="OT2", fs=model.fs,
                    n_checkpoints=_default_checkpoints(geometry.nt))
-    recs, seg_starts, illum_pad = _fwd_batch_ckpt(
-        vp, c["damp"], c["src_wav"], c["s_idx"], c["s_w"], c["r_idx"],
-        c["r_w"], dt, calc_grad=calc_grad, **statics)
-    rec_host = np.asarray(recs)
 
     tvals = geometry.time_axis.time_values
     nsrc = geometry.nsrc
+    chunk = min(nsrc, shot_chunk or nsrc)
     fval = 0.0
     residuals = []
-    for i in range(nsrc):
-        syn = rec_host[i]
-        ob = np.asarray(obs[i].data)
-        t_m = tvals
-        if resample_dt is not None and \
-                not np.isclose(resample_dt, geometry.dt):
-            n_new = int(round((tvals[-1] - tvals[0]) / resample_dt)) + 1
-            t_m = np.linspace(tvals[0], tvals[0]
-                              + (n_new - 1) * resample_dt, n_new)
-            syn = resample(syn, t_m, tvals)
-            ob = resample(ob, t_m, tvals)
-        if direct_wave is not None:
-            dw = np.asarray(direct_wave[i].data)
-            if t_m is not tvals:
-                dw = resample(dw, t_m, tvals)
-            syn = syn - dw
-            ob = ob - dw
-        f_i, res_i = misfit_func(syn, ob)
-        fval += float(f_i)
-        res_i = np.asarray(res_i)
-        if t_m is not tvals:
-            res_i = resample(res_i, tvals, t_m)
-        residuals.append(res_i.astype(model.dtype))
-
     grad = np.zeros(model.shape, dtype=np.float64)
     illum = np.zeros(model.shape, dtype=np.float64)
-    if calc_grad:
-        res_stack = jnp.asarray(np.stack(residuals))
-        g, il = _grad_batch_from_res(
-            vp, c["damp"], c["src_wav"], c["s_idx"], c["s_w"], seg_starts,
-            res_stack, c["r_idx"], c["r_w"], illum_pad, c["src_pos"],
-            c["rec_pos"], dt, nbl=model.nbl, shape=model.shape, **statics)
-        grad += np.asarray(g, dtype=np.float64)
-        illum += np.asarray(il, dtype=np.float64)
+    for lo in range(0, nsrc, chunk):
+        hi = min(lo + chunk, nsrc)
+        recs, seg_starts, illum_pad = _fwd_batch_ckpt(
+            vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi], c["s_w"][lo:hi],
+            c["r_idx"], c["r_w"], dt, calc_grad=calc_grad, **statics)
+        rec_host = np.asarray(recs)
+
+        syn_b, obs_b = [], []
+        t_m = tvals
+        for i in range(lo, hi):
+            syn = rec_host[i - lo]
+            ob = np.asarray(obs[i].data)
+            t_m = tvals
+            if resample_dt is not None and \
+                    not np.isclose(resample_dt, geometry.dt):
+                n_new = int(round((tvals[-1] - tvals[0]) / resample_dt)) + 1
+                t_m = np.linspace(tvals[0], tvals[0]
+                                  + (n_new - 1) * resample_dt, n_new)
+                syn = resample(syn, t_m, tvals)
+                ob = resample(ob, t_m, tvals)
+            if direct_wave is not None:
+                dw = np.asarray(direct_wave[i].data)
+                if t_m is not tvals:
+                    dw = resample(dw, t_m, tvals)
+                syn = syn - dw
+                ob = ob - dw
+            syn_b.append(syn)
+            obs_b.append(ob)
+        fvals_c, res_c = _host_misfit_batch(misfit_func,
+                                            np.stack(syn_b),
+                                            np.stack(obs_b))
+        fval += sum(fvals_c)
+        for res_i in res_c:
+            res_i = np.asarray(res_i)
+            if t_m is not tvals:
+                res_i = resample(res_i, tvals, t_m)
+            residuals.append(res_i.astype(model.dtype))
+
+        if calc_grad:
+            res_stack = jnp.asarray(np.stack(residuals[lo:hi]))
+            g, il = _grad_batch_from_res(
+                vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi],
+                c["s_w"][lo:hi], seg_starts, res_stack, c["r_idx"],
+                c["r_w"], illum_pad, c["src_pos"][lo:hi], c["rec_pos"], dt,
+                nbl=model.nbl, shape=model.shape, **statics)
+            grad += np.asarray(g, dtype=np.float64)
+            illum += np.asarray(il, dtype=np.float64)
     return fval, grad, illum, residuals
 
 
@@ -594,7 +656,8 @@ def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
         # host-misfit path (custom numpy misfits, native BFM, resampling):
         # device-batched propagation with a single gather round trip
         fval, grad, illum, residuals = _shot_objective_host_misfit(
-            geometry, obs, misfit_func, direct_wave, calc_grad, resample_dt)
+            geometry, obs, misfit_func, direct_wave, calc_grad, resample_dt,
+            shot_chunk)
 
     if calc_grad:
         if precond:

@@ -38,11 +38,14 @@ def _load():
         return _LIB
     _TRIED = True
     path = os.path.join(_root(), "native", "libbfm2d.so")
-    if not os.path.exists(path):
-        try:
-            subprocess.run(["make", "-C", os.path.dirname(path)],
-                           check=True, capture_output=True)
-        except Exception:
+    # Always invoke make: it is a no-op when the .so is newer than
+    # bfm2d.cpp, and it guarantees source edits are never shadowed by a
+    # stale binary (the .so is gitignored, never committed).
+    try:
+        subprocess.run(["make", "-C", os.path.dirname(path)],
+                       check=True, capture_output=True)
+    except Exception:
+        if not os.path.exists(path):
             return None
     try:
         lib = ctypes.CDLL(path)

@@ -164,6 +164,47 @@ class qWasserstein:
         loss, grad = self._jitted(jnp.asarray(f), jnp.asarray(g))
         return float(loss), np.asarray(grad).reshape(shape)
 
+    def batch(self, f_b, g_b):
+        """Vectorized misfit over a (nb, nt, ntraces) shot batch — the
+        analog of the reference's MPI batch binary ``mpibfm2d``
+        (``misfit/QW2D/bin/``). Native 2-D gathers fan out over OpenMP
+        threads in a single C call; other configurations fall back to a
+        per-gather loop."""
+        f_b = np.asarray(f_b)
+        g_b = np.asarray(g_b)
+        if self.method == "2d" and self.bfm_backend == "native":
+            from .native import bfm_gradient_batch
+            mu, nu, d = _transform_np_batch(f_b, g_b, self.trans_type,
+                                            self.gamma)
+            mass = f_b.reshape(f_b.shape[0], -1).sum(axis=1) \
+                / float(f_b[0].size)
+            losses, grads = bfm_gradient_batch(
+                mu, nu, num_steps=self.num_steps,
+                step_scale=self.step_scale)
+            grads = (grads / mass[:, None, None]) * d
+            return losses, grads
+        out = [self(f, g) for f, g in zip(f_b, g_b)]
+        return np.array([o[0] for o in out]), [o[1] for o in out]
+
+
+def _transform_np_batch(f, g, trans_type, gamma):
+    """Per-gather positivity transform over a (nb, nt, ntraces) batch;
+    numpy twin of ``transform_jax`` with reductions per gather."""
+    if trans_type == "linear":
+        mn = np.minimum(f.min(axis=(1, 2)), g.min(axis=(1, 2)))
+        c = (np.where(mn < 0, -mn, 0.0) * gamma)[:, None, None]
+        return f + c, g + c, np.ones_like(f)
+    if trans_type == "square":
+        return f * f, g * g, 2 * f
+    if trans_type == "exp":
+        mu = np.exp(gamma * f)
+        return mu, np.exp(gamma * g), gamma * mu
+    if trans_type == "softplus":
+        mu = np.log(np.exp(gamma * f) + 1)
+        nu = np.log(np.exp(gamma * g) + 1)
+        return mu, nu, gamma / np.exp(-gamma * f)
+    return f, g, np.ones_like(f)
+
 
 def _native_bfm_callback(mu, nu, num_steps, step_scale):
     """jittable wrapper over the native batch BFM via jax.pure_callback
