@@ -120,7 +120,10 @@ class qWasserstein:
             losses, grads = jax.vmap(w2_1d_jax, in_axes=1, out_axes=(0, 1))(
                 mu, nu)
             return jnp.sum(losses), grads * d
-        mass = jnp.sum(f) / f.size
+        # reference misfit.py:73 computes mass from the TRANSFORMED
+        # density (its `_2d_calculator(f=mu, ...)` receives mu), not the
+        # raw traces
+        mass = jnp.sum(mu) / mu.size
         if self.bfm_backend == "native":
             # host callback into the C++ OpenMP BFM: the TPU program
             # pauses, ships the (batched under vmap) densities to the
@@ -151,7 +154,7 @@ class qWasserstein:
             from .native import bfm_gradient
             mu, nu, d = transform_jax(jnp.asarray(f), jnp.asarray(g),
                                       self.trans_type, self.gamma)
-            mass = float(np.sum(f) / f.size)
+            mass = float(np.sum(np.asarray(mu)) / mu.size)
             loss, grad = bfm_gradient(np.asarray(mu), np.asarray(nu),
                                       num_steps=self.num_steps,
                                       step_scale=self.step_scale)
@@ -176,8 +179,8 @@ class qWasserstein:
             from .native import bfm_gradient_batch
             mu, nu, d = _transform_np_batch(f_b, g_b, self.trans_type,
                                             self.gamma)
-            mass = f_b.reshape(f_b.shape[0], -1).sum(axis=1) \
-                / float(f_b[0].size)
+            mass = mu.reshape(mu.shape[0], -1).sum(axis=1) \
+                / float(mu[0].size)
             losses, grads = bfm_gradient_batch(
                 mu, nu, num_steps=self.num_steps,
                 step_scale=self.step_scale)

@@ -19,7 +19,26 @@ def load_velocity(path, shape, dtype=np.float32):
     """Read a raw little-endian float32 velocity model (reference
     ``model_data/*/REAMDE.txt`` format: row-major (nx, nz))."""
     v = np.fromfile(path, dtype=np.float32).astype(dtype)
-    return v.reshape(shape)
+    v = v.reshape(shape)
+    if v.max() > 100.0:
+        # reference binaries store m/s (SMARMN vp.true is 1500..5200);
+        # the framework works in km/s like the reference drivers
+        # (marmousi_fwi.py:70-71 divides by 1000)
+        v = v / 1000.0
+    return v
+
+
+def _vendored_marmousi():
+    """Path to the vendored SMARMN truth model (km/s after /1000 by the
+    caller; raw file is m/s). Raises if the data dir is absent."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "model_data", "SMARMN", "vp.true")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            "no data_path given and vendored model_data/SMARMN/vp.true "
+            "not found at %s" % path)
+    return path
 
 
 def _layered_v(shape, dtype, vp_top, vp_bottom, nlayers):
@@ -161,8 +180,9 @@ def demo_model(preset, **kwargs):
                             bcs="damp", fs=fs, **kwargs)
 
     if preset in ("marmousi-isotropic", "marmousi2d-isotropic"):
-        # SMARMN-format raw binary (reference marmousi_fwi.py:62-71)
-        data_path = kwargs.pop("data_path")
+        # SMARMN-format raw binary (reference marmousi_fwi.py:62-71);
+        # defaults to the vendored repo-root model_data/SMARMN/vp.true
+        data_path = kwargs.pop("data_path", None) or _vendored_marmousi()
         shape = kwargs.pop("marmousi_shape", (300, 106))
         spacing = kwargs.pop("marmousi_spacing", (30.0, 30.0))
         v = load_velocity(data_path, shape, dtype)
@@ -174,7 +194,7 @@ def demo_model(preset, **kwargs):
         # TTI Marmousi (reference preset_models.py marmousi-tti*): vp from
         # the raw binary, Thomsen/tilt fields derived from vp where the
         # reference's devitocodes/data .mat fields are unavailable
-        data_path = kwargs.pop("data_path")
+        data_path = kwargs.pop("data_path", None) or _vendored_marmousi()
         shape2d = kwargs.pop("marmousi_shape", (300, 106))
         spacing = kwargs.pop("marmousi_spacing", (30.0, 30.0))
         v = load_velocity(data_path, shape2d, dtype) / 1.0

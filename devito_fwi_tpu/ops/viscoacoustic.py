@@ -18,9 +18,12 @@ Relaxation parameters: ``t_s = (sqrt(1+1/qp^2)-1/qp)/f0``,
 
 Sources inject ``w_p src[t] dt`` (1st order) or ``w_p src[t] dt^2 vp^2``
 (2nd order, ``= dt^2/m``) into p[t+1]; receivers sample p[t]
-(``operators.py:9-42``). Adjoints are the reference's PDE adjoints
-(time-reversed recursions), not discrete transposes. Node parameters are
-averaged to staggered points like devito (see ``ops.staggered``).
+(``operators.py:9-42``). The adjoints are time-reversed recursions in the
+reference's backward-kernel form (``operators.py:456-543``) and are exact
+discrete transposes of the forward maps: all six kernels pass the f64
+dot test ``<F(s), r> = <s, F^T(r)>`` at <=1e-10 relative
+(``tests/test_physics_families.py``). Node parameters are averaged to
+staggered points like devito (see ``ops.staggered``).
 
 Time loops: t = 0..nt-2 for the 1st-order systems (time_order=1 fields),
 t = 1..nt-2 for the 2nd-order ones (p.backward access), matching the

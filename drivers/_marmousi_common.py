@@ -6,9 +6,10 @@ and acquisition constants, same misfit selection, same result-file layout.
 Execution is TPU-native (batched shots, fused objective).
 
 The raw velocity models (float32 LE binaries) are looked up in
-``--data-dir`` (default: $DEVITO_FWI_TPU_DATA or ./model_data); when no
-data is available a synthetic layered stand-in with the same dimensions is
-generated so the drivers stay runnable end-to-end.
+``--data-dir`` (default: $DEVITO_FWI_TPU_DATA, else the vendored
+``model_data/`` at the repo root); when no data is available a synthetic
+layered stand-in with the same dimensions is generated so the drivers
+stay runnable end-to-end.
 """
 import argparse
 import os
@@ -79,11 +80,18 @@ def make_parser(cfg, fm=False):
     p.add_argument("--nsrc", type=int,
                    default=cfg.nsrc_default if not fm else 21,
                    help="number of shots")
-    p.add_argument("--data-dir", type=str,
-                   default=os.environ.get("DEVITO_FWI_TPU_DATA",
-                                          "./model_data"),
+    p.add_argument("--data-dir", type=str, default=default_data_dir(),
                    help="directory holding %s/vp.true etc." % cfg.name)
     return p
+
+
+def default_data_dir():
+    """$DEVITO_FWI_TPU_DATA, else the vendored repo-root model_data/."""
+    env = os.environ.get("DEVITO_FWI_TPU_DATA")
+    if env:
+        return env
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "model_data")
 
 
 def _synthetic_vp(shape, seed=0):

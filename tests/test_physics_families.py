@@ -123,3 +123,39 @@ def test_viscoacoustic_adjoint_smoke():
         srca, _, _, _ = solver.adjoint(rec)
         assert np.isfinite(srca.data).all()
         assert np.abs(srca.data).max() > 0
+
+
+@pytest.mark.parametrize("kernel", ["sls", "ren", "deng_mcmechan"])
+@pytest.mark.parametrize("time_order", [1, 2])
+def test_viscoacoustic_adjoint_dot(kernel, time_order):
+    """f64 dot test <F(s), r> = <s, F^T(r)> for every viscoacoustic kernel
+    (reference AdjointOperators,
+    ``seismic/viscoacoustic/operators.py:456-543``): the time-reversed
+    adjoint recursions are exact discrete transposes of the forward maps."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.ops import viscoacoustic as va
+    from devito_fwi_tpu.ops.interp import interp_table
+
+    model = demo_model("layers-viscoacoustic", space_order=4, shape=(41, 41),
+                       nbl=10, dtype=np.float64, spacing=(10., 10.))
+    geometry = setup_geometry(model, 300.)
+    src_idx, src_w = interp_table(geometry.src_positions, model.origin_pml,
+                                  model.spacing, dtype=model.dtype)
+    rec_idx, rec_w = interp_table(geometry.rec_positions, model.origin_pml,
+                                  model.spacing, dtype=model.dtype)
+    src_wav = geometry.src.data.astype(np.float64)
+    dt, nt = model.critical_dt, geometry.nt
+    vp, b, qp, damp = (jnp.asarray(model.vp), jnp.asarray(model.b),
+                       jnp.asarray(model.qp), jnp.asarray(model.damp))
+    rec, _ = va.forward(vp, b, qp, damp, jnp.asarray(src_wav), src_idx,
+                        src_w, rec_idx, rec_w, dt, geometry.f0,
+                        kernel=kernel, time_order=time_order, nt=nt,
+                        spacing=model.spacing, space_order=4)
+    r = jnp.asarray(np.random.RandomState(7).randn(*rec.shape))
+    srca, _ = va.adjoint(vp, b, qp, damp, r, rec_idx, rec_w, src_idx,
+                         src_w, dt, geometry.f0, kernel=kernel,
+                         time_order=time_order, nt=nt,
+                         spacing=model.spacing, space_order=4)
+    lhs = float(jnp.sum(rec * r))
+    rhs = float(jnp.sum(jnp.asarray(src_wav) * srca))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-10
