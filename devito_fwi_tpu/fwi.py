@@ -556,6 +556,46 @@ def _host_misfit_batch(misfit_func, syn_batch, obs_batch):
     return fvals, residuals
 
 
+def _host_misfit_chunk(geometry, rec_host, obs, misfit_func, direct_wave,
+                       resample_dt, lo, hi):
+    """Host-side misfit for shots [lo, hi): direct-wave subtraction +
+    optional trace resampling + (batched) misfit. `rec_host` holds the
+    synthetic gathers for the chunk (hi-lo, nt, nrec). Returns
+    (fval_sum, [residuals at geometry dt])."""
+    model = geometry.model
+    tvals = geometry.time_axis.time_values
+    syn_b, obs_b = [], []
+    t_m = tvals
+    for i in range(lo, hi):
+        syn = rec_host[i - lo]
+        ob = np.asarray(obs[i].data)
+        t_m = tvals
+        if resample_dt is not None and \
+                not np.isclose(resample_dt, geometry.dt):
+            n_new = int(round((tvals[-1] - tvals[0]) / resample_dt)) + 1
+            t_m = np.linspace(tvals[0], tvals[0]
+                              + (n_new - 1) * resample_dt, n_new)
+            syn = resample(syn, t_m, tvals)
+            ob = resample(ob, t_m, tvals)
+        if direct_wave is not None:
+            dw = np.asarray(direct_wave[i].data)
+            if t_m is not tvals:
+                dw = resample(dw, t_m, tvals)
+            syn = syn - dw
+            ob = ob - dw
+        syn_b.append(syn)
+        obs_b.append(ob)
+    fvals_c, res_c = _host_misfit_batch(misfit_func, np.stack(syn_b),
+                                        np.stack(obs_b))
+    residuals = []
+    for res_i in res_c:
+        res_i = np.asarray(res_i)
+        if t_m is not tvals:
+            res_i = resample(res_i, tvals, t_m)
+        residuals.append(res_i.astype(model.dtype))
+    return sum(fvals_c), residuals
+
+
 def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
                                 calc_grad, resample_dt, shot_chunk=32):
     """Objective for host-side misfits (custom numpy callables, the native
@@ -571,7 +611,6 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
                    space_order=model.space_order, kernel="OT2", fs=model.fs,
                    n_checkpoints=_default_checkpoints(geometry.nt))
 
-    tvals = geometry.time_axis.time_values
     nsrc = geometry.nsrc
     chunk = min(nsrc, shot_chunk or nsrc)
     fval = 0.0
@@ -585,36 +624,11 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
             c["r_idx"], c["r_w"], dt, calc_grad=calc_grad, **statics)
         rec_host = np.asarray(recs)
 
-        syn_b, obs_b = [], []
-        t_m = tvals
-        for i in range(lo, hi):
-            syn = rec_host[i - lo]
-            ob = np.asarray(obs[i].data)
-            t_m = tvals
-            if resample_dt is not None and \
-                    not np.isclose(resample_dt, geometry.dt):
-                n_new = int(round((tvals[-1] - tvals[0]) / resample_dt)) + 1
-                t_m = np.linspace(tvals[0], tvals[0]
-                                  + (n_new - 1) * resample_dt, n_new)
-                syn = resample(syn, t_m, tvals)
-                ob = resample(ob, t_m, tvals)
-            if direct_wave is not None:
-                dw = np.asarray(direct_wave[i].data)
-                if t_m is not tvals:
-                    dw = resample(dw, t_m, tvals)
-                syn = syn - dw
-                ob = ob - dw
-            syn_b.append(syn)
-            obs_b.append(ob)
-        fvals_c, res_c = _host_misfit_batch(misfit_func,
-                                            np.stack(syn_b),
-                                            np.stack(obs_b))
-        fval += sum(fvals_c)
-        for res_i in res_c:
-            res_i = np.asarray(res_i)
-            if t_m is not tvals:
-                res_i = resample(res_i, tvals, t_m)
-            residuals.append(res_i.astype(model.dtype))
+        fval_c, res_chunk = _host_misfit_chunk(
+            geometry, rec_host, obs, misfit_func, direct_wave, resample_dt,
+            lo, hi)
+        fval += fval_c
+        residuals.extend(res_chunk)
 
         if calc_grad:
             res_stack = jnp.asarray(np.stack(residuals[lo:hi]))

@@ -23,7 +23,9 @@ from jax import shard_map
 
 from ..ops import acoustic as _ac
 
-__all__ = ["shot_mesh", "fm_multi_sharded", "fwi_obj_sharded"]
+__all__ = ["shot_mesh", "fm_multi_sharded", "fwi_obj_sharded",
+           "domain_mesh", "forward_domain_sharded",
+           "gradient_domain_sharded"]
 
 
 def shot_mesh(devices=None):
@@ -86,16 +88,26 @@ def fm_multi_sharded(geometry, save=False, mesh=None):
 
 
 def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
-                    precond=True, calc_grad=False, mesh=None):
+                    precond=True, calc_grad=False, mesh=None,
+                    resample_dt=None):
     """Sharded multi-shot objective: per-device shot batches + psum
     reduction of (fval, grad, illum) — replaces the reference's
-    futures-result sum loop (``fwi.py:223-232``)."""
+    futures-result sum loop (``fwi.py:223-232``). Host-side misfits (the
+    native C++ BFM, custom numpy callables, trace resampling) take the
+    split propagate-sharded / misfit-on-host path."""
     from ..fwi import (_batched_tables, _solver_dt, _misfit_jax,
                        _fix_illum_jax)
 
     misfit_jax = _misfit_jax(misfit_func)
-    if misfit_jax is None:
-        raise ValueError("sharded objective requires a JAX-traceable misfit")
+    if misfit_jax is None or resample_dt not in (None, geometry.dt):
+        return _fwi_obj_sharded_host(geometry, obs, misfit_func,
+                                     direct_wave, mask, precond, calc_grad,
+                                     mesh, resample_dt)
+    if getattr(misfit_func, "method", None) == "2d" and \
+            getattr(misfit_func, "bfm_backend", None) == "native":
+        return _fwi_obj_sharded_host(geometry, obs, misfit_func,
+                                     direct_wave, mask, precond, calc_grad,
+                                     mesh, resample_dt)
 
     model = geometry.model
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
@@ -173,6 +185,103 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
     return fval, grad
 
 
+def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
+                          precond, calc_grad, mesh, resample_dt):
+    """Sharded objective for non-traceable misfits: the propagation and
+    adjoint stay sharded over the shots mesh (checkpoint buffers never
+    leave their device); only the receiver gathers round-trip to the host,
+    where the misfit fans out through ``qWasserstein.batch`` (native BFM
+    -> one OpenMP C call, the mpibfm2d analog). This closes the
+    reference's dask-parallelized-W2 capability (``fwi.py:207-234``) that
+    the traceable-only sharded path could not serve."""
+    from ..fwi import (_batched_tables, _solver_dt, _fix_illum_jax,
+                       _default_checkpoints, _host_misfit_chunk)
+
+    model = geometry.model
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    damp = model.damp if isinstance(model.damp, np.ndarray) \
+        else model.dtype(0.0)
+    vp = jnp.asarray(model.vp)
+    dt = _solver_dt(geometry)
+    nbl = model.nbl
+    nck = _default_checkpoints(geometry.nt)
+    static = dict(nt=geometry.nt, spacing=model.spacing,
+                  space_order=model.space_order, kernel="OT2", fs=model.fs)
+    spacing, shape = model.spacing, model.shape
+    rec_positions = jnp.asarray(geometry.rec_positions)
+
+    mesh = mesh or shot_mesh()
+    ndev = mesh.devices.size
+    nsrc = geometry.nsrc
+    (s_idx_p, s_w_p, sp_p), valid = _pad_shots(
+        [jnp.asarray(s_idx), jnp.asarray(s_w),
+         jnp.asarray(geometry.src_positions, dtype=model.dtype)],
+        nsrc, ndev, model.dtype)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P("shots"), P("shots")),
+             out_specs=(P("shots"), P("shots"), P("shots")))
+    def run_fwd(si, sw):
+        def per(si_i, sw_i):
+            if calc_grad:
+                return _ac.forward_ckpt(vp, damp, src_wav, si_i, sw_i,
+                                        r_idx, r_w, dt, n_checkpoints=nck,
+                                        **static)
+            rec, _ = _ac.forward(vp, damp, src_wav, si_i, sw_i, r_idx,
+                                 r_w, dt, save=False, **static)
+            nseg = _ac._ckpt_layout(geometry.nt, nck)[2]
+            zck = jnp.zeros((nseg, 2) + vp.shape, vp.dtype)
+            return rec, zck, jnp.zeros_like(vp)
+        return jax.vmap(per)(si, sw)
+
+    recs, seg_starts, illum_pad = run_fwd(s_idx_p, s_w_p)
+    rec_host = np.asarray(recs)[:nsrc]
+
+    fval, residuals = _host_misfit_chunk(geometry, rec_host, obs,
+                                         misfit_func, direct_wave,
+                                         resample_dt, 0, nsrc)
+
+    grad = np.zeros(shape, dtype=np.float64)
+    illum = np.zeros(shape, dtype=np.float64)
+    if calc_grad:
+        res_stack = jnp.asarray(np.stack(residuals))
+        pad = (-nsrc) % ndev
+        if pad:
+            res_stack = jnp.concatenate(
+                [res_stack, jnp.zeros((pad,) + res_stack.shape[1:],
+                                      res_stack.dtype)])
+
+        @partial(shard_map, mesh=mesh, check_vma=False,
+                 in_specs=(P("shots"), P("shots"), P("shots"), P("shots"),
+                           P("shots"), P("shots"), P("shots")),
+                 out_specs=(P(), P()))
+        def run_grad(si, sw, sg, res, il, sp, w):
+            def per(si_i, sw_i, sg_i, r_i, il_i, sp_i):
+                g, _ = _ac.gradient_from_ckpt(vp, damp, src_wav, si_i,
+                                              sw_i, sg_i, r_i, r_idx, r_w,
+                                              dt, n_checkpoints=nck,
+                                              **static)
+                crop = _fix_illum_jax(g[nbl:-nbl, nbl:-nbl], sp_i,
+                                      rec_positions, spacing, shape)
+                il_c = _fix_illum_jax(il_i[nbl:-nbl, nbl:-nbl], sp_i,
+                                      rec_positions, spacing, shape)
+                return crop, il_c
+            g, il = jax.vmap(per)(si, sw, sg, res, il, sp)
+            g = jnp.sum(g * w[:, None, None], axis=0)
+            il = jnp.sum(il * w[:, None, None], axis=0)
+            return jax.lax.psum(g, "shots"), jax.lax.psum(il, "shots")
+
+        g, il = run_grad(s_idx_p, s_w_p, seg_starts, res_stack, illum_pad,
+                         sp_p, valid)
+        grad += np.asarray(g, dtype=np.float64)
+        illum += np.asarray(il, dtype=np.float64)
+        if precond:
+            grad /= np.sqrt(illum + 1e-30)
+        if mask is not None:
+            grad *= mask
+    return fval, grad
+
+
 # ---------------------------------------------------------------------------
 # spatial domain decomposition (the Devito-MPI halo-exchange analog;
 # reference seismic/inversion/inversion_utils.py:11-20 acknowledges MPI
@@ -196,29 +305,13 @@ def forward_domain_sharded(geometry, mesh=None, axis_sizes=None, shot=0):
     makes GSPMD partition the whole scanned program and exchange halos
     over ICI, which is the TPU-native equivalent of devito's MPI domain
     decomposition."""
-    from jax.sharding import NamedSharding
     from ..fwi import _batched_tables, _solver_dt
 
     model = geometry.model
     if mesh is None:
         mesh = domain_mesh(axis_sizes or (len(jax.devices()), 1))
-    spec = P(*mesh.axis_names)
-    sharding = NamedSharding(mesh, spec)
-
+    vp, damp, _ = _domain_sharded_fields(model, mesh)
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
-    # NamedSharding needs dims divisible by the mesh axes: extend the grid
-    # past the absorbing layer by edge replication (appended cells continue
-    # the boundary damping, so the physics is unchanged to float rounding)
-    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    pads = [(0, (-n) % sizes.get(ax, 1)) for n, ax in
-            zip(model.padded_shape, mesh.axis_names)]
-    vp_h = np.pad(model.vp, pads, mode="edge")
-    vp = jax.device_put(jnp.asarray(vp_h), sharding)
-    if isinstance(model.damp, np.ndarray):
-        damp = jax.device_put(jnp.asarray(np.pad(model.damp, pads,
-                                                 mode="edge")), sharding)
-    else:
-        damp = model.dtype(0.0)
     dt = _solver_dt(geometry)
     rec, _ = _ac.forward(vp, damp, jnp.asarray(src_wav),
                          jnp.asarray(s_idx[shot]), jnp.asarray(s_w[shot]),
@@ -227,3 +320,65 @@ def forward_domain_sharded(geometry, mesh=None, axis_sizes=None, shot=0):
                          space_order=model.space_order, kernel="OT2",
                          fs=model.fs, save=False)
     return np.asarray(rec)
+
+
+def _domain_sharded_fields(model, mesh):
+    """(vp, damp, pads) device_put with a NamedSharding over the spatial
+    mesh. Grid dims are edge-padded to multiples of the mesh axes; the
+    appended cells extend the absorbing boundary, so the physics inside
+    the domain is unchanged to float rounding."""
+    from jax.sharding import NamedSharding
+
+    spec = P(*mesh.axis_names)
+    sharding = NamedSharding(mesh, spec)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    pads = [(0, (-n) % sizes.get(ax, 1)) for n, ax in
+            zip(model.padded_shape, mesh.axis_names)]
+    vp = jax.device_put(jnp.asarray(np.pad(model.vp, pads, mode="edge")),
+                        sharding)
+    if isinstance(model.damp, np.ndarray):
+        damp = jax.device_put(
+            jnp.asarray(np.pad(model.damp, pads, mode="edge")), sharding)
+    else:
+        damp = model.dtype(0.0)
+    return vp, damp, pads
+
+
+def gradient_domain_sharded(geometry, residual, mesh=None, axis_sizes=None,
+                            shot=0, n_checkpoints=None):
+    """Single-shot segment-checkpointed FWI gradient with the spatial grid
+    sharded over the device mesh — the reverse-sweep analog of
+    ``forward_domain_sharded`` and the full equivalent of devito's
+    MPI-parallel gradient path
+    (``seismic/inversion/inversion_utils.py:7-25``).
+
+    vp/damp (and hence every wavefield slice, checkpoint buffer and the
+    gradient accumulator of the scanned forward + reverse programs) carry
+    a NamedSharding; GSPMD partitions both sweeps and exchanges stencil
+    halos over ICI. `residual` is the adjoint source (nt, nrec). Returns
+    the gradient on the padded grid, cropped to the model's padded shape,
+    as host numpy."""
+    from ..fwi import _batched_tables, _solver_dt, _default_checkpoints
+
+    model = geometry.model
+    if mesh is None:
+        mesh = domain_mesh(axis_sizes or (len(jax.devices()), 1))
+    vp, damp, pads = _domain_sharded_fields(model, mesh)
+
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    dt = _solver_dt(geometry)
+    nck = n_checkpoints or _default_checkpoints(geometry.nt)
+    static = dict(nt=geometry.nt, spacing=model.spacing,
+                  space_order=model.space_order, kernel="OT2", fs=model.fs,
+                  n_checkpoints=nck)
+    _, seg_starts, _ = _ac.forward_ckpt(
+        vp, damp, jnp.asarray(src_wav), jnp.asarray(s_idx[shot]),
+        jnp.asarray(s_w[shot]), jnp.asarray(r_idx), jnp.asarray(r_w), dt,
+        **static)
+    grad, _ = _ac.gradient_from_ckpt(
+        vp, damp, jnp.asarray(src_wav), jnp.asarray(s_idx[shot]),
+        jnp.asarray(s_w[shot]), seg_starts, jnp.asarray(residual),
+        jnp.asarray(r_idx), jnp.asarray(r_w), dt, **static)
+    g = np.asarray(grad)
+    slc = tuple(slice(0, n) for n in model.padded_shape)
+    return g[slc]

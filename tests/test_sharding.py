@@ -9,7 +9,8 @@ from devito_fwi_tpu.fwi import fm_multi, fwi_obj_multi
 from devito_fwi_tpu.misfit import least_square
 from devito_fwi_tpu.parallel.sharding import (shot_mesh, fwi_obj_sharded,
                                               fm_multi_sharded, domain_mesh,
-                                              forward_domain_sharded)
+                                              forward_domain_sharded,
+                                              gradient_domain_sharded)
 
 
 def _setup(nsrc=5):
@@ -61,3 +62,72 @@ def test_domain_sharded_forward_matches():
         rec = forward_domain_sharded(g1, mesh=mesh)
         scale = np.abs(obs[0].data).max()
         assert np.abs(rec - obs[0].data).max() < 1e-5 * scale
+
+
+def test_domain_sharded_gradient_matches():
+    """The devito-MPI gradient analog: segment-checkpointed reverse sweep
+    with the grid sharded (2,4) over 8 devices == unsharded gradient."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.fwi import _batched_tables, _solver_dt
+    from devito_fwi_tpu.ops import acoustic as _ac
+
+    g1, g0 = _setup()
+    obs = fm_multi(g1)
+    syn = fm_multi(g0)
+    residual = (syn[0].data - obs[0].data).astype(g0.model.dtype)
+
+    model = g0.model
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(g0)
+    static = dict(nt=g0.nt, spacing=model.spacing,
+                  space_order=model.space_order, kernel="OT2", fs=model.fs,
+                  n_checkpoints=12)
+    dt = _solver_dt(g0)
+    _, seg_starts, _ = _ac.forward_ckpt(
+        jnp.asarray(model.vp), jnp.asarray(model.damp),
+        jnp.asarray(src_wav), jnp.asarray(s_idx[0]), jnp.asarray(s_w[0]),
+        jnp.asarray(r_idx), jnp.asarray(r_w), dt, **static)
+    grad_ref, _ = _ac.gradient_from_ckpt(
+        jnp.asarray(model.vp), jnp.asarray(model.damp),
+        jnp.asarray(src_wav), jnp.asarray(s_idx[0]), jnp.asarray(s_w[0]),
+        seg_starts, jnp.asarray(residual), jnp.asarray(r_idx),
+        jnp.asarray(r_w), dt, **static)
+    grad_ref = np.asarray(grad_ref)
+
+    for axes in [(8, 1), (2, 4)]:
+        mesh = domain_mesh(axes)
+        grad_sh = gradient_domain_sharded(g0, residual, mesh=mesh,
+                                          n_checkpoints=12)
+        scale = np.abs(grad_ref).max()
+        assert grad_sh.shape == grad_ref.shape
+        assert np.abs(grad_sh - grad_ref).max() < 1e-5 * scale
+
+
+def test_shot_sharded_host_misfit_objective():
+    """Sharded objective with a NON-traceable misfit: propagation/adjoint
+    sharded over the shots mesh, misfit on the host — must match the
+    single-device host-misfit path."""
+    from devito_fwi_tpu.misfit import qWasserstein, native
+
+    g1, g0 = _setup()
+    obs = fm_multi(g1)
+    backend = "native" if native.available() else "jax"
+    qw = qWasserstein(gamma=1.01, method="2d", num_steps=6, step_scale=1.,
+                      bfm_backend=backend)
+    if backend == "jax":
+        # hide the traceable entry point so the host path is exercised
+        class HostOnly:
+            method = "2d"
+            bfm_backend = "host"
+
+            def __call__(self, f, g):
+                return qw(f, g)
+        qw_host = HostOnly()
+    else:
+        qw_host = qw
+    f_ref, grad_ref, _ = fwi_obj_multi(g0, obs, qw_host, calc_grad=True)
+    f_sh, grad_sh = fwi_obj_sharded(g0, obs, qw_host, calc_grad=True,
+                                    mesh=shot_mesh())
+    assert np.isclose(f_sh, f_ref, rtol=1e-5)
+    ref = grad_ref.reshape(g0.model.shape)
+    scale = np.abs(ref).max()
+    assert np.abs(grad_sh - ref).max() < 1e-5 * scale
