@@ -29,7 +29,8 @@ import numpy as np
 
 from ..utils.fd import second_derivative_weights
 
-__all__ = ["forward_rows", "forward_traces", "geometry_supported", "available"]
+__all__ = ["forward_rows", "forward_traces", "geometry_supported",
+           "available", "gradient_segments", "gradient_from_ckpt_pallas"]
 
 
 def available():
@@ -138,6 +139,368 @@ def forward_rows(m, hd, wav, inj, dt, *, nt, nx, nz,
         interpret=interpret,
     )(wav, m, hd, inj)
     return out
+
+
+# ---------------------------------------------------------------------------
+# forward sweep with segment checkpoints (Pallas twin of
+# ops.acoustic.forward_ckpt, transposed (nz, nx) layout)
+# ---------------------------------------------------------------------------
+
+def _fwd_ckpt_kernel(wav_ref, m_ref, hd_ref, inj_ref, segout_ref,
+                     recout_ref, illum_ref, u_ref, up_ref, *, seg, nsteps,
+                     nx, nz, w, inv_h2x, inv_h2z, z0):
+    """One (shot b, segment j) grid step of the checkpointed forward:
+    leapfrog with VMEM-resident carries, recording the two receiver
+    z-plane rows per step, the (u, u_prev) pair at each segment start,
+    and the illumination sum. Matches ``ops.acoustic.forward_ckpt``."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    base = j * seg
+
+    r = len(w) - 1
+    m = m_ref[:]
+    hd = hd_ref[:]
+    denom = 1.0 / (m + hd)
+    two_m_hd = 2.0 * m + hd
+    inj = inj_ref[:]
+
+    def lap(u):
+        acc = (w[0] * (inv_h2x + inv_h2z)) * u
+        for kk in range(1, r + 1):
+            zz = jnp.zeros((kk, nx), jnp.float32)
+            acc += (w[kk] * inv_h2z) * jnp.concatenate([u[kk:, :], zz], 0)
+            acc += (w[kk] * inv_h2z) * jnp.concatenate([zz, u[:-kk, :]], 0)
+            zx = jnp.zeros((nz, kk), jnp.float32)
+            acc += (w[kk] * inv_h2x) * jnp.concatenate([u[:, kk:], zx], 1)
+            acc += (w[kk] * inv_h2x) * jnp.concatenate([zx, u[:, :-kk]], 1)
+        return acc
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+        up_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+        illum_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    segout_ref[0] = u_ref[:]      # u[base+1]
+    segout_ref[1] = up_ref[:]     # u[base]
+
+    def body(i, _):
+        u = u_ref[:]
+        up = up_ref[:]
+        recout_ref[i] = u[z0:z0 + 2, :]
+        un = (lap(u) + two_m_hd * u - m * up) * denom \
+            + wav_ref[base + i] * inj
+
+        @pl.when(base + i < nsteps)
+        def _():
+            illum_ref[:] = illum_ref[:] + un * un
+
+        u_ref[:] = un
+        up_ref[:] = u
+        return 0
+
+    jax.lax.fori_loop(0, seg, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "n_checkpoints",
+                                   "interpret", "dt"))
+def forward_ckpt_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
+                          space_order, spacing, z0, n_checkpoints,
+                          interpret=False):
+    """Segment-grid Pallas forward with checkpoints. Transposed operands
+    like ``gradient_segments``: m, hd, inj are (.., nz, nx). Returns
+    (rec_rows (B, nseg, seg, 2, nx), seg_starts (B, nseg, 2, nz, nx),
+    illum (B, nz, nx)). Compiles in seconds (the segment grid keeps the
+    Mosaic program small, unlike the whole-nt ``forward_rows`` loop)."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+    from .acoustic import _ckpt_layout
+
+    w = tuple(float(v) for v in
+              np.asarray(second_derivative_weights(space_order)
+                         [space_order // 2:]))
+    s2 = float(dt) ** 2
+    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
+    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    B = inj.shape[0]
+
+    kern = partial(_fwd_ckpt_kernel, seg=seg, nsteps=nsteps, nx=nx, nz=nz,
+                   w=w, inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0)
+
+    seg_starts, rec_rows, illum = pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # wav_pad
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # hd
+            pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),            # inj
+        ],
+        out_specs=(
+            pl.BlockSpec((None, None, 2, nz, nx),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # seg_starts
+            pl.BlockSpec((None, None, seg, 2, nx),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # rec rows
+            pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),            # illum
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nseg, 2, nz, nx), jnp.float32),
+            jax.ShapeDtypeStruct((B, nseg, seg, 2, nx), jnp.float32),
+            jax.ShapeDtypeStruct((B, nz, nx), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32),    # u
+                        pltpu.VMEM((nz, nx), jnp.float32)],   # up
+        interpret=interpret,
+    )(wav_pad, m, hd, inj)
+    return rec_rows, seg_starts, illum
+
+
+# ---------------------------------------------------------------------------
+# reverse sweep: segment-recompute gradient
+# ---------------------------------------------------------------------------
+
+def _grad_kernel(wav_ref, m_ref, hd_ref, inj_ref, seg_ref, res_ref,
+                 grad_ref, dt2_ref, v_ref, vn_ref, u_ref, up_ref, *,
+                 seg, nsteps, nx, nz, w, inv_h2x, inv_h2z, z0, neg_inv_s2):
+    """One (shot b, reversed-segment j) grid step of the checkpointed
+    gradient: recompute the forward segment from its stored start pair
+    while writing the second time derivative history into VMEM, then run
+    the adjoint field backward through the segment accumulating
+    ``(u.dt2-unscaled) * v`` into the revisited per-shot output block.
+    The adjoint carries (v, vn) persist in scratch across the sequential
+    segment grid steps; the final grid step applies the ``-1/s^2`` scale.
+
+    Fields are laid out TRANSPOSED, (nz, nx): the receiver z-planes then
+    live on two adjacent sublane rows, so residual injection is a plain
+    (2, nx) row-slice add (Mosaic has no scatter-add), and the per-plane
+    padding of the VMEM history buffer stays small.
+
+    Matches ``ops.acoustic.gradient_from_ckpt`` numerics exactly
+    (same update formula, same t = 1..nt-2 bounds, same injection
+    ordering; the only re-association is deferring the -1/s^2 factor to
+    one final scale). Reference semantics:
+    ``seismic/acoustic/operators.py:183-225``."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    nseg = pl.num_programs(1)
+    k = nseg - 1 - j          # actual segment (reverse order)
+    base = k * seg
+
+    r = len(w) - 1
+    m = m_ref[:]
+    hd = hd_ref[:]
+    denom = 1.0 / (m + hd)
+    two_m_hd = 2.0 * m + hd
+    inj = inj_ref[:]
+    def lap(u):
+        # transposed layout: axis 0 = z (sublanes), axis 1 = x (lanes).
+        # (A z-halo-buffer variant with sublane slice reads crashes the
+        # Mosaic remote compiler on unaligned sublane offsets; the
+        # zero-fill concatenates below are the proven lowering.)
+        acc = (w[0] * (inv_h2x + inv_h2z)) * u
+        for kk in range(1, r + 1):
+            zz = jnp.zeros((kk, nx), jnp.float32)
+            acc += (w[kk] * inv_h2z) * jnp.concatenate([u[kk:, :], zz], 0)
+            acc += (w[kk] * inv_h2z) * jnp.concatenate([zz, u[:-kk, :]], 0)
+            zx = jnp.zeros((nz, kk), jnp.float32)
+            acc += (w[kk] * inv_h2x) * jnp.concatenate([u[:, kk:], zx], 1)
+            acc += (w[kk] * inv_h2x) * jnp.concatenate([zx, u[:, :-kk]], 1)
+        return acc
+
+    @pl.when(j == 0)
+    def _():
+        v_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+        vn_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+        grad_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    # ---- forward recompute through segment k, storing u.dt2 * s^2
+    u_ref[:] = seg_ref[0]      # u[base+1]
+    up_ref[:] = seg_ref[1]     # u[base]
+
+    def fwd_body(i, _):
+        u = u_ref[:]
+        up = up_ref[:]
+        un = (lap(u) + two_m_hd * u - m * up) * denom \
+            + wav_ref[base + i] * inj
+        dt2_ref[i] = un - 2.0 * u + up
+        u_ref[:] = un
+        up_ref[:] = u
+        return 0
+
+    jax.lax.fori_loop(0, seg, fwd_body, 0)
+
+    # ---- adjoint sweep: local steps jj = seg-1 .. 0 (t = base+jj+1)
+    def rev_body(i, _):
+        jj = seg - 1 - i
+
+        @pl.when(base + jj < nsteps)
+        def _():
+            v = v_ref[:]
+            grad_ref[:] = grad_ref[:] + dt2_ref[jj] * v
+            v_ref[:] = (lap(v) + two_m_hd * v - m * vn_ref[:]) * denom
+            # residual injection on the two receiver z-plane rows
+            # (weights, s^2/m folded in on the host side)
+            v_ref[z0:z0 + 2, :] = v_ref[z0:z0 + 2, :] + res_ref[jj]
+            vn_ref[:] = v
+        return 0
+
+    jax.lax.fori_loop(0, seg, rev_body, 0)
+
+    @pl.when(j == nseg - 1)
+    def _():
+        grad_ref[:] = grad_ref[:] * neg_inv_s2
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "n_checkpoints",
+                                   "interpret", "dt"))
+def gradient_segments(m, hd, wav_pad, inj, seg_starts, res_rows, dt, *, nt,
+                      nx, nz, space_order, spacing, z0, n_checkpoints,
+                      interpret=False):
+    """VMEM-resident reverse-sweep gradient for a batch of shots.
+
+    All field operands are TRANSPOSED, (nz, nx): m, hd (nz, nx); wav_pad
+    (total,) source wavelet rows src_wav[1:nt-1] zero-padded to nseg*seg;
+    inj (B, nz, nx) dense per-shot source pattern (w*dt^2/m); seg_starts
+    (B, nseg, 2, nz, nx) from the forward sweep; res_rows
+    (B, nseg, seg, 2, nx) receiver-residual rows with rec_w*s^2/m folded
+    in. Returns grad (B, nz, nx) = sum_t -u.dt2[t]*v[t].
+    """
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+    from .acoustic import _ckpt_layout
+
+    w = tuple(float(v) for v in
+              np.asarray(second_derivative_weights(space_order)
+                         [space_order // 2:]))
+    r = len(w) - 1
+    s2 = float(dt) ** 2
+    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
+    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    B = inj.shape[0]
+
+    kern = partial(_grad_kernel, seg=seg, nsteps=nsteps, nx=nx, nz=nz, w=w,
+                   inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0,
+                   neg_inv_s2=-1.0 / s2)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # wav_pad
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # hd
+            pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),            # inj
+            pl.BlockSpec((None, None, 2, nz, nx),
+                         lambda b, j: (b, nseg - 1 - j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # seg_starts
+            pl.BlockSpec((None, None, seg, 2, nx),
+                         lambda b, j: (b, nseg - 1 - j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # res_rows
+        ],
+        out_specs=pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nz, nx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((seg, nz, nx), jnp.float32),  # dt2
+                        pltpu.VMEM((nz, nx), jnp.float32),       # v
+                        pltpu.VMEM((nz, nx), jnp.float32),       # vn
+                        pltpu.VMEM((nz, nx), jnp.float32),       # u
+                        pltpu.VMEM((nz, nx), jnp.float32)],      # up
+        interpret=interpret,
+    )(wav_pad, m, hd, inj, seg_starts, res_rows)
+    return out
+
+
+def _residual_rows(res_stack, r_idx, r_w, m_pad, s2, z0, nsteps, seg, nseg):
+    """Fold the receiver interpolation weights and s^2/m into dense
+    two-z-plane rows: (B, nseg, seg, 2, nx) — matching the transposed
+    (nz, nx) field layout, where the planes are two sublane rows."""
+    B = res_stack.shape[0]
+    nx = m_pad.shape[0]
+    total = nseg * seg
+    r_idx_n = np.asarray(r_idx)
+    xi = jnp.asarray(r_idx_n[..., 0])          # (nrec, 4)
+    plane = jnp.asarray((r_idx_n[..., 1] != z0).astype(np.int32))
+    scale = r_w * s2 / jnp.asarray(
+        np.asarray(m_pad)[r_idx_n[..., 0], r_idx_n[..., 1]])
+
+    res_pad = jnp.zeros((B, total, res_stack.shape[2]), res_stack.dtype)
+    res_pad = res_pad.at[:, :nsteps].set(res_stack[:, 1:nsteps + 1])
+    rows = jnp.zeros((B, total, 2, nx), jnp.float32)
+    vals = res_pad[:, :, :, None] * scale[None, None]     # (B,total,nrec,4)
+    rows = rows.at[:, :, plane, xi].add(vals)
+    return rows.reshape(B, nseg, seg, 2, nx)
+
+
+def gradient_from_ckpt_pallas(vp, damp, src_wav, s_idx, s_w, seg_starts,
+                              res_stack, r_idx, r_w, dt, *, nt, spacing,
+                              space_order, n_checkpoints, interpret=False):
+    """Batch gradient through the Pallas reverse kernel with the same call
+    shape as a vmapped ``ops.acoustic.gradient_from_ckpt``. seg_starts is
+    the stacked (B, nseg, 2, nx, nz) forward checkpoint output; res_stack
+    is (B, nt, nrec). Requires the fast-path geometry (2-D, OT2, no free
+    surface, receivers on two z-planes)."""
+    from .acoustic import _ckpt_layout
+
+    dt = float(dt)
+    nx, nz = vp.shape
+    m_pad = 1.0 / (np.asarray(vp, np.float32) ** 2)
+    hd = (dt * np.asarray(damp, np.float32)) if np.ndim(damp) else \
+        np.zeros((nx, nz), np.float32)
+    s2 = dt * dt
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+
+    B = res_stack.shape[0]
+    s_idx_n = np.asarray(s_idx)
+    s_w_n = np.asarray(s_w)
+    inj = np.zeros((B, nx, nz), np.float32)
+    for b in range(B):
+        for c in range(s_idx_n.shape[2]):
+            xi, zi = s_idx_n[b, 0, c]
+            inj[b, xi, zi] += s_w_n[b, 0, c] * s2 / m_pad[xi, zi]
+
+    r_idx_n = np.asarray(r_idx)
+    z0 = int(r_idx_n[..., 1].min())
+    rows = _residual_rows(jnp.asarray(res_stack), r_idx, jnp.asarray(r_w),
+                          m_pad, s2, z0, nsteps, seg, nseg)
+    total = nseg * seg
+    wav_pad = np.zeros((total,), np.float32)
+    wav_pad[:nsteps] = np.asarray(src_wav)[1:nt - 1, 0]
+    # the kernel works in transposed (nz, nx) layout (see _grad_kernel);
+    # XLA fuses these swaps into the surrounding program
+    grad_t = gradient_segments(
+        jnp.asarray(m_pad.T), jnp.asarray(hd.T), jnp.asarray(wav_pad),
+        jnp.swapaxes(jnp.asarray(inj), -1, -2),
+        jnp.swapaxes(seg_starts, -1, -2), rows, dt, nt=nt, nx=nx, nz=nz,
+        space_order=space_order, spacing=spacing, z0=z0,
+        n_checkpoints=n_checkpoints, interpret=interpret)
+    return jnp.swapaxes(grad_t, -1, -2)
+
+
+def pick_n_checkpoints(nt, nx, nz, n_min=4):
+    """Checkpoint count for the segment kernels such that the per-segment
+    d2u/dt2 VMEM history fits: seg * tile-padded-field + ~14 resident
+    fields <= ~15 MB (v5e scoped VMEM limit is 16 MB). Returns None when
+    even a 4-step segment cannot fit (fall back to the XLA path)."""
+    pz = -(-nz // 8) * 8          # sublane padding (transposed layout)
+    px = -(-nx // 128) * 128      # lane padding
+    field_bytes = pz * px * 4
+    budget = 15 * 2 ** 20 - 14 * field_bytes
+    seg_max = budget // field_bytes
+    if seg_max < n_min:
+        return None
+    nsteps = nt - 2
+    return max(int(-(-nsteps // seg_max)), 1)
 
 
 def geometry_supported(geometry):
