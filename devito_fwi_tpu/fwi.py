@@ -150,32 +150,32 @@ def fm_multi(geometry, save=False):
     wavefield (``fwi.py:77-79`` keeps only ``fm_single(...)[0]``), so the
     flag only ever toggled devito's internal buffering.
 
-    Set DEVITO_FWI_TPU_PALLAS=1 to route supported geometries through the
-    Pallas VMEM-resident kernel (~1.2x faster steady state, ~7 min Mosaic
-    compile — see ops/pallas_acoustic.py)."""
+    On TPU, supported geometries route through the Pallas VMEM-resident
+    segment kernel by default (DEVITO_FWI_TPU_PALLAS=0 opts out)."""
     model = geometry.model
-    if not save and os.environ.get("DEVITO_FWI_TPU_PALLAS") == "1":
-        from .ops import pallas_acoustic as _pa
-        if _pa.available() and _pa.geometry_supported(geometry):
-            rec_all = _pa.forward_traces(geometry)
-            shots = []
-            for i in range(geometry.nsrc):
-                shot = PointSource(name="rec", time_range=geometry.time_axis,
-                                   coordinates=geometry.rec_positions,
-                                   dtype=model.dtype)
-                shot.data[:] = rec_all[i]
-                shots.append(shot)
-            return shots
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
     damp = model.damp if isinstance(model.damp, np.ndarray) \
         else model.dtype(0.0)
     vp = jnp.asarray(model.vp)
     dt = _solver_dt(geometry)
-    rec_all = np.asarray(_fm_batch(
-        vp, damp, jnp.asarray(src_wav), jnp.asarray(s_idx),
-        jnp.asarray(s_w), jnp.asarray(r_idx), jnp.asarray(r_w), dt,
-        nt=geometry.nt, spacing=model.spacing,
-        space_order=model.space_order, kernel="OT2", fs=model.fs))
+    z0 = _pallas_z0(geometry)
+    if z0 is not None:
+        from .ops.pallas_acoustic import pick_n_checkpoints
+        nck = pick_n_checkpoints(geometry.nt, *model.padded_shape)
+    if z0 is not None and nck is not None:
+        rec_all = np.asarray(_fm_batch_pallas(
+            vp, jnp.asarray(damp), jnp.asarray(src_wav),
+            jnp.asarray(s_idx), jnp.asarray(s_w), jnp.asarray(r_idx),
+            jnp.asarray(r_w), float(dt), nt=geometry.nt,
+            spacing=model.spacing, space_order=model.space_order,
+            n_checkpoints=max(nck, _default_checkpoints(geometry.nt)),
+            z0=z0))
+    else:
+        rec_all = np.asarray(_fm_batch(
+            vp, damp, jnp.asarray(src_wav), jnp.asarray(s_idx),
+            jnp.asarray(s_w), jnp.asarray(r_idx), jnp.asarray(r_w), dt,
+            nt=geometry.nt, spacing=model.spacing,
+            space_order=model.space_order, kernel="OT2", fs=model.fs))
     shots = []
     for i in range(geometry.nsrc):
         shot = PointSource(name="rec", time_range=geometry.time_axis,
@@ -357,19 +357,11 @@ def _pallas_z0(geometry):
     return int(np.asarray(r_idx)[..., 1].min())
 
 
-@partial(jax.jit, static_argnames=("misfit_jax", "calc_grad", "nt",
-                                   "spacing", "space_order", "nbl", "shape",
-                                   "n_checkpoints", "z0", "dt"))
-def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
-                        src_pos, rec_positions, dt, *, misfit_jax,
-                        calc_grad, nt, spacing, space_order, nbl, shape,
-                        n_checkpoints, z0):
-    """All-shot fused objective on the Pallas VMEM-resident kernels:
-    segment-checkpointed forward (receiver rows + seg starts + illum in
-    one sweep), traceable misfit, then the reverse-sweep gradient kernel.
-    Same outputs as ``_shots_fused``; measured ~2x the XLA scan path on
-    the Marmousi bench (the reverse sweep keeps the recomputed d2u/dt2
-    history in VMEM instead of round-tripping HBM)."""
+def _pallas_fwd(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
+                spacing, space_order, n_checkpoints, z0):
+    """Traced helper: checkpointed Pallas forward in transposed layout +
+    receiver-row -> trace assembly. Returns (rec, segT, illumT, mT, hdT,
+    injT, wav_pad) for reuse by the reverse sweep."""
     from .ops import pallas_acoustic as _pa
     from .ops.acoustic import _ckpt_layout
 
@@ -403,6 +395,49 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
     tr = jnp.sum(rows[:, :, rplane, rxi] * r_w[None, None], axis=-1)
     rec = jnp.zeros((B, nt, nrec), vp.dtype).at[:, 1:nsteps + 1].set(tr)
+    return rec, segT, illumT, mT, hdT, injT, wav_pad
+
+
+@partial(jax.jit, static_argnames=("nt", "spacing", "space_order",
+                                   "n_checkpoints", "z0", "dt"))
+def _fm_batch_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
+                     spacing, space_order, n_checkpoints, z0):
+    rec, *_ = _pallas_fwd(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt,
+                          nt=nt, spacing=spacing, space_order=space_order,
+                          n_checkpoints=n_checkpoints, z0=z0)
+    return rec
+
+
+@partial(jax.jit, static_argnames=("misfit_jax", "calc_grad", "nt",
+                                   "spacing", "space_order", "nbl", "shape",
+                                   "n_checkpoints", "z0", "dt"))
+def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
+                        src_pos, rec_positions, dt, *, misfit_jax,
+                        calc_grad, nt, spacing, space_order, nbl, shape,
+                        n_checkpoints, z0):
+    """All-shot fused objective on the Pallas VMEM-resident kernels:
+    segment-checkpointed forward (receiver rows + seg starts + illum in
+    one sweep), traceable misfit, then the reverse-sweep gradient kernel.
+    Same outputs as ``_shots_fused``; measured ~2x the XLA scan path on
+    the Marmousi bench (the reverse sweep keeps the recomputed d2u/dt2
+    history in VMEM instead of round-tripping HBM)."""
+    from .ops import pallas_acoustic as _pa
+    from .ops.acoustic import _ckpt_layout
+
+    nx, nz = vp.shape
+    m = 1.0 / (vp * vp)
+    s2 = dt * dt
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    total = nseg * seg
+    B = s_idx.shape[0]
+    nrec = r_idx.shape[0]
+    rxi = r_idx[:, :, 0]
+    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
+
+    rec, segT, illumT, mT, hdT, injT, wav_pad = _pallas_fwd(
+        vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, nt=nt,
+        spacing=spacing, space_order=space_order,
+        n_checkpoints=n_checkpoints, z0=z0)
 
     syn = rec - dw
     obs_c = obs - dw
