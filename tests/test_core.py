@@ -176,3 +176,24 @@ def test_wavelet_sources():
         fpk = fr[np.argmax(sp)]
         assert 0.002 < fpk < 0.05
     assert set(sources) >= {"Ricker", "Gabor"}
+
+
+def test_nmo_correction_flattens_hyperbola():
+    """NMO correction (reference tutorials/10_nmo_correction.ipynb):
+    a hyperbolic event at t0 with the true velocity flattens to t0."""
+    from devito_fwi_tpu.utils.nmo import nmo_correction
+    nt, dt, ntr = 800, 0.004, 40
+    offsets = np.linspace(0.0, 2000.0, ntr)
+    t = np.arange(nt) * dt
+    t0, v = 0.9, 2200.0
+    gather = np.zeros((nt, ntr), np.float32)
+    for j, x in enumerate(offsets):
+        tx = np.sqrt(t0 ** 2 + (x / v) ** 2)
+        a = (np.pi * 20.0 * (t - tx)) ** 2
+        gather[:, j] = (1 - 2 * a) * np.exp(-a)
+    out = nmo_correction(gather, dt, offsets, np.full(nt, v))
+    peaks = np.argmax(out, axis=0)
+    assert np.ptp(peaks) <= 1
+    assert abs(int(peaks[0]) - int(round(t0 / dt))) <= 1
+    # far-offset samples beyond the trace end are muted, not wrapped
+    assert np.all(out[-1, -5:] == 0.0)
