@@ -495,12 +495,18 @@ def pick_n_checkpoints(nt, nx, nz, n_min=4):
     pz = -(-nz // 8) * 8          # sublane padding (transposed layout)
     px = -(-nx // 128) * 128      # lane padding
     field_bytes = pz * px * 4
-    budget = 15 * 2 ** 20 - 14 * field_bytes
+    # measured on v5e: the reverse kernel's non-history VMEM footprint is
+    # ~16 field-equivalents (carries, params, double-buffered blocks)
+    budget = 15 * 2 ** 20 - 16 * field_bytes
     seg_max = budget // field_bytes
     if seg_max < n_min:
         return None
+    # shorter segments pipeline better (measured on the Marmousi bench:
+    # seg 37 -> 0.282 s reverse, seg 17 -> 0.240 s); target ~16 steps
+    # unless VMEM forces fewer
+    seg = min(seg_max, 24)
     nsteps = nt - 2
-    return max(int(-(-nsteps // seg_max)), 1)
+    return max(int(-(-nsteps // seg)), 1)
 
 
 def geometry_supported(geometry):

@@ -78,7 +78,12 @@ def test_bfm_translation_cost():
     f = np.exp(-((X - 0.35) ** 2 + (Y - 0.5) ** 2) / 0.005).astype(np.float64)
     g = np.exp(-((X - 0.35 - delta) ** 2 + (Y - 0.5) ** 2) / 0.005).astype(np.float64)
     loss, grad = bfm_jax(f, g, num_steps=30, step_scale=1.0)
-    assert loss == pytest.approx(0.5 * delta ** 2, rel=0.15)
+    # converged BFM is within 1.9% of the analytic cost (the residual is
+    # pure discretization: the blob has finite width; running 100+ steps
+    # moves the value by <0.3%)
+    assert loss == pytest.approx(0.5 * delta ** 2, rel=0.03)
+    loss_conv, _ = bfm_jax(f, g, num_steps=100, step_scale=1.0)
+    assert loss == pytest.approx(loss_conv, rel=5e-3)
     # gradient must push f toward g: descent reduces the distance
     eps = 0.02 / np.abs(np.asarray(grad)).max()
     loss2, _ = bfm_jax(f - eps * np.asarray(grad) * f.mean(), g,
