@@ -8,8 +8,10 @@
 // density pushforward with cell supersampling, and adaptive step control.
 //
 // Differences from the reference C (by design, not translation):
-//   * DCT-II/III are orthonormal matrix transforms (two GEMM-like passes,
-//     OpenMP-parallel) instead of FFTW plans — no external dependency;
+//   * DCT-II/III are orthonormal FFT-based transforms (radix-2 +
+//     Bluestein for arbitrary lengths, OpenMP-parallel over lines) with
+//     no external dependency — O(n log n) per line where the reference
+//     links FFTW;
 //   * the Legendre transform uses an O(n) monotone convex-hull sweep;
 //   * the ABI is a shared library with a C API (ctypes-friendly) rather
 //     than a file-driven subprocess binary; the `ctransform` and
@@ -19,6 +21,7 @@
 // Build: make -C native   (g++ -O3 -fopenmp -shared -fPIC)
 
 #include <cmath>
+#include <complex>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -30,69 +33,230 @@
 namespace {
 
 using std::vector;
+using cd = std::complex<double>;
 
 // ---------------------------------------------------------------------------
-// Orthonormal DCT-II / DCT-III via precomputed cosine matrices.
-// X = C x with C[k][i] = s_k cos(pi (i+.5) k / n), s_0 = sqrt(1/n),
-// s_k = sqrt(2/n); the inverse (DCT-III) is C^T.
+// FFT engine: iterative radix-2 for power-of-two sizes, Bluestein chirp-z
+// for arbitrary sizes. Used to evaluate the orthonormal DCT-II / DCT-III
+//   X[k] = s_k sum_i x[i] cos(pi (i+.5) k / n),  s_0 = sqrt(1/n),
+//   s_k = sqrt(2/n)  (inverse = transpose)
+// through a length-2n DFT:
+//   DCT2:  X[k] = s_k Re( e^{-i pi k/(2n)} DFT_{2n}(x padded)[k] )
+//   DCT3:  y[i] = Re( conj(DFT_{2n}(conj(d)))[i] ),
+//          d[k] = s_k X[k] e^{+i pi k/(2n)}, zero-padded
 // ---------------------------------------------------------------------------
+
+struct Cfft {                       // power-of-two, in-place, decimation
+  int m = 0;
+  vector<int> rev;
+  vector<cd> tw;                    // twiddles e^{-2 pi i j / len} per stage
+
+  void init(int m_) {
+    m = m_;
+    rev.assign(m, 0);
+    int logm = 0;
+    while ((1 << logm) < m) ++logm;
+    for (int i = 0; i < m; ++i) {
+      int r = 0;
+      for (int b = 0; b < logm; ++b)
+        if (i & (1 << b)) r |= 1 << (logm - 1 - b);
+      rev[i] = r;
+    }
+    tw.assign(m, cd(0, 0));         // stage twiddles packed: tw[len/2 + j]
+    for (int len = 2; len <= m; len <<= 1)
+      for (int j = 0; j < len / 2; ++j)
+        tw[len / 2 + j] = std::polar(1.0, -2.0 * M_PI * j / len);
+  }
+
+  void fwd(cd* a) const {           // e^{-i ...} convention
+    for (int i = 0; i < m; ++i)
+      if (rev[i] > i) std::swap(a[i], a[rev[i]]);
+    for (int len = 2; len <= m; len <<= 1) {
+      const cd* w = tw.data() + len / 2;
+      for (int s = 0; s < m; s += len)
+        for (int j = 0; j < len / 2; ++j) {
+          cd u = a[s + j];
+          cd v = a[s + j + len / 2] * w[j];
+          a[s + j] = u + v;
+          a[s + j + len / 2] = u - v;
+        }
+    }
+  }
+
+  void inv_unscaled(cd* a) const {  // conj-trick inverse, no 1/m scale
+    for (int i = 0; i < m; ++i) a[i] = std::conj(a[i]);
+    fwd(a);
+    for (int i = 0; i < m; ++i) a[i] = std::conj(a[i]);
+  }
+};
+
+// DFT of arbitrary length L (only the first `nkeep` outputs are used).
+struct DftPlan {
+  int L = 0, M = 0;
+  bool pow2 = false;
+  Cfft fft;                         // size L (pow2) or M (Bluestein)
+  vector<cd> chirp;                 // w_j = e^{-i pi j^2 / L}, j < L
+  vector<cd> Bf;                    // FFT_M(b), b = circular conj chirp
+
+  void init(int L_) {
+    L = L_;
+    pow2 = (L & (L - 1)) == 0;
+    if (pow2) {
+      fft.init(L);
+      return;
+    }
+    M = 1;
+    while (M < 2 * L - 1) M <<= 1;
+    fft.init(M);
+    chirp.assign(L, cd(0, 0));
+    for (int j = 0; j < L; ++j) {
+      // j^2 mod 2L keeps the phase argument small
+      long long q = (long long)j * j % (2LL * L);
+      chirp[j] = std::polar(1.0, -M_PI * (double)q / L);
+    }
+    vector<cd> b(M, cd(0, 0));
+    b[0] = std::conj(chirp[0]);
+    for (int j = 1; j < L; ++j) {
+      b[j] = std::conj(chirp[j]);
+      b[M - j] = b[j];
+    }
+    fft.fwd(b.data());
+    Bf = std::move(b);
+  }
+
+  size_t scratch_size() const { return pow2 ? (size_t)L : (size_t)M; }
+
+  // in: L complex values (caller zero-pads); out: first nkeep bins.
+  void run(cd* buf, cd* out, int nkeep) const {
+    if (pow2) {
+      fft.fwd(buf);
+      std::memcpy(out, buf, sizeof(cd) * nkeep);
+      return;
+    }
+    for (int j = 0; j < L; ++j) buf[j] *= chirp[j];
+    std::memset(buf + L, 0, sizeof(cd) * (M - L));
+    fft.fwd(buf);
+    for (int j = 0; j < M; ++j) buf[j] *= Bf[j];
+    fft.inv_unscaled(buf);
+    double inv_m = 1.0 / M;
+    for (int k = 0; k < nkeep; ++k) out[k] = buf[k] * chirp[k] * inv_m;
+  }
+};
+
+struct DctAxis {                    // orthonormal DCT-II/III along length n
+  // Makhoul even/odd packing: a real length-n DCT runs through ONE
+  // length-n complex DFT. Forward: v[j] = x[2j], v[n-1-j] = x[2j+1],
+  // V = DFT_n(v), c[k] = s_k Re(e^{-i pi k/(2n)} V[k]). Inverse (DCT-III
+  // = transpose): yhat[k] = c[k]/s_k, V[0] = yhat[0],
+  // V[k] = e^{+i pi k/(2n)} (yhat[k] - i yhat[n-k]), v = IDFT_n(V),
+  // unpack. (V is Hermitian by construction, so v comes out real.)
+  int n = 0;
+  DftPlan dft;                      // length n
+  vector<cd> e_fwd;                 // s_k e^{-i pi k / (2n)}
+  vector<cd> e_inv;                 // e^{+i pi k / (2n)} (pure phase)
+  vector<double> inv_s;             // 1 / s_k
+
+  void init(int n_) {
+    n = n_;
+    dft.init(n);
+    e_fwd.assign(n, cd(0, 0));
+    e_inv.assign(n, cd(0, 0));
+    inv_s.assign(n, 0.0);
+    for (int k = 0; k < n; ++k) {
+      double s = std::sqrt((k == 0 ? 1.0 : 2.0) / n);
+      e_fwd[k] = std::polar(s, -M_PI * k / (2.0 * n));
+      e_inv[k] = std::polar(1.0, +M_PI * k / (2.0 * n));
+      inv_s[k] = 1.0 / s;
+    }
+  }
+
+  size_t scratch_size() const { return dft.scratch_size() + (size_t)n; }
+
+  void dct2(const double* x, double* y, cd* scratch) const {
+    cd* buf = scratch;
+    cd* out = scratch + dft.scratch_size();
+    int half = (n + 1) / 2;
+    for (int j = 0; j < half; ++j) buf[j] = cd(x[2 * j], 0.0);
+    for (int j = 0; j < n / 2; ++j) buf[n - 1 - j] = cd(x[2 * j + 1], 0.0);
+    dft.run(buf, out, n);
+    for (int k = 0; k < n; ++k)
+      y[k] = (e_fwd[k] * out[k]).real();
+  }
+
+  void dct3(const double* c, double* y, cd* scratch) const {
+    cd* buf = scratch;
+    cd* out = scratch + dft.scratch_size();
+    // build V (Hermitian), then v = IDFT_n(V) via conj(DFT_n(conj(V)))/n
+    buf[0] = cd(c[0] * inv_s[0], 0.0);
+    for (int k = 1; k < n; ++k)
+      buf[k] = e_inv[k] * cd(c[k] * inv_s[k], -c[n - k] * inv_s[n - k]);
+    for (int k = 0; k < n; ++k) buf[k] = std::conj(buf[k]);
+    dft.run(buf, out, n);
+    double inv_n = 1.0 / n;
+    int half = (n + 1) / 2;
+    for (int j = 0; j < half; ++j)
+      y[2 * j] = out[j].real() * inv_n;
+    for (int j = 0; j < n / 2; ++j)
+      y[2 * j + 1] = out[n - 1 - j].real() * inv_n;
+  }
+};
 
 struct DctPlan {
-  int n1 = 0, n2 = 0;           // row length (fast axis), number of rows
-  vector<double> c1, c2;        // (n1*n1), (n2*n2) cosine matrices
-  vector<double> tmp;           // (n2*n1) scratch
+  int n1 = 0, n2 = 0;               // row length (fast axis), rows
+  DctAxis ax1, ax2;
+  vector<double> tmp;               // (n2*n1) scratch
+  vector<double> col;               // per-thread column gather scratch
 
   void init(int n1_, int n2_) {
     n1 = n1_;
     n2 = n2_;
-    c1.assign((size_t)n1 * n1, 0.0);
-    c2.assign((size_t)n2 * n2, 0.0);
+    ax1.init(n1);
+    ax2.init(n2);
     tmp.assign((size_t)n1 * n2, 0.0);
-    for (int k = 0; k < n1; ++k) {
-      double s = std::sqrt((k == 0 ? 1.0 : 2.0) / n1);
-      for (int i = 0; i < n1; ++i)
-        c1[(size_t)k * n1 + i] = s * std::cos(M_PI * (i + 0.5) * k / n1);
-    }
-    for (int k = 0; k < n2; ++k) {
-      double s = std::sqrt((k == 0 ? 1.0 : 2.0) / n2);
-      for (int i = 0; i < n2; ++i)
-        c2[(size_t)k * n2 + i] = s * std::cos(M_PI * (i + 0.5) * k / n2);
-    }
   }
 
-  // out[k2][k1] = sum_{i2,i1} C2[k2][i2] C1[k1][i1] in[i2][i1]
-  // (or the transposed matrices for the inverse).
+  // out = (C2 (x) C1) in  (forward, DCT-II) or transposes (inverse).
   void apply(const double* in, double* out, bool inverse) {
-    const double* m1 = c1.data();
-    // rows: tmp[i2][k1] = sum_i1 M1[k1][i1] in[i2][i1]
+#ifdef _OPENMP
+    int nthreads = omp_get_max_threads();
+#else
+    int nthreads = 1;
+#endif
+    size_t sc1 = ax1.scratch_size(), sc2 = ax2.scratch_size();
+    size_t scn = (sc1 > sc2 ? sc1 : sc2);
+    vector<cd> scratch((size_t)nthreads * scn);
+    vector<double> cols((size_t)nthreads * 2 * n2);
+
+    // rows (contiguous)
 #pragma omp parallel for schedule(static)
     for (int i2 = 0; i2 < n2; ++i2) {
+#ifdef _OPENMP
+      cd* sc = scratch.data() + (size_t)omp_get_thread_num() * scn;
+#else
+      cd* sc = scratch.data();
+#endif
       const double* row = in + (size_t)i2 * n1;
       double* trow = tmp.data() + (size_t)i2 * n1;
-      for (int k1 = 0; k1 < n1; ++k1) {
-        double acc = 0.0;
-        const double* mrow = m1 + (size_t)k1 * n1;
-        if (!inverse) {
-          for (int i1 = 0; i1 < n1; ++i1) acc += mrow[i1] * row[i1];
-        } else {
-          for (int i1 = 0; i1 < n1; ++i1)
-            acc += m1[(size_t)i1 * n1 + k1] * row[i1];
-        }
-        trow[k1] = acc;
-      }
+      if (!inverse) ax1.dct2(row, trow, sc);
+      else ax1.dct3(row, trow, sc);
     }
-    // cols: out[k2][k1] = sum_i2 M2[k2][i2] tmp[i2][k1]
+    // columns (gather/scatter through a contiguous buffer)
 #pragma omp parallel for schedule(static)
-    for (int k2 = 0; k2 < n2; ++k2) {
-      double* orow = out + (size_t)k2 * n1;
-      for (int k1 = 0; k1 < n1; ++k1) orow[k1] = 0.0;
-      for (int i2 = 0; i2 < n2; ++i2) {
-        double w = inverse ? c2[(size_t)i2 * n2 + k2]
-                           : c2[(size_t)k2 * n2 + i2];
-        if (w == 0.0) continue;
-        const double* trow = tmp.data() + (size_t)i2 * n1;
-        for (int k1 = 0; k1 < n1; ++k1) orow[k1] += w * trow[k1];
-      }
+    for (int k1 = 0; k1 < n1; ++k1) {
+#ifdef _OPENMP
+      int tid = omp_get_thread_num();
+#else
+      int tid = 0;
+#endif
+      cd* sc = scratch.data() + (size_t)tid * scn;
+      double* cbuf = cols.data() + (size_t)tid * 2 * n2;
+      double* cout = cbuf + n2;
+      for (int i2 = 0; i2 < n2; ++i2)
+        cbuf[i2] = tmp[(size_t)i2 * n1 + k1];
+      if (!inverse) ax2.dct2(cbuf, cout, sc);
+      else ax2.dct3(cbuf, cout, sc);
+      for (int k2 = 0; k2 < n2; ++k2)
+        out[(size_t)k2 * n1 + k1] = cout[k2];
     }
   }
 };
