@@ -337,7 +337,10 @@ def _grad_kernel(wav_ref, m_ref, hd_ref, inj_ref, seg_ref, res_ref,
 
     jax.lax.fori_loop(0, seg, fwd_body, 0)
 
-    # ---- adjoint sweep: local steps jj = seg-1 .. 0 (t = base+jj+1)
+    # ---- adjoint sweep: local steps jj = seg-1 .. 0 (t = base+jj+1).
+    # (A 2-step-unrolled variant with value-chained carries showed no win
+    # within the chip's ~20% run-to-run noise — Mosaic already renames
+    # the carry shuffle, so the extra body size buys nothing.)
     def rev_body(i, _):
         jj = seg - 1 - i
 

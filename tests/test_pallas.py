@@ -42,6 +42,73 @@ def test_pallas_forward_matches_xla_interpret(monkeypatch):
 
 
 @pytest.mark.skipif(not pa.available(), reason="pallas unavailable")
+def test_pallas_forward_ckpt_matches_xla_interpret():
+    """Segment-grid checkpointed forward kernel == XLA forward_ckpt
+    (receiver rows -> traces, segment starts, illumination)."""
+    import jax
+    import jax.numpy as jnp
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu.fwi import _solver_dt
+    from devito_fwi_tpu.ops import acoustic as ac
+    from devito_fwi_tpu.ops.acoustic import _ckpt_layout
+
+    model = demo_model("circle-isotropic", vp_circle=3.0, vp_background=2.5,
+                       origin=(0., 0.), shape=(61, 61), spacing=(10., 10.),
+                       nbl=10, space_order=4)
+    nsrc, nrec = 2, 41
+    src = np.stack([np.linspace(0., 600., nsrc), np.full(nsrc, 20.)], 1)
+    rec = np.stack([np.linspace(0., 600., nrec), np.full(nrec, 20.)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 300., f0=0.010,
+                               src_type="Ricker")
+    s_idx, s_w, r_idx, r_w, wav = _batched_tables(geom)
+    dt, nt, nck = float(_solver_dt(geom)), geom.nt, 7
+    statics = dict(nt=nt, spacing=model.spacing, space_order=4,
+                   kernel="OT2", fs=False)
+    vp, damp = jnp.asarray(model.vp), jnp.asarray(model.damp)
+    recs, seg_ref, illum_ref = jax.vmap(
+        lambda a, b: ac.forward_ckpt(vp, damp, jnp.asarray(wav), a, b,
+                                     jnp.asarray(r_idx), jnp.asarray(r_w),
+                                     dt, n_checkpoints=nck, **statics))(
+        jnp.asarray(s_idx), jnp.asarray(s_w))
+
+    nsteps, seg, nseg = _ckpt_layout(nt, nck)
+    nx, nz = model.padded_shape
+    m_pad = 1.0 / (np.asarray(model.vp, np.float32) ** 2)
+    hd = dt * np.asarray(model.damp, np.float32)
+    s2 = dt * dt
+    s_idx_n, s_w_n = np.asarray(s_idx), np.asarray(s_w)
+    inj = np.zeros((nsrc, nx, nz), np.float32)
+    for b in range(nsrc):
+        for c in range(s_idx_n.shape[2]):
+            xi, zi = s_idx_n[b, 0, c]
+            inj[b, xi, zi] += s_w_n[b, 0, c] * s2 / m_pad[xi, zi]
+    r_idx_n = np.asarray(r_idx)
+    z0 = int(r_idx_n[..., 1].min())
+    wav_pad = np.zeros((nseg * seg,), np.float32)
+    wav_pad[:nsteps] = np.asarray(wav)[1:nt - 1, 0]
+    rec_rows, segT, illumT = pa.forward_ckpt_segments(
+        jnp.asarray(m_pad.T), jnp.asarray(hd.T), jnp.asarray(wav_pad),
+        jnp.swapaxes(jnp.asarray(inj), -1, -2), dt, nt=nt, nx=nx, nz=nz,
+        space_order=4, spacing=model.spacing, z0=z0, n_checkpoints=nck,
+        interpret=True)
+    seg_p = np.swapaxes(np.asarray(segT), -1, -2)
+    illum_p = np.swapaxes(np.asarray(illumT), -1, -2)
+    assert np.abs(seg_p - np.asarray(seg_ref)).max() < 1e-5 * \
+        max(np.abs(np.asarray(seg_ref)).max(), 1e-9)
+    assert np.abs(illum_p - np.asarray(illum_ref)).max() < 1e-4 * \
+        max(np.abs(np.asarray(illum_ref)).max(), 1e-9)
+    # receiver rows -> traces
+    rows = np.asarray(rec_rows).reshape(nsrc, nseg * seg, 2, nx)[:, :nsteps]
+    rxi = r_idx_n[:, :, 0]
+    rplane = (r_idx_n[:, :, 1] != z0).astype(np.int32)
+    tr = np.sum(rows[:, :, rplane, rxi] * np.asarray(r_w)[None, None], -1)
+    rec_p = np.zeros((nsrc, nt, nrec), np.float32)
+    rec_p[:, 1:nsteps + 1] = tr
+    scale = np.abs(np.asarray(recs)).max()
+    assert np.abs(rec_p - np.asarray(recs)).max() < 1e-5 * scale
+
+
+@pytest.mark.skipif(not pa.available(), reason="pallas unavailable")
 def test_pallas_gradient_matches_xla_interpret():
     """Reverse-sweep segment-recompute gradient kernel == XLA
     gradient_from_ckpt (interpret mode)."""
