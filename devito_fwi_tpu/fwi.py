@@ -129,6 +129,19 @@ def _solver_dt(geometry):
     return geometry.model.critical_dt
 
 
+def _pads(model):
+    """Hashable per-dimension padding, for jit-static physical-domain
+    crops (under a free surface the top of the z axis is unpadded —
+    ``model.padsizes`` — so a symmetric nbl crop would be wrong)."""
+    return tuple(tuple(p) for p in model.padsizes)
+
+
+def _crop(field, pads, shape):
+    """Crop a padded-grid field to the physical domain."""
+    slc = tuple(slice(lo, lo + n) for (lo, _), n in zip(pads, shape))
+    return field[slc]
+
+
 @partial(jax.jit, static_argnames=("nt", "spacing", "space_order", "kernel",
                                    "fs"))
 def _fm_batch(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt, spacing,
@@ -169,7 +182,7 @@ def fm_multi(geometry, save=False):
             jnp.asarray(r_w), float(dt), nt=geometry.nt,
             spacing=model.spacing, space_order=model.space_order,
             n_checkpoints=max(nck, _default_checkpoints(geometry.nt)),
-            z0=z0))
+            z0=z0, fs=model.fs))
     else:
         rec_all = np.asarray(_fm_batch(
             vp, damp, jnp.asarray(src_wav), jnp.asarray(s_idx),
@@ -279,18 +292,18 @@ def fwi_obj_single(geometry, obs, misfit_func, direct_wave=None,
     if calc_grad:
         grad, _ = solver.jacobian_adjoint(residual, wfd,
                                           vp=geometry.model.vp)
-        nbl = geometry.model.nbl
-        crop_grad = np.array(grad)[nbl:-nbl, nbl:-nbl]
+        pads, shp = _pads(geometry.model), geometry.model.shape
+        crop_grad = _crop(np.array(grad), pads, shp)
         crop_grad = fix_source_illumination(geometry, crop_grad)
-        illum = np.asarray(
-            (wfd.data * wfd.data).sum(axis=0))[nbl:-nbl, nbl:-nbl]
+        illum = _crop(np.asarray(
+            (wfd.data * wfd.data).sum(axis=0)), pads, shp)
         illum = fix_source_illumination(geometry, illum)
     return fval, crop_grad, residual.data, illum
 
 
 def _shot_body(vp, damp, src_wav, si, sw, r_idx, r_w, obs_i, dw_i, src_pos,
                rec_positions, dt, *, misfit_jax, calc_grad, nt, spacing,
-               space_order, kernel, fs, nbl, shape, n_checkpoints):
+               space_order, kernel, fs, pads, shape, n_checkpoints):
     """Single-shot objective body: forward + misfit (+ checkpointed adjoint
     gradient + illumination). Traced under a vmap over shots."""
     static = dict(nt=nt, spacing=spacing, space_order=space_order,
@@ -310,16 +323,16 @@ def _shot_body(vp, damp, src_wav, si, sw, r_idx, r_w, obs_i, dw_i, src_pos,
     grad, _ = _ac.gradient_from_ckpt(vp, damp, src_wav, si, sw, seg_starts,
                                      res, r_idx, r_w, dt,
                                      n_checkpoints=n_checkpoints, **static)
-    crop = grad[nbl:-nbl, nbl:-nbl]
+    crop = _crop(grad, pads, shape)
     crop = _fix_illum_jax(crop, src_pos, rec_positions, spacing, shape)
-    illum = illum_pad[nbl:-nbl, nbl:-nbl]
+    illum = _crop(illum_pad, pads, shape)
     illum = _fix_illum_jax(illum, src_pos, rec_positions, spacing, shape)
     return fval, res, crop, illum
 
 
 @partial(jax.jit, static_argnames=("misfit_jax", "calc_grad", "nt",
                                    "spacing", "space_order", "kernel", "fs",
-                                   "nbl", "shape", "n_checkpoints"))
+                                   "pads", "shape", "n_checkpoints"))
 def _shots_fused(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
                  src_pos, rec_positions, dt, **statics):
     """All-shot fused objective: one TPU program vmapping the single-shot
@@ -347,7 +360,7 @@ def _pallas_z0(geometry):
     if jax.default_backend() != "tpu":
         return None
     model = geometry.model
-    if model.dtype != np.float32 or model.fs or model.dim != 2:
+    if model.dtype != np.float32 or model.dim != 2:
         return None
     from .ops import pallas_acoustic as _pa
     if not (_pa.available() and _pa.geometry_supported(geometry)):
@@ -358,7 +371,7 @@ def _pallas_z0(geometry):
 
 
 def _pallas_fwd(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
-                spacing, space_order, n_checkpoints, z0):
+                spacing, space_order, n_checkpoints, z0, fs=False):
     """Traced helper: checkpointed Pallas forward in transposed layout +
     receiver-row -> trace assembly. Returns (rec, segT, illumT, mT, hdT,
     injT, wav_pad) for reuse by the reverse sweep."""
@@ -387,7 +400,7 @@ def _pallas_fwd(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
     rec_rows, segT, illumT = _pa.forward_ckpt_segments(
         mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz,
         space_order=space_order, spacing=spacing, z0=z0,
-        n_checkpoints=n_checkpoints)
+        n_checkpoints=n_checkpoints, fs=fs)
 
     # receiver rows -> traces (rec[1+g] = sum_c w_c * row[g, plane_c, x_c])
     rows = rec_rows.reshape(B, total, 2, nx)[:, :nsteps]
@@ -399,22 +412,22 @@ def _pallas_fwd(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
 
 
 @partial(jax.jit, static_argnames=("nt", "spacing", "space_order",
-                                   "n_checkpoints", "z0", "dt"))
+                                   "n_checkpoints", "z0", "dt", "fs"))
 def _fm_batch_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
-                     spacing, space_order, n_checkpoints, z0):
+                     spacing, space_order, n_checkpoints, z0, fs=False):
     rec, *_ = _pallas_fwd(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt,
                           nt=nt, spacing=spacing, space_order=space_order,
-                          n_checkpoints=n_checkpoints, z0=z0)
+                          n_checkpoints=n_checkpoints, z0=z0, fs=fs)
     return rec
 
 
 @partial(jax.jit, static_argnames=("misfit_jax", "calc_grad", "nt",
-                                   "spacing", "space_order", "nbl", "shape",
-                                   "n_checkpoints", "z0", "dt"))
+                                   "spacing", "space_order", "pads", "shape",
+                                   "n_checkpoints", "z0", "dt", "fs"))
 def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
                         src_pos, rec_positions, dt, *, misfit_jax,
-                        calc_grad, nt, spacing, space_order, nbl, shape,
-                        n_checkpoints, z0):
+                        calc_grad, nt, spacing, space_order, pads, shape,
+                        n_checkpoints, z0, fs=False):
     """All-shot fused objective on the Pallas VMEM-resident kernels:
     segment-checkpointed forward (receiver rows + seg starts + illum in
     one sweep), traceable misfit, then the reverse-sweep gradient kernel.
@@ -437,7 +450,7 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     rec, segT, illumT, mT, hdT, injT, wav_pad = _pallas_fwd(
         vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, nt=nt,
         spacing=spacing, space_order=space_order,
-        n_checkpoints=n_checkpoints, z0=z0)
+        n_checkpoints=n_checkpoints, z0=z0, fs=fs)
 
     syn = rec - dw
     obs_c = obs - dw
@@ -457,12 +470,12 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     gradT = _pa.gradient_segments(
         mT, hdT, wav_pad, injT, segT, res_rows, dt, nt=nt, nx=nx, nz=nz,
         space_order=space_order, spacing=spacing, z0=z0,
-        n_checkpoints=n_checkpoints)
+        n_checkpoints=n_checkpoints, fs=fs)
     grad = jnp.swapaxes(gradT, -1, -2)
     illum = jnp.swapaxes(illumT, -1, -2)
 
     def fix(g, sp):
-        return _fix_illum_jax(g[nbl:-nbl, nbl:-nbl], sp, rec_positions,
+        return _fix_illum_jax(_crop(g, pads, shape), sp, rec_positions,
                               spacing, shape)
 
     crop = jax.vmap(fix)(grad, src_pos)
@@ -502,7 +515,7 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     statics = dict(misfit_jax=misfit_jax, calc_grad=calc_grad,
                    nt=geometry.nt, spacing=model.spacing,
                    space_order=model.space_order, kernel="OT2", fs=model.fs,
-                   nbl=model.nbl, shape=model.shape,
+                   pads=_pads(model), shape=model.shape,
                    n_checkpoints=_default_checkpoints(geometry.nt))
 
     nsrc = geometry.nsrc
@@ -515,7 +528,7 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     # Pallas VMEM-resident fast path (default-on on TPU for supported
     # geometries: 2-D f32 OT2, no free surface, receivers on two z-planes)
     z0 = pallas_nck = None
-    if statics["kernel"] == "OT2" and not statics["fs"]:
+    if statics["kernel"] == "OT2":
         z0 = _pallas_z0(geometry)
         if z0 is not None:
             from .ops.pallas_acoustic import pick_n_checkpoints
@@ -538,9 +551,9 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
                 rec_positions, float(dt), misfit_jax=statics["misfit_jax"],
                 calc_grad=calc_grad, nt=statics["nt"],
                 spacing=statics["spacing"],
-                space_order=statics["space_order"], nbl=statics["nbl"],
+                space_order=statics["space_order"], pads=statics["pads"],
                 shape=statics["shape"],
-                n_checkpoints=pallas_nck, z0=z0)
+                n_checkpoints=pallas_nck, z0=z0, fs=statics["fs"])
         else:
             out = _shots_fused(vp, damp, src_wav, s_idx[lo:hi],
                                s_w[lo:hi], r_idx, r_w, obs_stack[lo:hi],
@@ -674,10 +687,10 @@ def _fwd_batch_ckpt(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *,
 
 
 @partial(jax.jit, static_argnames=("nt", "spacing", "space_order", "kernel",
-                                   "fs", "nbl", "shape", "n_checkpoints"))
+                                   "fs", "pads", "shape", "n_checkpoints"))
 def _grad_batch_from_res(vp, damp, src_wav, s_idx, s_w, seg_starts,
                          res_stack, r_idx, r_w, illum_pad, src_pos, rec_pos,
-                         dt, *, nt, spacing, space_order, kernel, fs, nbl,
+                         dt, *, nt, spacing, space_order, kernel, fs, pads,
                          shape, n_checkpoints):
     static = dict(nt=nt, spacing=spacing, space_order=space_order,
                   kernel=kernel, fs=fs)
@@ -686,9 +699,9 @@ def _grad_batch_from_res(vp, damp, src_wav, s_idx, s_w, seg_starts,
         g, _ = _ac.gradient_from_ckpt(vp, damp, src_wav, si, sw, sg, r,
                                       r_idx, r_w, dt,
                                       n_checkpoints=n_checkpoints, **static)
-        crop = _fix_illum_jax(g[nbl:-nbl, nbl:-nbl], sp, rec_pos, spacing,
+        crop = _fix_illum_jax(_crop(g, pads, shape), sp, rec_pos, spacing,
                               shape)
-        il_c = _fix_illum_jax(il[nbl:-nbl, nbl:-nbl], sp, rec_pos, spacing,
+        il_c = _fix_illum_jax(_crop(il, pads, shape), sp, rec_pos, spacing,
                               shape)
         return crop, il_c
 
@@ -794,7 +807,7 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
                 vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi],
                 c["s_w"][lo:hi], seg_starts, res_stack, c["r_idx"],
                 c["r_w"], illum_pad, c["src_pos"][lo:hi], c["rec_pos"], dt,
-                nbl=model.nbl, shape=model.shape, **statics)
+                pads=_pads(model), shape=model.shape, **statics)
             grad += np.asarray(g, dtype=np.float64)
             illum += np.asarray(il, dtype=np.float64)
     return fval, grad, illum, residuals

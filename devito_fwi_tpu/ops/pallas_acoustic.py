@@ -146,24 +146,13 @@ def forward_rows(m, hd, wav, inj, dt, *, nt, nx, nz,
 # ops.acoustic.forward_ckpt, transposed (nz, nx) layout)
 # ---------------------------------------------------------------------------
 
-def _fwd_ckpt_kernel(wav_ref, m_ref, hd_ref, inj_ref, segout_ref,
-                     recout_ref, illum_ref, u_ref, up_ref, *, seg, nsteps,
-                     nx, nz, w, inv_h2x, inv_h2z, z0):
-    """One (shot b, segment j) grid step of the checkpointed forward:
-    leapfrog with VMEM-resident carries, recording the two receiver
-    z-plane rows per step, the (u, u_prev) pair at each segment start,
-    and the illumination sum. Matches ``ops.acoustic.forward_ckpt``."""
-    import jax.experimental.pallas as pl
-
-    j = pl.program_id(1)
-    base = j * seg
-
+def _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs):
+    """Laplacian on the transposed (nz, nx) layout: axis 0 = z (sublanes),
+    axis 1 = x (lanes), zero-Dirichlet shifts via zero-fill concatenates.
+    With ``fs``, rows 0..r get the antisymmetric free-surface correction
+    (the transposed twin of ``ops.acoustic._fs_fix_last_axis``):
+    delta[z] = -sum_{k=z}^{r} w[k] * u[k-z]."""
     r = len(w) - 1
-    m = m_ref[:]
-    hd = hd_ref[:]
-    denom = 1.0 / (m + hd)
-    two_m_hd = 2.0 * m + hd
-    inj = inj_ref[:]
 
     def lap(u):
         acc = (w[0] * (inv_h2x + inv_h2z)) * u
@@ -174,7 +163,39 @@ def _fwd_ckpt_kernel(wav_ref, m_ref, hd_ref, inj_ref, segout_ref,
             zx = jnp.zeros((nz, kk), jnp.float32)
             acc += (w[kk] * inv_h2x) * jnp.concatenate([u[:, kk:], zx], 1)
             acc += (w[kk] * inv_h2x) * jnp.concatenate([zx, u[:, :-kk]], 1)
+        if fs:
+            rows = []
+            for z in range(r + 1):
+                d = None
+                for k in range(z, r + 1):
+                    t = (-w[k] * inv_h2z) * u[k - z:k - z + 1, :]
+                    d = t if d is None else d + t
+                rows.append(d)
+            delta = jnp.concatenate(rows, 0)
+            acc = jnp.concatenate([acc[:r + 1] + delta, acc[r + 1:]], 0)
         return acc
+
+    return lap
+
+
+def _fwd_ckpt_kernel(wav_ref, m_ref, hd_ref, inj_ref, segout_ref,
+                     recout_ref, illum_ref, u_ref, up_ref, *, seg, nsteps,
+                     nx, nz, w, inv_h2x, inv_h2z, z0, fs):
+    """One (shot b, segment j) grid step of the checkpointed forward:
+    leapfrog with VMEM-resident carries, recording the two receiver
+    z-plane rows per step, the (u, u_prev) pair at each segment start,
+    and the illumination sum. Matches ``ops.acoustic.forward_ckpt``."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    base = j * seg
+
+    m = m_ref[:]
+    hd = hd_ref[:]
+    denom = 1.0 / (m + hd)
+    two_m_hd = 2.0 * m + hd
+    inj = inj_ref[:]
+    lap = _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs)
 
     @pl.when(j == 0)
     def _():
@@ -205,10 +226,10 @@ def _fwd_ckpt_kernel(wav_ref, m_ref, hd_ref, inj_ref, segout_ref,
 
 @partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
                                    "spacing", "z0", "n_checkpoints",
-                                   "interpret", "dt"))
+                                   "interpret", "dt", "fs"))
 def forward_ckpt_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
                           space_order, spacing, z0, n_checkpoints,
-                          interpret=False):
+                          fs=False, interpret=False):
     """Segment-grid Pallas forward with checkpoints. Transposed operands
     like ``gradient_segments``: m, hd, inj are (.., nz, nx). Returns
     (rec_rows (B, nseg, seg, 2, nx), seg_starts (B, nseg, 2, nz, nx),
@@ -228,7 +249,7 @@ def forward_ckpt_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
     B = inj.shape[0]
 
     kern = partial(_fwd_ckpt_kernel, seg=seg, nsteps=nsteps, nx=nx, nz=nz,
-                   w=w, inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0)
+                   w=w, inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0, fs=fs)
 
     seg_starts, rec_rows, illum = pl.pallas_call(
         kern,
@@ -268,7 +289,8 @@ def forward_ckpt_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
 
 def _grad_kernel(wav_ref, m_ref, hd_ref, inj_ref, seg_ref, res_ref,
                  grad_ref, dt2_ref, v_ref, vn_ref, u_ref, up_ref, *,
-                 seg, nsteps, nx, nz, w, inv_h2x, inv_h2z, z0, neg_inv_s2):
+                 seg, nsteps, nx, nz, w, inv_h2x, inv_h2z, z0, neg_inv_s2,
+                 fs):
     """One (shot b, reversed-segment j) grid step of the checkpointed
     gradient: recompute the forward segment from its stored start pair
     while writing the second time derivative history into VMEM, then run
@@ -300,20 +322,10 @@ def _grad_kernel(wav_ref, m_ref, hd_ref, inj_ref, seg_ref, res_ref,
     denom = 1.0 / (m + hd)
     two_m_hd = 2.0 * m + hd
     inj = inj_ref[:]
-    def lap(u):
-        # transposed layout: axis 0 = z (sublanes), axis 1 = x (lanes).
-        # (A z-halo-buffer variant with sublane slice reads crashes the
-        # Mosaic remote compiler on unaligned sublane offsets; the
-        # zero-fill concatenates below are the proven lowering.)
-        acc = (w[0] * (inv_h2x + inv_h2z)) * u
-        for kk in range(1, r + 1):
-            zz = jnp.zeros((kk, nx), jnp.float32)
-            acc += (w[kk] * inv_h2z) * jnp.concatenate([u[kk:, :], zz], 0)
-            acc += (w[kk] * inv_h2z) * jnp.concatenate([zz, u[:-kk, :]], 0)
-            zx = jnp.zeros((nz, kk), jnp.float32)
-            acc += (w[kk] * inv_h2x) * jnp.concatenate([u[:, kk:], zx], 1)
-            acc += (w[kk] * inv_h2x) * jnp.concatenate([zx, u[:, :-kk]], 1)
-        return acc
+    # transposed layout; zero-fill concatenate shifts (a z-halo-buffer
+    # variant with sublane slice reads crashes the Mosaic remote compiler
+    # on unaligned sublane offsets)
+    lap = _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs)
 
     @pl.when(j == 0)
     def _():
@@ -364,10 +376,10 @@ def _grad_kernel(wav_ref, m_ref, hd_ref, inj_ref, seg_ref, res_ref,
 
 @partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
                                    "spacing", "z0", "n_checkpoints",
-                                   "interpret", "dt"))
+                                   "interpret", "dt", "fs"))
 def gradient_segments(m, hd, wav_pad, inj, seg_starts, res_rows, dt, *, nt,
                       nx, nz, space_order, spacing, z0, n_checkpoints,
-                      interpret=False):
+                      fs=False, interpret=False):
     """VMEM-resident reverse-sweep gradient for a batch of shots.
 
     All field operands are TRANSPOSED, (nz, nx): m, hd (nz, nx); wav_pad
@@ -393,7 +405,7 @@ def gradient_segments(m, hd, wav_pad, inj, seg_starts, res_rows, dt, *, nt,
 
     kern = partial(_grad_kernel, seg=seg, nsteps=nsteps, nx=nx, nz=nz, w=w,
                    inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0,
-                   neg_inv_s2=-1.0 / s2)
+                   neg_inv_s2=-1.0 / s2, fs=fs)
 
     out = pl.pallas_call(
         kern,
@@ -447,7 +459,8 @@ def _residual_rows(res_stack, r_idx, r_w, m_pad, s2, z0, nsteps, seg, nseg):
 
 def gradient_from_ckpt_pallas(vp, damp, src_wav, s_idx, s_w, seg_starts,
                               res_stack, r_idx, r_w, dt, *, nt, spacing,
-                              space_order, n_checkpoints, interpret=False):
+                              space_order, n_checkpoints, fs=False,
+                              interpret=False):
     """Batch gradient through the Pallas reverse kernel with the same call
     shape as a vmapped ``ops.acoustic.gradient_from_ckpt``. seg_starts is
     the stacked (B, nseg, 2, nx, nz) forward checkpoint output; res_stack
@@ -486,7 +499,7 @@ def gradient_from_ckpt_pallas(vp, damp, src_wav, s_idx, s_w, seg_starts,
         jnp.swapaxes(jnp.asarray(inj), -1, -2),
         jnp.swapaxes(seg_starts, -1, -2), rows, dt, nt=nt, nx=nx, nz=nz,
         space_order=space_order, spacing=spacing, z0=z0,
-        n_checkpoints=n_checkpoints, interpret=interpret)
+        n_checkpoints=n_checkpoints, fs=fs, interpret=interpret)
     return jnp.swapaxes(grad_t, -1, -2)
 
 
@@ -516,7 +529,7 @@ def geometry_supported(geometry):
     """True when the fast path applies: 2-D grid, one source per shot,
     all receivers between the same two z-planes, OT2, no free surface."""
     model = geometry.model
-    if model.dim != 2 or model.fs:
+    if model.dim != 2:
         return False
     from .interp import interp_table
     r_idx, _ = interp_table(geometry.rec_positions, model.origin_pml,

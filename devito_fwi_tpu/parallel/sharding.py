@@ -96,7 +96,7 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
     native C++ BFM, custom numpy callables, trace resampling) take the
     split propagate-sharded / misfit-on-host path."""
     from ..fwi import (_batched_tables, _solver_dt, _misfit_jax,
-                       _fix_illum_jax)
+                       _fix_illum_jax, _pads, _crop)
 
     misfit_jax = _misfit_jax(misfit_func)
     if misfit_jax is None or resample_dt not in (None, geometry.dt):
@@ -115,7 +115,7 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
         else model.dtype(0.0)
     vp = jnp.asarray(model.vp)
     dt = _solver_dt(geometry)
-    nbl = model.nbl
+    pads = _pads(model)
     static = dict(nt=geometry.nt, spacing=model.spacing,
                   space_order=model.space_order, kernel="OT2", fs=model.fs)
     spacing, shape = model.spacing, model.shape
@@ -156,9 +156,9 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
         grad, _ = _ac.gradient_from_ckpt(vp, damp, src_wav, si, sw,
                                          seg_starts, res, r_idx, r_w, dt,
                                          n_checkpoints=nck, **static)
-        crop = grad[nbl:-nbl, nbl:-nbl]
+        crop = _crop(grad, pads, shape)
         crop = _fix_illum_jax(crop, sp, rec_positions, spacing, shape)
-        illum = illum_pad[nbl:-nbl, nbl:-nbl]
+        illum = _crop(illum_pad, pads, shape)
         illum = _fix_illum_jax(illum, sp, rec_positions, spacing, shape)
         return fval * w, crop * w, illum * w
 
@@ -195,7 +195,8 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
     reference's dask-parallelized-W2 capability (``fwi.py:207-234``) that
     the traceable-only sharded path could not serve."""
     from ..fwi import (_batched_tables, _solver_dt, _fix_illum_jax,
-                       _default_checkpoints, _host_misfit_chunk)
+                       _default_checkpoints, _host_misfit_chunk, _pads,
+                       _crop)
 
     model = geometry.model
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
@@ -203,7 +204,7 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
         else model.dtype(0.0)
     vp = jnp.asarray(model.vp)
     dt = _solver_dt(geometry)
-    nbl = model.nbl
+    pads = _pads(model)
     nck = _default_checkpoints(geometry.nt)
     static = dict(nt=geometry.nt, spacing=model.spacing,
                   space_order=model.space_order, kernel="OT2", fs=model.fs)
@@ -261,9 +262,9 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
                                               sw_i, sg_i, r_i, r_idx, r_w,
                                               dt, n_checkpoints=nck,
                                               **static)
-                crop = _fix_illum_jax(g[nbl:-nbl, nbl:-nbl], sp_i,
+                crop = _fix_illum_jax(_crop(g, pads, shape), sp_i,
                                       rec_positions, spacing, shape)
-                il_c = _fix_illum_jax(il_i[nbl:-nbl, nbl:-nbl], sp_i,
+                il_c = _fix_illum_jax(_crop(il_i, pads, shape), sp_i,
                                       rec_positions, spacing, shape)
                 return crop, il_c
             g, il = jax.vmap(per)(si, sw, sg, res, il, sp)

@@ -42,9 +42,11 @@ def test_pallas_forward_matches_xla_interpret(monkeypatch):
 
 
 @pytest.mark.skipif(not pa.available(), reason="pallas unavailable")
-def test_pallas_forward_ckpt_matches_xla_interpret():
+@pytest.mark.parametrize("fs", [False, True])
+def test_pallas_forward_ckpt_matches_xla_interpret(fs):
     """Segment-grid checkpointed forward kernel == XLA forward_ckpt
-    (receiver rows -> traces, segment starts, illumination)."""
+    (receiver rows -> traces, segment starts, illumination), with and
+    without the free surface."""
     import jax
     import jax.numpy as jnp
     from devito_fwi_tpu.models.presets import demo_model
@@ -54,7 +56,7 @@ def test_pallas_forward_ckpt_matches_xla_interpret():
 
     model = demo_model("circle-isotropic", vp_circle=3.0, vp_background=2.5,
                        origin=(0., 0.), shape=(61, 61), spacing=(10., 10.),
-                       nbl=10, space_order=4)
+                       nbl=10, space_order=4, fs=fs)
     nsrc, nrec = 2, 41
     src = np.stack([np.linspace(0., 600., nsrc), np.full(nsrc, 20.)], 1)
     rec = np.stack([np.linspace(0., 600., nrec), np.full(nrec, 20.)], 1)
@@ -63,7 +65,7 @@ def test_pallas_forward_ckpt_matches_xla_interpret():
     s_idx, s_w, r_idx, r_w, wav = _batched_tables(geom)
     dt, nt, nck = float(_solver_dt(geom)), geom.nt, 7
     statics = dict(nt=nt, spacing=model.spacing, space_order=4,
-                   kernel="OT2", fs=False)
+                   kernel="OT2", fs=fs)
     vp, damp = jnp.asarray(model.vp), jnp.asarray(model.damp)
     recs, seg_ref, illum_ref = jax.vmap(
         lambda a, b: ac.forward_ckpt(vp, damp, jnp.asarray(wav), a, b,
@@ -90,7 +92,7 @@ def test_pallas_forward_ckpt_matches_xla_interpret():
         jnp.asarray(m_pad.T), jnp.asarray(hd.T), jnp.asarray(wav_pad),
         jnp.swapaxes(jnp.asarray(inj), -1, -2), dt, nt=nt, nx=nx, nz=nz,
         space_order=4, spacing=model.spacing, z0=z0, n_checkpoints=nck,
-        interpret=True)
+        fs=fs, interpret=True)
     seg_p = np.swapaxes(np.asarray(segT), -1, -2)
     illum_p = np.swapaxes(np.asarray(illumT), -1, -2)
     assert np.abs(seg_p - np.asarray(seg_ref)).max() < 1e-5 * \
@@ -109,9 +111,11 @@ def test_pallas_forward_ckpt_matches_xla_interpret():
 
 
 @pytest.mark.skipif(not pa.available(), reason="pallas unavailable")
-def test_pallas_gradient_matches_xla_interpret():
+@pytest.mark.parametrize("fs", [False, True])
+def test_pallas_gradient_matches_xla_interpret(fs):
     """Reverse-sweep segment-recompute gradient kernel == XLA
-    gradient_from_ckpt (interpret mode)."""
+    gradient_from_ckpt (interpret mode), with and without the free
+    surface."""
     import jax
     import jax.numpy as jnp
     from devito_fwi_tpu.models.presets import demo_model
@@ -120,7 +124,7 @@ def test_pallas_gradient_matches_xla_interpret():
 
     model = demo_model("circle-isotropic", vp_circle=3.0, vp_background=2.5,
                        origin=(0., 0.), shape=(61, 61), spacing=(10., 10.),
-                       nbl=10, space_order=4)
+                       nbl=10, space_order=4, fs=fs)
     nsrc, nrec = 2, 41
     src = np.stack([np.linspace(0., 600., nsrc), np.full(nsrc, 20.)], 1)
     rec = np.stack([np.linspace(0., 600., nrec), np.full(nrec, 20.)], 1)
@@ -129,7 +133,7 @@ def test_pallas_gradient_matches_xla_interpret():
     s_idx, s_w, r_idx, r_w, wav = _batched_tables(geom)
     dt, nt, nck = _solver_dt(geom), geom.nt, 7
     statics = dict(nt=nt, spacing=model.spacing, space_order=4,
-                   kernel="OT2", fs=False)
+                   kernel="OT2", fs=fs)
     vp, damp = jnp.asarray(model.vp), jnp.asarray(model.damp)
     recs, seg_starts, _ = jax.vmap(
         lambda a, b: ac.forward_ckpt(vp, damp, jnp.asarray(wav), a, b,
@@ -147,7 +151,7 @@ def test_pallas_gradient_matches_xla_interpret():
     gp = np.asarray(pa.gradient_from_ckpt_pallas(
         np.asarray(model.vp), np.asarray(model.damp), wav, s_idx, s_w,
         seg_starts, res, r_idx, jnp.asarray(r_w), dt, nt=nt,
-        spacing=model.spacing, space_order=4, n_checkpoints=nck,
+        spacing=model.spacing, space_order=4, n_checkpoints=nck, fs=fs,
         interpret=True))
     scale = np.abs(gref).max()
     assert np.abs(gp - gref).max() < 1e-5 * scale
