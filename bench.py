@@ -41,12 +41,13 @@ def main():
     t0, tn, f0 = 0.0, 4000.0, 0.007
     nshots = 29
 
-    data = "/root/reference/model_data/SMARMN/vp.true"
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "model_data", "SMARMN")
+    data = os.path.join(base, "vp.true")
     if os.path.exists(data):
-        # files store m/s; the reference divides by 1000 (marmousi_fwi.py:70)
-        v_true = load_velocity(data, shape) / 1000
-        v_init = load_velocity(
-            "/root/reference/model_data/SMARMN/vp.smooth_20", shape) / 1000
+        # load_velocity auto-converts the raw m/s binaries to km/s
+        v_true = load_velocity(data, shape)
+        v_init = load_velocity(os.path.join(base, "vp.smooth_20"), shape)
     else:  # synthetic stand-in with the same dimensions
         z = np.linspace(1.5, 4.5, shape[1])[None, :]
         v_true = (z + 0.3 * np.sin(np.linspace(0, 12, shape[0]))[:, None]

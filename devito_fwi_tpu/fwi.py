@@ -370,55 +370,69 @@ def _pallas_z0(geometry):
     return int(np.asarray(r_idx)[..., 1].min())
 
 
+def _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps, dtype):
+    """Receiver rows -> traces: rec[1+g] = sum_c w_c * row[g, plane_c,
+    x_c]; rows beyond nsteps are layout padding."""
+    B = rec_rows.shape[0]
+    nx = rec_rows.shape[-1]
+    rows = rec_rows.reshape(B, -1, 2, nx)[:, :nsteps]
+    rxi = r_idx[:, :, 0]
+    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
+    tr = jnp.sum(rows[:, :, rplane, rxi] * r_w[None, None], axis=-1)
+    rec = jnp.zeros((B, nt, r_idx.shape[0]), dtype)
+    return rec.at[:, 1:nsteps + 1].set(tr)
+
+
+def _pallas_operands(vp, damp, src_wav, s_idx, s_w, dt, nt, total):
+    """(m, mT, hdT, injT, wav_pad) for the transposed segment kernels."""
+    from .ops.pallas_acoustic import source_pattern, pad_wavelet
+    m = 1.0 / (vp * vp)
+    hdT = jnp.broadcast_to(dt * damp, vp.shape).T
+    injT = jnp.swapaxes(source_pattern(s_idx, s_w, m, dt * dt), -1, -2)
+    wav_pad = pad_wavelet(src_wav, nt, total, vp.dtype)
+    return m, m.T, hdT, injT, wav_pad
+
+
 def _pallas_fwd(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
                 spacing, space_order, n_checkpoints, z0, fs=False):
     """Traced helper: checkpointed Pallas forward in transposed layout +
-    receiver-row -> trace assembly. Returns (rec, segT, illumT, mT, hdT,
-    injT, wav_pad) for reuse by the reverse sweep."""
+    receiver-row -> trace assembly. Returns (rec, segT, illumT, m, mT,
+    hdT, injT, wav_pad) for reuse by the reverse sweep."""
     from .ops import pallas_acoustic as _pa
     from .ops.acoustic import _ckpt_layout
 
     nx, nz = vp.shape
-    m = 1.0 / (vp * vp)
-    s2 = dt * dt
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
-    total = nseg * seg
-    B = s_idx.shape[0]
-    nrec = r_idx.shape[0]
-
-    mT = m.T
-    hdT = jnp.broadcast_to(dt * damp, vp.shape).T
-    # dense per-shot source pattern (w * dt^2 / m), transposed layout
-    xi = s_idx[:, 0, :, 0]
-    zi = s_idx[:, 0, :, 1]
-    vals = s_w[:, 0, :] * s2 / m[xi, zi]
-    injT = jnp.zeros((B, nz, nx), vp.dtype).at[
-        jnp.arange(B)[:, None], zi, xi].add(vals)
-    wav_pad = jnp.zeros((total,), vp.dtype).at[:nsteps].set(
-        src_wav[1:nt - 1, 0])
-
+    m, mT, hdT, injT, wav_pad = _pallas_operands(
+        vp, damp, src_wav, s_idx, s_w, dt, nt, nseg * seg)
     rec_rows, segT, illumT = _pa.forward_ckpt_segments(
         mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz,
         space_order=space_order, spacing=spacing, z0=z0,
         n_checkpoints=n_checkpoints, fs=fs)
-
-    # receiver rows -> traces (rec[1+g] = sum_c w_c * row[g, plane_c, x_c])
-    rows = rec_rows.reshape(B, total, 2, nx)[:, :nsteps]
-    rxi = r_idx[:, :, 0]
-    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
-    tr = jnp.sum(rows[:, :, rplane, rxi] * r_w[None, None], axis=-1)
-    rec = jnp.zeros((B, nt, nrec), vp.dtype).at[:, 1:nsteps + 1].set(tr)
-    return rec, segT, illumT, mT, hdT, injT, wav_pad
+    rec = _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps,
+                            vp.dtype)
+    return rec, segT, illumT, m, mT, hdT, injT, wav_pad
 
 
 @partial(jax.jit, static_argnames=("nt", "spacing", "space_order",
                                    "n_checkpoints", "z0", "dt", "fs"))
 def _fm_batch_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
                      spacing, space_order, n_checkpoints, z0, fs=False):
-    rec, *_ = _pallas_fwd(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt,
-                          nt=nt, spacing=spacing, space_order=space_order,
-                          n_checkpoints=n_checkpoints, z0=z0, fs=fs)
-    return rec
+    """Pure forward modeling through the receiver-rows-only segment
+    kernel (no dead checkpoint/illumination writes)."""
+    from .ops import pallas_acoustic as _pa
+    from .ops.acoustic import _ckpt_layout
+
+    nx, nz = vp.shape
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    _, mT, hdT, injT, wav_pad = _pallas_operands(
+        vp, damp, src_wav, s_idx, s_w, dt, nt, nseg * seg)
+    rec_rows = _pa.forward_rec_segments(
+        mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz,
+        space_order=space_order, spacing=spacing, z0=z0,
+        n_checkpoints=n_checkpoints, fs=fs)
+    return _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps,
+                             vp.dtype)
 
 
 @partial(jax.jit, static_argnames=("misfit_jax", "calc_grad", "nt",
@@ -438,16 +452,9 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     from .ops.acoustic import _ckpt_layout
 
     nx, nz = vp.shape
-    m = 1.0 / (vp * vp)
-    s2 = dt * dt
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
-    total = nseg * seg
-    B = s_idx.shape[0]
-    nrec = r_idx.shape[0]
-    rxi = r_idx[:, :, 0]
-    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
 
-    rec, segT, illumT, mT, hdT, injT, wav_pad = _pallas_fwd(
+    rec, segT, illumT, m, mT, hdT, injT, wav_pad = _pallas_fwd(
         vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, nt=nt,
         spacing=spacing, space_order=space_order,
         n_checkpoints=n_checkpoints, z0=z0, fs=fs)
@@ -459,13 +466,8 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     if not calc_grad:
         return fval, res
 
-    # residual rows with rec weights and s^2/m folded in
-    rscale = r_w * s2 / m[rxi, r_idx[:, :, 1]]
-    res_pad = jnp.zeros((B, total, nrec), vp.dtype).at[:, :nsteps].set(
-        res[:, 1:nsteps + 1])
-    res_rows = jnp.zeros((B, total, 2, nx), vp.dtype).at[
-        :, :, rplane, rxi].add(res_pad[..., None] * rscale[None, None])
-    res_rows = res_rows.reshape(B, nseg, seg, 2, nx)
+    res_rows = _pa.residual_rows(res, r_idx, r_w, m, dt * dt, z0, nsteps,
+                                 seg, nseg)
 
     gradT = _pa.gradient_segments(
         mT, hdT, wav_pad, injT, segT, res_rows, dt, nt=nt, nx=nx, nz=nz,
@@ -526,7 +528,7 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     dw_full = dw_stack
 
     # Pallas VMEM-resident fast path (default-on on TPU for supported
-    # geometries: 2-D f32 OT2, no free surface, receivers on two z-planes)
+    # geometries: 2-D f32 OT2, receivers on two z-planes; fs supported)
     z0 = pallas_nck = None
     if statics["kernel"] == "OT2":
         z0 = _pallas_z0(geometry)
@@ -614,9 +616,19 @@ def invalidate_device_caches():
 
 def _geom_fingerprint(geometry):
     """Content fingerprint of the geometry fields that feed the device
-    tables. src/rec positions are tiny, so hashing them per call is cheap
-    and catches both in-place edits and id() reuse after GC."""
+    tables: positions, time axis, and everything that shapes the source
+    wavelet (src_type/f0/a/t0w, custom src_data, the Filter's settings —
+    a multiscale loop that swaps geometry._filter between bands must not
+    be served the previous band's cached wavelet). All fields are tiny,
+    so hashing per call is cheap and catches both in-place edits and
+    id() reuse after GC."""
+    filt = geometry._filter
+    filt_fp = None if filt is None else         (type(filt).__name__, repr(sorted(vars(filt).items())
+                                   if hasattr(filt, "__dict__") else filt))
+    src_data = getattr(geometry, "_src_data", None)
+    src_fp = None if src_data is None else         hash(np.ascontiguousarray(src_data).tobytes())
     return (geometry.nsrc, geometry.nt, geometry.f0, geometry.src_type,
+            geometry._a, geometry._t0w, filt_fp, src_fp, geometry.dt,
             hash(np.ascontiguousarray(geometry.src_positions).tobytes()),
             hash(np.ascontiguousarray(geometry.rec_positions).tobytes()))
 

@@ -1,23 +1,27 @@
-"""Pallas TPU kernel for the acoustic OT2 forward time loop.
+"""Pallas TPU kernels for the acoustic OT2 time loops.
 
-The whole nt-step leapfrog runs INSIDE one ``pallas_call``: the wavefield
-carries (u, u_prev) live in VMEM scratch for the entire propagation, so
-the HBM traffic of the XLA-scan path (~6 field sweeps per step) drops to
-just the per-step receiver-row writes. Grid = one program per shot.
+Production kernels (the default TPU path for supported geometries — see
+``fwi._pallas_z0``): ``forward_ckpt_segments`` and ``gradient_segments``,
+a grid over (shot, time-segment) where the wavefield carries live in VMEM
+scratch across the sequential segment steps, so the HBM traffic of the
+XLA-scan path (~6 field sweeps per step) collapses to the per-segment
+checkpoint/receiver-row blocks. The reverse sweep keeps each segment's
+recomputed d2u/dt2 history entirely in VMEM. The segment grid keeps the
+Mosaic program small (~15 s compile vs ~7 min for a whole-nt loop).
 
-Scope (bench/fast-path kernel; the XLA scan in ``ops.acoustic`` is the
-general path):
+Scope of the fast path:
 
-* OT2 kernel, no free surface;
-* one source per shot, injected at its 2x2 corner block;
-* receivers read back as two full grid rows at the receiver z-planes
-  (every standard geometry in the reference places all receivers between
-  two z-planes); the host contracts rows x bilinear weights to traces.
+* OT2 kernel, 2-D, float32, with or without the free surface;
+* one source per shot, injected as a dense per-shot pattern;
+* receivers between two z-planes (every reference geometry is), read
+  back as two grid rows per step and contracted with bilinear weights.
 
-Numerics are identical to ``ops.acoustic.forward`` (same weights, same
-t = 1..nt-2 bounds) — verified by tests/test_pallas.py on the
-interpreter; measured on TPU v5e by bench comparison in the docstring of
-``forward_rows``.
+``forward_rows``/``forward_traces`` are the legacy whole-nt variants
+(bench artifacts; no fs support, ~7 min compile).
+
+Numerics are identical to ``ops.acoustic`` (same weights, same
+t = 1..nt-2 bounds, same checkpoint layout) — pinned by
+tests/test_pallas.py in interpreter mode and by on-chip parity drives.
 """
 from __future__ import annotations
 
@@ -99,8 +103,9 @@ def forward_rows(m, hd, wav, inj, dt, *, nt, nx, nz,
     21.5 Gcell-steps/s vs 155 ms (17.9) for the XLA-scan batch — the
     VMEM-resident carries eliminate the scan's HBM round trips and the
     kernel runs at the VPU compute roofline. Trade-off: ~7 min Mosaic
-    compile for the nt-step loop (XLA scan: ~30 s), so this path is
-    opt-in (env DEVITO_FWI_TPU_PALLAS=1 for fm_multi, or call directly).
+    compile for the whole-nt loop, so production paths use the segment
+    kernels below instead; this variant is kept as the measured-baseline
+    artifact.
 
     Parameters: m, hd (padded grid, f32); wav (nt-2,); inj (B, nx, nz)
     per-shot dense injection pattern (w * dt^2 / m at the source corners,
@@ -151,7 +156,7 @@ def _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs):
     axis 1 = x (lanes), zero-Dirichlet shifts via zero-fill concatenates.
     With ``fs``, rows 0..r get the antisymmetric free-surface correction
     (the transposed twin of ``ops.acoustic._fs_fix_last_axis``):
-    delta[z] = -sum_{k=z}^{r} w[k] * u[k-z]."""
+    delta[z] = -sum_{k=max(z,1)}^{r} w[k] * u[k-z]."""
     r = len(w) - 1
 
     def lap(u):
@@ -164,18 +169,136 @@ def _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs):
             acc += (w[kk] * inv_h2x) * jnp.concatenate([u[:, kk:], zx], 1)
             acc += (w[kk] * inv_h2x) * jnp.concatenate([zx, u[:, :-kk]], 1)
         if fs:
+            # k starts at max(z, 1): the w[0] center term is identical in
+            # the plain and mirrored stencils (including at z = 0, where
+            # the reference keeps w[0]*u[0] — ops/acoustic.py:80-82)
             rows = []
             for z in range(r + 1):
-                d = None
-                for k in range(z, r + 1):
-                    t = (-w[k] * inv_h2z) * u[k - z:k - z + 1, :]
-                    d = t if d is None else d + t
+                d = jnp.zeros((1, nx), jnp.float32)
+                for k in range(max(z, 1), r + 1):
+                    d = d + (-w[k] * inv_h2z) * u[k - z:k - z + 1, :]
                 rows.append(d)
             delta = jnp.concatenate(rows, 0)
             acc = jnp.concatenate([acc[:r + 1] + delta, acc[r + 1:]], 0)
         return acc
 
     return lap
+
+
+def source_pattern(s_idx, s_w, m, s2):
+    """Dense per-shot source pattern (w * dt^2 / m at the bilinear
+    corners), (B, nx, nz), traceable. One implementation shared by the
+    fused objective, fm_multi and the standalone wrappers."""
+    B = s_idx.shape[0]
+    xi = s_idx[:, 0, :, 0]
+    zi = s_idx[:, 0, :, 1]
+    vals = s_w[:, 0, :] * s2 / m[xi, zi]
+    return jnp.zeros((B,) + m.shape, vals.dtype).at[
+        jnp.arange(B)[:, None], xi, zi].add(vals)
+
+
+def pad_wavelet(src_wav, nt, total, dtype=jnp.float32):
+    """src_wav[1:nt-1] zero-padded to the segment-layout length."""
+    return jnp.zeros((total,), dtype).at[:nt - 2].set(src_wav[1:nt - 1, 0])
+
+
+def residual_rows(res_stack, r_idx, r_w, m, s2, z0, nsteps, seg, nseg):
+    """Fold the receiver interpolation weights and s^2/m into dense
+    two-z-plane rows, (B, nseg, seg, 2, nx) — matching the transposed
+    (nz, nx) field layout where the planes are two sublane rows.
+    Traceable; `m` is the untransposed (nx, nz) squared slowness."""
+    B = res_stack.shape[0]
+    nx = m.shape[0]
+    total = nseg * seg
+    xi = r_idx[:, :, 0]
+    zi = r_idx[:, :, 1]
+    plane = (zi != z0).astype(jnp.int32)
+    scale = r_w * s2 / m[xi, zi]
+    res_pad = jnp.zeros((B, total, res_stack.shape[2]), res_stack.dtype)
+    res_pad = res_pad.at[:, :nsteps].set(res_stack[:, 1:nsteps + 1])
+    rows = jnp.zeros((B, total, 2, nx), jnp.float32)
+    rows = rows.at[:, :, plane, xi].add(
+        res_pad[..., None] * scale[None, None])
+    return rows.reshape(B, nseg, seg, 2, nx)
+
+
+def _fwd_rec_kernel(wav_ref, m_ref, hd_ref, inj_ref, recout_ref,
+                    u_ref, up_ref, *, seg, nx, nz, w, inv_h2x, inv_h2z,
+                    z0, fs):
+    """Forward-only variant of ``_fwd_ckpt_kernel``: records receiver
+    rows but emits no checkpoints/illumination (pure modeling — Pallas
+    outputs cannot be dead-code-eliminated, so the checkpointed kernel
+    would pay GB-scale dead HBM writes here)."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    base = j * seg
+    m = m_ref[:]
+    hd = hd_ref[:]
+    denom = 1.0 / (m + hd)
+    two_m_hd = 2.0 * m + hd
+    inj = inj_ref[:]
+    lap = _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+        up_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    def body(i, _):
+        u = u_ref[:]
+        up = up_ref[:]
+        recout_ref[i] = u[z0:z0 + 2, :]
+        un = (lap(u) + two_m_hd * u - m * up) * denom             + wav_ref[base + i] * inj
+        u_ref[:] = un
+        up_ref[:] = u
+        return 0
+
+    jax.lax.fori_loop(0, seg, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "n_checkpoints",
+                                   "interpret", "dt", "fs"))
+def forward_rec_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
+                         space_order, spacing, z0, n_checkpoints,
+                         fs=False, interpret=False):
+    """Segment-grid Pallas forward, receiver rows only (transposed
+    operands like ``forward_ckpt_segments``). Returns rec_rows
+    (B, nseg, seg, 2, nx)."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+    from .acoustic import _ckpt_layout
+
+    w = tuple(float(v) for v in
+              np.asarray(second_derivative_weights(space_order)
+                         [space_order // 2:]))
+    s2 = float(dt) ** 2
+    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
+    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    B = inj.shape[0]
+
+    kern = partial(_fwd_rec_kernel, seg=seg, nx=nx, nz=nz, w=w,
+                   inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0, fs=fs)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # wav_pad
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # hd
+            pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),            # inj
+        ],
+        out_specs=pl.BlockSpec((None, None, seg, 2, nx),
+                               lambda b, j: (b, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nseg, seg, 2, nx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32),
+                        pltpu.VMEM((nz, nx), jnp.float32)],
+        interpret=interpret,
+    )(wav_pad, m, hd, inj)
 
 
 def _fwd_ckpt_kernel(wav_ref, m_ref, hd_ref, inj_ref, segout_ref,
@@ -316,7 +439,6 @@ def _grad_kernel(wav_ref, m_ref, hd_ref, inj_ref, seg_ref, res_ref,
     k = nseg - 1 - j          # actual segment (reverse order)
     base = k * seg
 
-    r = len(w) - 1
     m = m_ref[:]
     hd = hd_ref[:]
     denom = 1.0 / (m + hd)
@@ -396,7 +518,6 @@ def gradient_segments(m, hd, wav_pad, inj, seg_starts, res_rows, dt, *, nt,
     w = tuple(float(v) for v in
               np.asarray(second_derivative_weights(space_order)
                          [space_order // 2:]))
-    r = len(w) - 1
     s2 = float(dt) ** 2
     inv_h2x = float(1.0 / spacing[0] ** 2) * s2
     inv_h2z = float(1.0 / spacing[1] ** 2) * s2
@@ -436,27 +557,6 @@ def gradient_segments(m, hd, wav_pad, inj, seg_starts, res_rows, dt, *, nt,
     return out
 
 
-def _residual_rows(res_stack, r_idx, r_w, m_pad, s2, z0, nsteps, seg, nseg):
-    """Fold the receiver interpolation weights and s^2/m into dense
-    two-z-plane rows: (B, nseg, seg, 2, nx) — matching the transposed
-    (nz, nx) field layout, where the planes are two sublane rows."""
-    B = res_stack.shape[0]
-    nx = m_pad.shape[0]
-    total = nseg * seg
-    r_idx_n = np.asarray(r_idx)
-    xi = jnp.asarray(r_idx_n[..., 0])          # (nrec, 4)
-    plane = jnp.asarray((r_idx_n[..., 1] != z0).astype(np.int32))
-    scale = r_w * s2 / jnp.asarray(
-        np.asarray(m_pad)[r_idx_n[..., 0], r_idx_n[..., 1]])
-
-    res_pad = jnp.zeros((B, total, res_stack.shape[2]), res_stack.dtype)
-    res_pad = res_pad.at[:, :nsteps].set(res_stack[:, 1:nsteps + 1])
-    rows = jnp.zeros((B, total, 2, nx), jnp.float32)
-    vals = res_pad[:, :, :, None] * scale[None, None]     # (B,total,nrec,4)
-    rows = rows.at[:, :, plane, xi].add(vals)
-    return rows.reshape(B, nseg, seg, 2, nx)
-
-
 def gradient_from_ckpt_pallas(vp, damp, src_wav, s_idx, s_w, seg_starts,
                               res_stack, r_idx, r_w, dt, *, nt, spacing,
                               space_order, n_checkpoints, fs=False,
@@ -476,22 +576,15 @@ def gradient_from_ckpt_pallas(vp, damp, src_wav, s_idx, s_w, seg_starts,
     s2 = dt * dt
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
 
-    B = res_stack.shape[0]
-    s_idx_n = np.asarray(s_idx)
-    s_w_n = np.asarray(s_w)
-    inj = np.zeros((B, nx, nz), np.float32)
-    for b in range(B):
-        for c in range(s_idx_n.shape[2]):
-            xi, zi = s_idx_n[b, 0, c]
-            inj[b, xi, zi] += s_w_n[b, 0, c] * s2 / m_pad[xi, zi]
-
+    inj = source_pattern(jnp.asarray(s_idx), jnp.asarray(s_w),
+                         jnp.asarray(m_pad), s2)
     r_idx_n = np.asarray(r_idx)
     z0 = int(r_idx_n[..., 1].min())
-    rows = _residual_rows(jnp.asarray(res_stack), r_idx, jnp.asarray(r_w),
-                          m_pad, s2, z0, nsteps, seg, nseg)
+    rows = residual_rows(jnp.asarray(res_stack), jnp.asarray(r_idx),
+                         jnp.asarray(r_w), jnp.asarray(m_pad), s2, z0,
+                         nsteps, seg, nseg)
     total = nseg * seg
-    wav_pad = np.zeros((total,), np.float32)
-    wav_pad[:nsteps] = np.asarray(src_wav)[1:nt - 1, 0]
+    wav_pad = pad_wavelet(jnp.asarray(src_wav), nt, total)
     # the kernel works in transposed (nz, nx) layout (see _grad_kernel);
     # XLA fuses these swaps into the surrounding program
     grad_t = gradient_segments(
@@ -526,8 +619,10 @@ def pick_n_checkpoints(nt, nx, nz, n_min=4):
 
 
 def geometry_supported(geometry):
-    """True when the fast path applies: 2-D grid, one source per shot,
-    all receivers between the same two z-planes, OT2, no free surface."""
+    """True when the Pallas fast path applies: 2-D grid, one source per
+    shot, all receivers between the same two z-planes, OT2 (free surface
+    is supported by the segment kernels; the legacy ``forward_rows``
+    kernel additionally requires ``not model.fs``)."""
     model = geometry.model
     if model.dim != 2:
         return False
@@ -539,9 +634,14 @@ def geometry_supported(geometry):
 
 
 def forward_traces(geometry, vp=None):
-    """All-shot forward modeling through the Pallas VMEM-resident kernel;
-    returns (nsrc, nt, nrec) traces (numpy). Requires
-    ``geometry_supported(geometry)``."""
+    """All-shot forward modeling through the legacy whole-nt Pallas kernel
+    (``forward_rows`` — no free-surface support); returns (nsrc, nt, nrec)
+    traces (numpy). Requires ``geometry_supported(geometry)`` and
+    ``not model.fs``. Production paths use the segment kernels instead
+    (``forward_ckpt_segments`` via ``fwi.fm_multi``)."""
+    if geometry.model.fs:
+        raise ValueError("forward_traces (forward_rows kernel) has no "
+                         "free-surface support; use fwi.fm_multi")
     from ..fwi import _batched_tables, _solver_dt
     model = geometry.model
     s_idx, s_w, r_idx, r_w, wav = _batched_tables(geometry)

@@ -205,7 +205,6 @@ struct DctPlan {
   int n1 = 0, n2 = 0;               // row length (fast axis), rows
   DctAxis ax1, ax2;
   vector<double> tmp;               // (n2*n1) scratch
-  vector<double> col;               // per-thread column gather scratch
 
   void init(int n1_, int n2_) {
     n1 = n1_;

@@ -58,7 +58,11 @@ def test_pallas_forward_ckpt_matches_xla_interpret(fs):
                        origin=(0., 0.), shape=(61, 61), spacing=(10., 10.),
                        nbl=10, space_order=4, fs=fs)
     nsrc, nrec = 2, 41
-    src = np.stack([np.linspace(0., 600., nsrc), np.full(nsrc, 20.)], 1)
+    # under fs, place the source within the first cell so its bilinear
+    # corners land on the z = 0 surface row (regression for the fs
+    # correction's w[0] term)
+    zsrc = 2.0 if fs else 20.0
+    src = np.stack([np.linspace(0., 600., nsrc), np.full(nsrc, zsrc)], 1)
     rec = np.stack([np.linspace(0., 600., nrec), np.full(nrec, 20.)], 1)
     geom = AcquisitionGeometry(model, rec, src, 0., 300., f0=0.010,
                                src_type="Ricker")
@@ -126,7 +130,11 @@ def test_pallas_gradient_matches_xla_interpret(fs):
                        origin=(0., 0.), shape=(61, 61), spacing=(10., 10.),
                        nbl=10, space_order=4, fs=fs)
     nsrc, nrec = 2, 41
-    src = np.stack([np.linspace(0., 600., nsrc), np.full(nsrc, 20.)], 1)
+    # under fs, place the source within the first cell so its bilinear
+    # corners land on the z = 0 surface row (regression for the fs
+    # correction's w[0] term)
+    zsrc = 2.0 if fs else 20.0
+    src = np.stack([np.linspace(0., 600., nsrc), np.full(nsrc, zsrc)], 1)
     rec = np.stack([np.linspace(0., 600., nrec), np.full(nrec, 20.)], 1)
     geom = AcquisitionGeometry(model, rec, src, 0., 300., f0=0.010,
                                src_type="Ricker")
