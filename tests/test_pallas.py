@@ -116,6 +116,54 @@ def test_pallas_forward_ckpt_matches_xla_interpret(fs):
 
 @pytest.mark.skipif(not pa.available(), reason="pallas unavailable")
 @pytest.mark.parametrize("fs", [False, True])
+def test_pallas_forward_rec_matches_xla_interpret(fs):
+    """Receiver-rows-only segment kernel (the fm_multi fast path) == XLA
+    forward traces."""
+    import jax
+    import jax.numpy as jnp
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu.fwi import (_solver_dt, _pallas_operands,
+                                    _traces_from_rows)
+    from devito_fwi_tpu.ops import acoustic as ac
+    from devito_fwi_tpu.ops.acoustic import _ckpt_layout
+
+    model = demo_model("circle-isotropic", vp_circle=3.0, vp_background=2.5,
+                       origin=(0., 0.), shape=(61, 61), spacing=(10., 10.),
+                       nbl=10, space_order=4, fs=fs)
+    nsrc, nrec = 2, 41
+    zsrc = 2.0 if fs else 20.0
+    src = np.stack([np.linspace(0., 600., nsrc), np.full(nsrc, zsrc)], 1)
+    rec = np.stack([np.linspace(0., 600., nrec), np.full(nrec, 20.)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 300., f0=0.010,
+                               src_type="Ricker")
+    s_idx, s_w, r_idx, r_w, wav = _batched_tables(geom)
+    dt, nt, nck = float(_solver_dt(geom)), geom.nt, 7
+    vp, damp = jnp.asarray(model.vp), jnp.asarray(model.damp)
+    recs, _ = jax.vmap(lambda a, b: ac.forward(
+        vp, damp, jnp.asarray(wav), a, b, jnp.asarray(r_idx),
+        jnp.asarray(r_w), dt, nt=nt, spacing=model.spacing, space_order=4,
+        kernel="OT2", fs=fs, save=False))(jnp.asarray(s_idx),
+                                          jnp.asarray(s_w))
+    nsteps, seg, nseg = _ckpt_layout(nt, nck)
+    nx, nz = model.padded_shape
+    r_idx_n = np.asarray(r_idx)
+    z0 = int(r_idx_n[..., 1].min())
+    _, mT, hdT, injT, wav_pad = _pallas_operands(
+        vp, damp, jnp.asarray(wav), jnp.asarray(s_idx), jnp.asarray(s_w),
+        dt, nt, nseg * seg)
+    rows = pa.forward_rec_segments(
+        mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz, space_order=4,
+        spacing=model.spacing, z0=z0, n_checkpoints=nck, fs=fs,
+        interpret=True)
+    rec_p = np.asarray(_traces_from_rows(rows, jnp.asarray(r_idx),
+                                         jnp.asarray(r_w), z0, nt, nsteps,
+                                         vp.dtype))
+    scale = np.abs(np.asarray(recs)).max()
+    assert np.abs(rec_p - np.asarray(recs)).max() < 1e-5 * scale
+
+
+@pytest.mark.skipif(not pa.available(), reason="pallas unavailable")
+@pytest.mark.parametrize("fs", [False, True])
 def test_pallas_gradient_matches_xla_interpret(fs):
     """Reverse-sweep segment-recompute gradient kernel == XLA
     gradient_from_ckpt (interpret mode), with and without the free
