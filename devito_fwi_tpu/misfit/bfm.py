@@ -87,15 +87,24 @@ def _interp_c(f, X, Y, n1, n2):
 
 def _pushforward_map(dual, n1, n2):
     """Corner-grid map = central-difference gradient of the potential
-    (fot2d.c:294-325)."""
-    j = jnp.arange(n1 + 1, dtype=dual.dtype)
-    i = jnp.arange(n2 + 1, dtype=dual.dtype)
-    X, Y = jnp.meshgrid(j / n1, i / n2)          # (n2+1, n1+1)
-    xStep, yStep = 1.0 / n1, 1.0 / n2
-    xMap = 0.5 * n1 * (_interp_c(dual, X + xStep, Y, n1, n2) -
-                       _interp_c(dual, X - xStep, Y, n1, n2))
-    yMap = 0.5 * n2 * (_interp_c(dual, X, Y + yStep, n1, n2) -
-                       _interp_c(dual, X, Y - yStep, n1, n2))
+    (fot2d.c:294-325).
+
+    The C code evaluates bilinear interpolation of the cell-centered
+    potential at corner positions offset by exactly one grid step, so
+    every sample lands midway between two cell centers: the whole map is
+    a FIXED four-point stencil with edge clamping. Written as slices of
+    an edge-replicated pad instead of gathers (measured 89 ms -> ~3 ms
+    per map at Marmousi gather size on TPU v5e; identical values,
+    including the clamped corners/edges)."""
+    Fp = jnp.pad(dual, 2, mode="edge")           # (n2+4, n1+4)
+    # x-map: rows average (i-1, i)c, columns (j, j+1)c minus (j-2, j-1)c
+    Rf = Fp[1:n2 + 2, :] + Fp[2:n2 + 3, :]
+    xMap = 0.125 * n1 * (Rf[:, 2:n1 + 3] + Rf[:, 3:n1 + 4]
+                         - Rf[:, 0:n1 + 1] - Rf[:, 1:n1 + 2])
+    # y-map: columns average (j-1, j)c, rows (i, i+1)c minus (i-2, i-1)c
+    Cf = Fp[:, 1:n1 + 2] + Fp[:, 2:n1 + 3]
+    yMap = 0.125 * n2 * (Cf[2:n2 + 3, :] + Cf[3:n2 + 4, :]
+                         - Cf[0:n2 + 1, :] - Cf[1:n2 + 2, :])
     return xMap, yMap
 
 
