@@ -197,3 +197,25 @@ def test_nmo_correction_flattens_hyperbola():
     assert abs(int(peaks[0]) - int(round(t0 / dt))) <= 1
     # far-offset samples beyond the trace end are muted, not wrapped
     assert np.all(out[-1, -5:] == 0.0)
+
+
+def test_pickle_roundtrip():
+    """Sources/geometry pickle cleanly (reference Pickable support,
+    seismic/source.py:172-174, utils.py:188-189 — needed there for dask
+    workers; here it keeps user workflows like result caching working)."""
+    import pickle
+    from devito_fwi_tpu import demo_model, AcquisitionGeometry
+    from devito_fwi_tpu.models.sources import PointSource, RickerSource
+    from devito_fwi_tpu.models.timeaxis import TimeAxis
+    ta = TimeAxis(start=0., stop=100., step=1.0)
+    src = RickerSource(name="src", time_range=ta, f0=0.010)
+    assert np.allclose(pickle.loads(pickle.dumps(src)).data, src.data)
+    p = PointSource(name="rec", time_range=ta, coordinates=np.zeros((3, 2)))
+    p.data[:] = 1.5
+    assert np.allclose(pickle.loads(pickle.dumps(p)).data, p.data)
+    m = demo_model("circle-isotropic", shape=(21, 21), spacing=(10., 10.),
+                   nbl=5)
+    g = AcquisitionGeometry(m, np.zeros((3, 2)), np.zeros((1, 2)), 0.,
+                            100., f0=0.01, src_type="Ricker")
+    g2 = pickle.loads(pickle.dumps(g))
+    assert g2.nt == g.nt and np.allclose(g2.src.data, g.src.data)
