@@ -359,6 +359,9 @@ def _pallas_z0(geometry):
         return None
     if jax.default_backend() != "tpu":
         return None
+    if jax.config.jax_enable_x64:
+        # x64 promotion inside the f32 kernels breaks Mosaic tracing
+        return None
     model = geometry.model
     if model.dtype != np.float32 or model.dim != 2:
         return None
