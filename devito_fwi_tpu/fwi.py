@@ -457,6 +457,16 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     nx, nz = vp.shape
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
 
+    if not calc_grad:
+        # line-search trials: receiver-rows-only kernel (no checkpoint /
+        # illumination writes)
+        rec = _fm_batch_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w,
+                               dt, nt=nt, spacing=spacing,
+                               space_order=space_order,
+                               n_checkpoints=n_checkpoints, z0=z0, fs=fs)
+        fvals, res = jax.vmap(misfit_jax)(rec - dw, obs - dw)
+        return jnp.sum(fvals), res
+
     rec, segT, illumT, m, mT, hdT, injT, wav_pad = _pallas_fwd(
         vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, nt=nt,
         spacing=spacing, space_order=space_order,
@@ -466,8 +476,6 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     obs_c = obs - dw
     fvals, res = jax.vmap(misfit_jax)(syn, obs_c)
     fval = jnp.sum(fvals)
-    if not calc_grad:
-        return fval, res
 
     res_rows = _pa.residual_rows(res, r_idx, r_w, m, dt * dt, z0, nsteps,
                                  seg, nseg)
