@@ -76,7 +76,11 @@ def available():
 
 def bfm_gradient(f, g, num_steps=10, step_scale=1.0, nsub=2):
     """(loss, grad) of the 2-D quadratic-Wasserstein distance; f, g are
-    (nt, ntraces) = (n2, n1) row-major arrays like the JAX ``bfm_jax``."""
+    (nt, ntraces) = (n2, n1) row-major arrays like the JAX ``bfm_jax``.
+    ``nsub=0`` selects the reference binary's per-cell ADAPTIVE
+    pushforward supersampling (fot2d.c:405-406); positive values use a
+    fixed nsub x nsub grid (2 = the reference's minimum, and what the
+    jittable JAX solver uses)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native bfm2d library unavailable")

@@ -416,11 +416,16 @@ struct Workspace {
         double yStretch = std::max(std::fabs(c10y - c00y),
                                    std::fabs(c11y - c01y));
         if (xStretch >= xCut || yStretch >= yCut) continue;
-        double mass = m / (nsub * nsub);
-        for (int l = 0; l < nsub; ++l) {
-          double bb = (l + 0.5) / nsub;
-          for (int k = 0; k < nsub; ++k) {
-            double aa = (k + 0.5) / nsub;
+        // nsub > 0: fixed supersampling (jittable-JAX-compatible);
+        // nsub <= 0: the reference's per-cell adaptive sample counts
+        // (fot2d.c:405-406, truncating int conversion included)
+        int xs = nsub > 0 ? nsub : (int)(2 * std::fmax(n1 * xStretch, 1.0));
+        int ys = nsub > 0 ? nsub : (int)(2 * std::fmax(n2 * yStretch, 1.0));
+        double mass = m / ((double)xs * ys);
+        for (int l = 0; l < ys; ++l) {
+          double bb = (l + 0.5) / ys;
+          for (int k = 0; k < xs; ++k) {
+            double aa = (k + 0.5) / xs;
             double xP = (1 - bb) * (1 - aa) * c00x + (1 - bb) * aa * c01x +
                         bb * (1 - aa) * c10x + aa * bb * c11x;
             double yP = (1 - bb) * (1 - aa) * c00y + (1 - bb) * aa * c01y +
@@ -497,7 +502,7 @@ extern "C" {
 int bfm2d_gradient(const float* f, const float* g, int n1, int n2,
                    int num_steps, float step_scale, int nsub, float* grad,
                    float* loss) {
-  if (n1 < 2 || n2 < 2 || num_steps < 1 || nsub < 1) return 1;
+  if (n1 < 2 || n2 < 2 || num_steps < 1 || nsub < 0) return 1;
   size_t pc = (size_t)n1 * n2;
   Workspace ws;
   ws.init(n1, n2);
@@ -573,7 +578,7 @@ int bfm2d_ctransform(const float* u, int n1, int n2, float* out) {
 // of the `w2` extension `pushforward`).
 int bfm2d_pushforward(const float* mu, const float* dual, int n1, int n2,
                       int nsub, float* rho) {
-  if (n1 < 2 || n2 < 2 || nsub < 1) return 1;
+  if (n1 < 2 || n2 < 2 || nsub < 0) return 1;
   size_t pc = (size_t)n1 * n2;
   Workspace ws;
   ws.init(n1, n2);

