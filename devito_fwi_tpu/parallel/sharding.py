@@ -330,11 +330,15 @@ def _domain_sharded_fields(model, mesh):
     the domain is unchanged to float rounding."""
     from jax.sharding import NamedSharding
 
-    spec = P(*mesh.axis_names)
+    ndim = len(model.padded_shape)
+    # mesh axes map onto the LEADING grid dims; trailing dims (e.g. z of
+    # a 3-D grid under a 2-D ('dx','dy') mesh) stay replicated/unsharded
+    names = list(mesh.axis_names) + [None] * (ndim - len(mesh.axis_names))
+    spec = P(*names[:ndim])
     sharding = NamedSharding(mesh, spec)
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    pads = [(0, (-n) % sizes.get(ax, 1)) for n, ax in
-            zip(model.padded_shape, mesh.axis_names)]
+    pads = [(0, (-n) % sizes.get(ax, 1)) if ax is not None else (0, 0)
+            for n, ax in zip(model.padded_shape, names[:ndim])]
     vp = jax.device_put(jnp.asarray(np.pad(model.vp, pads, mode="edge")),
                         sharding)
     if isinstance(model.damp, np.ndarray):
