@@ -28,7 +28,17 @@ Update equations (reference ``elastic/operators.py:62-65``):
 
 with source ``w_p src[t] dt`` injected into the diagonal stresses at t+1
 and receivers recording tau_zz (rec1) and div v (rec2) at t
-(``elastic/operators.py:6-31``). The viscoelastic SLS variant adds the
+(``elastic/operators.py:6-31``). The rec2 observable follows devito's
+expression-interpolation convention for staggered fields, reverse-
+engineered against the reference golden 0.627606: each ``v[i].d{i}`` is
+evaluated as the *centered* first derivative on the component's own
+staggered grid (integer offsets, zero center weight — not the half-node
+staggered stencil used inside the update equations), and the interpolation
+gathers those values with plain node-index bilinear weights (devito's
+index-space substitution applies the node corner weights to the staggered
+index grid without an origin correction). This reproduces the reference
+rec2 norms to 3e-6 (elastic) where the node D⁻ divergence convention is
+2.7% off. The viscoelastic SLS variant adds the
 memory tensor r with relaxation times t_s, t_ep, t_es derived from qp/qs/f0
 (``viscoelastic/operators.py:30-58``). Both systems are forward-only in
 the reference; time loop t = 0..nt-2 (time_order=1 fields).
@@ -41,10 +51,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.fd import fd_weights
 from .self_adjoint import staggered_weights, shifted_derivative
 
 __all__ = ["elastic_forward", "viscoelastic_forward", "avg_to", "d_plus",
-           "d_minus"]
+           "d_minus", "d_centered"]
 
 
 # ---------------------------------------------------------------------------
@@ -54,6 +65,21 @@ __all__ = ["elastic_forward", "viscoelastic_forward", "avg_to", "d_plus",
 def _wgt(space_order, dtype):
     w_p, off_p, w_m, off_m = staggered_weights(space_order)
     return (jnp.asarray(w_p, dtype), off_p, jnp.asarray(w_m, dtype), off_m)
+
+
+def _cwgt(space_order, dtype):
+    r = space_order // 2
+    off = np.arange(-r, r + 1)
+    return jnp.asarray(fd_weights(1, off, 0.0), dtype), off
+
+
+def d_centered(u, cwgt, axis, inv_h):
+    """Centered first derivative on the field's *own* grid (integer offsets,
+    zero center weight) — the evaluation devito produces for a bare ``f.dx``
+    of a staggered function with no target stagger, as in the receiver
+    expression ``rec2.interpolate(expr=div(v))``."""
+    w, off = cwgt
+    return shifted_derivative(u, w, off, axis, inv_h)
 
 
 def d_plus(u, wgt, axis, inv_h):
@@ -111,6 +137,7 @@ def elastic_forward(lam, mu, b, damp, src_wav, src_idx, src_w, rec_idx,
     dtype = lam.dtype
     ndim = len(spacing)
     wgt = _wgt(space_order, dtype)
+    cwgt = _cwgt(space_order, dtype)
     inv_h = [jnp.asarray(1.0 / h, dtype=dtype) for h in spacing]
     s = jnp.asarray(dt, dtype=dtype)
     pairs = _pairs(ndim)
@@ -127,9 +154,10 @@ def elastic_forward(lam, mu, b, damp, src_wav, src_idx, src_w, rec_idx,
 
     def step(carry, src_t):
         v, td, to = carry
-        # receivers sample fields at time t
+        # receivers sample fields at time t; rec2 uses the centered
+        # own-grid derivative per component (see module docstring)
         rec1_t = jnp.sum(_gather(td[-1], rec_idx) * rec_w, axis=-1)
-        div_v = sum(d_minus(v[i], wgt, i, inv_h[i]) for i in range(ndim))
+        div_v = sum(d_centered(v[i], cwgt, i, inv_h[i]) for i in range(ndim))
         rec2_t = jnp.sum(_gather(div_v, rec_idx) * rec_w, axis=-1)
 
         # v[t+1] = damp (v + dt b div(tau))
@@ -184,6 +212,7 @@ def viscoelastic_forward(lam, mu, b, qp, qs, damp, f0, src_wav, src_idx,
     dtype = lam.dtype
     ndim = len(spacing)
     wgt = _wgt(space_order, dtype)
+    cwgt = _cwgt(space_order, dtype)
     inv_h = [jnp.asarray(1.0 / h, dtype=dtype) for h in spacing]
     s = jnp.asarray(dt, dtype=dtype)
     f0 = jnp.asarray(f0, dtype=dtype)
@@ -211,7 +240,7 @@ def viscoelastic_forward(lam, mu, b, qp, qs, damp, f0, src_wav, src_idx,
     def step(carry, src_t):
         v, td, to, rd, ro = carry
         rec1_t = jnp.sum(_gather(td[-1], rec_idx) * rec_w, axis=-1)
-        div_v = sum(d_minus(v[i], wgt, i, inv_h[i]) for i in range(ndim))
+        div_v = sum(d_centered(v[i], cwgt, i, inv_h[i]) for i in range(ndim))
         rec2_t = jnp.sum(_gather(div_v, rec_idx) * rec_w, axis=-1)
 
         vn = []

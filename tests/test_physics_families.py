@@ -10,22 +10,15 @@ Reference baselines (BASELINE.md / SURVEY.md §6):
   684.385 / 18.774 / 677.673 / 17.995 / 673.041 / 18.488, atol 1e-2
   (``seismic/viscoacoustic/viscoacoustic_example.py:39-50``)
 
-Documented divergence with a quantified error model: the rec2 = div(v)
-traces of the elastic/viscoelastic solvers use our convention (D-
-divergence at nodes, bilinear gather at the receivers). devito's
-expression-interpolation convention for ``div(v)`` of half-cell-staggered
-velocity components differs (reference golden 0.627606 / 0.312461 vs our
-0.644416 / 0.320740, 2.7%). Six candidate conventions were implemented
-and none reproduces the golden to 1e-3: receiver half-cell shifts
-(+-h/2 in x, z, both -> 0.5758 / 0.5828 / 0.5197 / 0.8165), per-term
-derivative sampling at each component's own staggered position
-(+h/2 -> 0.5522, -h/2 -> 0.6344), and D+ divergence at nodes (0.6365).
-The golden lies strictly inside this convention envelope
-[0.5197, 0.8165], the envelope spread is first order in h (10.6% at
-h=20 m -> 3.7% at h=10.2 m on the same physical domain), and rec1 — the
-physical stress observable — matches the reference to <1e-4 under every
-convention. rec2 is therefore a sampling-convention-dependent diagnostic
-of a derived field, pinned below to our own regression value.
+The rec2 = div(v) traces follow devito's expression-interpolation
+convention for staggered fields, reverse-engineered against the
+reference goldens (0.627606 elastic / 0.312461 viscoelastic): each
+``v[i].d{i}`` is the centered first derivative on the component's own
+staggered grid, gathered with node-index bilinear weights (see
+``ops/staggered.py`` module docstring). This reproduces the elastic
+golden to 3e-6; seven other candidate conventions (node D-/D+
+divergence, receiver half-cell shifts, staggered-weight gathers) land
+0.52-0.82 and were rejected.
 """
 import numpy as np
 import pytest
@@ -50,7 +43,7 @@ def _run_elastic(shape=(50, 50), spacing=(20., 20.), tn=1000., nbl=40,
 def test_elastic_golden():
     rec1, rec2 = _run_elastic()
     assert np.isclose(np.linalg.norm(rec1.data), 19.25636, atol=1e-3, rtol=0)
-    assert np.isclose(np.linalg.norm(rec2.data), 0.644416, atol=1e-3, rtol=0)
+    assert np.isclose(np.linalg.norm(rec2.data), 0.627606, atol=1e-3, rtol=0)
 
 
 @pytest.mark.parametrize("ndim", [1, 2, 3])
@@ -70,7 +63,7 @@ def test_viscoelastic_golden():
     solver = ViscoelasticWaveSolver(model, geometry, space_order=4)
     rec1, rec2, _, _, _ = solver.forward()
     assert np.isclose(np.linalg.norm(rec1.data), 12.28040, atol=1e-3, rtol=0)
-    assert np.isclose(np.linalg.norm(rec2.data), 0.320740, atol=1e-3, rtol=0)
+    assert np.isclose(np.linalg.norm(rec2.data), 0.312461, atol=1e-3, rtol=0)
 
 
 def test_viscoelastic_stability():
