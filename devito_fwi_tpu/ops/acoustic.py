@@ -141,9 +141,13 @@ def _update(u, u_prev, lap_u, q, m, hd, s2):
     return (s2 * (lap_u + q) + (2.0 * m + hd) * u - m * u_prev) / (m + hd)
 
 
-def _prep(vp, damp, dt, spacing, space_order):
+def _prep(vp, damp, dt, spacing, space_order, w_override=None):
     dtype = vp.dtype
-    w = jnp.asarray(second_derivative_weights(space_order)[space_order // 2:],
+    if w_override is None:
+        w_full = second_derivative_weights(space_order)
+    else:
+        w_full = np.asarray(w_override)  # full symmetric stencil (2r+1,)
+    w = jnp.asarray(w_full[len(w_full) // 2:],
                     dtype=dtype)  # [w0, w1, ..., wr] (symmetric)
     inv_h2 = [jnp.asarray(1.0 / (h * h), dtype=dtype) for h in spacing]
     m = 1.0 / (vp * vp)
@@ -158,15 +162,22 @@ def _prep(vp, damp, dt, spacing, space_order):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("nt", "space_order", "kernel", "fs",
-                                   "save", "spacing"))
+                                   "save", "spacing", "w_override"))
 def forward(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
-            nt, spacing, space_order=4, kernel="OT2", fs=False, save=False):
+            nt, spacing, space_order=4, kernel="OT2", fs=False, save=False,
+            w_override=None):
     """Forward acoustic modeling.
 
     Returns (rec, u) where rec is (nt, nrec) and u is the saved wavefield
     (nt, *grid) if `save` else the final two time slices (2, *grid).
+
+    `w_override` (hashable tuple, full symmetric stencil of width
+    2*(space_order//2)+1) substitutes custom second-derivative weights —
+    e.g. ``utils.fd.drp_second_derivative_weights`` — the analog of
+    devito's ``coefficients='symbolic'`` (tutorial 07_DRP_schemes).
     """
-    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order,
+                                 w_override)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_src = _gather(m, src_idx)
     src_scale = src_w * s2 / m_src          # (nsrcpt, 2**d)

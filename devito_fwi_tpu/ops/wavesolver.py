@@ -108,12 +108,18 @@ class AcousticWaveSolver:
         rec = rec or self.geometry.rec
         vp = self._vp(vp)
         dt = kwargs.pop("dt", self.dt)
+        # custom FD coefficients (devito coefficients='symbolic' analog,
+        # tutorial 07_DRP_schemes) — hashable for the jit cache
+        w_override = kwargs.pop("w_override", None)
+        if w_override is not None:
+            w_override = tuple(float(x) for x in w_override)
         s_idx, s_w = self._tables(src.coordinates)
         r_idx, r_w = self._tables(rec.coordinates)
 
         tic = _time.perf_counter()
         rec_data, u_out = _ac.forward(vp, self._damp(), src.data, s_idx, s_w,
                                       r_idx, r_w, dt, save=bool(save),
+                                      w_override=w_override,
                                       **self._static())
         rec_data.block_until_ready()
         toc = _time.perf_counter()

@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["fd_weights", "second_derivative_weights", "damping_profile",
+__all__ = ["fd_weights", "second_derivative_weights",
+           "drp_second_derivative_weights", "damping_profile",
            "pad_edge", "cfl_coefficient"]
 
 
@@ -66,6 +67,51 @@ def second_derivative_weights(space_order: int) -> np.ndarray:
     if r < 1:
         raise ValueError("space_order must be >= 2")
     return fd_weights(2, np.arange(-r, r + 1), 0.0)
+
+
+def drp_second_derivative_weights(space_order: int,
+                                  theta_max: float = 1.8) -> np.ndarray:
+    """Dispersion-reduced (DRP) second-derivative weights of the same
+    stencil width as ``second_derivative_weights(space_order)``.
+
+    The TPU-native analog of the reference's custom-coefficient study
+    (``seismic/tutorials/07_DRP_schemes.ipynb``, devito
+    ``coefficients='symbolic'``): instead of matching the maximal Taylor
+    order, the symmetric weights minimize the dispersion error
+
+        int_0^theta_max [ W(theta) + theta^2 ]^2 dtheta,
+        W(theta) = w0 + 2 sum_j w_j cos(j theta)
+
+    over the wavenumber band theta = k h in [0, theta_max], subject to
+    consistency (W(0) = 0) and exact second-order accuracy
+    (sum_j j^2 w_j = 1). Solved as an equality-constrained least-squares
+    (KKT) system. Larger ``theta_max`` trades small-k accuracy for a
+    wider accurate band (usable down to ~4 points per wavelength). The
+    default band reproduces the tutorial's published order-10 upper-layer
+    weight table [-3.05033, 1.77768, -0.315476, ...] to ~3 decimals.
+    """
+    r = space_order // 2
+    if r < 2:
+        raise ValueError("DRP needs space_order >= 4")
+    # unknowns: w_1..w_r (w0 follows from W(0)=0)
+    theta = np.linspace(0.0, theta_max, 400)
+    # W(theta) = sum_j w_j (2 cos(j theta) - 2); target -theta^2
+    A = np.stack([2.0 * np.cos(j * theta) - 2.0 for j in range(1, r + 1)],
+                 axis=1)
+    b = -theta ** 2
+    # constraint: sum_j j^2 w_j = 1
+    C = np.array([[float(j * j) for j in range(1, r + 1)]])
+    d = np.array([1.0])
+    n = r
+    kkt = np.zeros((n + 1, n + 1))
+    kkt[:n, :n] = A.T @ A
+    kkt[:n, n:] = C.T
+    kkt[n:, :n] = C
+    rhs = np.concatenate([A.T @ b, d])
+    sol = np.linalg.solve(kkt, rhs)
+    wj = sol[:n]
+    w0 = -2.0 * np.sum(wj)
+    return np.concatenate([wj[::-1], [w0], wj])
 
 
 def cfl_coefficient(space_order: int, ndim: int, elastic: bool = False) -> float:
