@@ -25,7 +25,7 @@ from ..ops import acoustic as _ac
 
 __all__ = ["shot_mesh", "fm_multi_sharded", "fwi_obj_sharded",
            "domain_mesh", "forward_domain_sharded",
-           "gradient_domain_sharded"]
+           "gradient_domain_sharded", "hier_mesh", "fwi_obj_sharded2d"]
 
 
 def shot_mesh(devices=None):
@@ -347,6 +347,128 @@ def _domain_sharded_fields(model, mesh):
     else:
         damp = model.dtype(0.0)
     return vp, damp, pads
+
+
+def hier_mesh(axis_sizes, devices=None):
+    """2-D hierarchical mesh ``('shots', 'dx')`` — shots on the outer axis
+    (DCN-friendly: only one psum of scalars/gradients at the end), the
+    spatial grid's leading dim on the inner axis (halo exchanges every
+    stencil step, so it should ride ICI)."""
+    devices = np.array(devices if devices is not None else jax.devices())
+    n = int(np.prod(axis_sizes))
+    return Mesh(devices[:n].reshape(axis_sizes), ("shots", "dx"))
+
+
+def fwi_obj_sharded2d(geometry, obs, misfit_func, direct_wave=None,
+                      mask=None, precond=True, calc_grad=False, mesh=None,
+                      axis_sizes=None):
+    """Hierarchical multi-shot FWI objective: shots sharded over the
+    'shots' mesh axis AND the spatial grid sharded over the 'dx' axis,
+    in one jitted program (pure GSPMD — no shard_map). This composes the
+    dask-replacement (shot parallelism) with the devito-MPI replacement
+    (domain decomposition) the way a large 3-D survey would run on a pod:
+    each shot's wavefield lives on a 'dx' device column, halo exchanges
+    ride ICI, and the cross-shot gradient reduction is a single psum
+    inserted by the partitioner for the ``sum`` over the shot axis.
+
+    Requires a traceable (device) misfit. Returns (fval, grad) like
+    ``fwi_obj_sharded``."""
+    from jax.sharding import NamedSharding
+    from ..fwi import (_batched_tables, _solver_dt, _misfit_jax,
+                       _fix_illum_jax, _pads, _crop, _default_checkpoints)
+
+    misfit_jax = _misfit_jax(misfit_func)
+    if misfit_jax is None:
+        raise ValueError("fwi_obj_sharded2d needs a traceable misfit; use "
+                         "fwi_obj_sharded for host-side misfits")
+    model = geometry.model
+    if mesh is None:
+        ndev = len(jax.devices())
+        mesh = hier_mesh(axis_sizes or (max(1, ndev // 2), 2))
+    S, D = mesh.devices.shape
+
+    # grid leading dim padded to a multiple of the 'dx' axis and sharded;
+    # replicated over 'shots'
+    n0 = model.padded_shape[0]
+    gpads = [((0, (-n0) % D) if d == 0 else (0, 0))
+             for d in range(len(model.padded_shape))]
+    grid_sh = NamedSharding(mesh, P("dx"))
+    vp = jax.device_put(jnp.asarray(np.pad(model.vp, gpads, mode="edge")),
+                        grid_sh)
+    if isinstance(model.damp, np.ndarray):
+        damp = jax.device_put(
+            jnp.asarray(np.pad(model.damp, gpads, mode="edge")), grid_sh)
+    else:
+        damp = model.dtype(0.0)
+
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    dt = _solver_dt(geometry)
+    pads = _pads(model)
+    nck = _default_checkpoints(geometry.nt)
+    static = dict(nt=geometry.nt, spacing=model.spacing,
+                  space_order=model.space_order, kernel="OT2", fs=model.fs)
+    shape = model.shape
+    spacing = model.spacing
+
+    obs_stack = jnp.stack([jnp.asarray(o.data) for o in obs])
+    if direct_wave is not None:
+        dw_stack = jnp.stack([jnp.asarray(d.data) for d in direct_wave])
+    else:
+        dw_stack = jnp.zeros_like(obs_stack)
+    (s_idx_p, s_w_p, obs_p, dw_p, sp_p), valid = _pad_shots(
+        [jnp.asarray(s_idx), jnp.asarray(s_w), obs_stack, dw_stack,
+         jnp.asarray(geometry.src_positions, dtype=model.dtype)],
+        geometry.nsrc, S, model.dtype)
+    shot_sh = NamedSharding(mesh, P("shots"))
+    s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid = (
+        jax.device_put(a, shot_sh)
+        for a in (s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid))
+    rec_positions = jnp.asarray(geometry.rec_positions)
+    r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
+    src_wav = jnp.asarray(src_wav)
+
+    @partial(jax.jit, static_argnames=("calc_grad",))
+    def run(vp, damp, src_wav, si, sw, r_idx, r_w, ob, dw, sp, w, rec_pos,
+            calc_grad):
+        def per_shot(si_i, sw_i, obs_i, dw_i, sp_i, w_i):
+            if calc_grad:
+                rec, seg_starts, illum_pad = _ac.forward_ckpt(
+                    vp, damp, src_wav, si_i, sw_i, r_idx, r_w, dt,
+                    n_checkpoints=nck, **static)
+            else:
+                rec, _ = _ac.forward(vp, damp, src_wav, si_i, sw_i, r_idx,
+                                     r_w, dt, save=False, **static)
+            syn = rec - dw_i
+            obs_c = obs_i - dw_i
+            fval, res = misfit_jax(syn, obs_c)
+            if not calc_grad:
+                return (fval * w_i, jnp.zeros(shape, vp.dtype),
+                        jnp.zeros(shape, vp.dtype))
+            grad, _ = _ac.gradient_from_ckpt(
+                vp, damp, src_wav, si_i, sw_i, seg_starts, res, r_idx, r_w,
+                dt, n_checkpoints=nck, **static)
+            crop = _crop(grad, pads, shape)
+            crop = _fix_illum_jax(crop, sp_i, rec_pos, spacing, shape)
+            illum = _crop(illum_pad, pads, shape)
+            illum = _fix_illum_jax(illum, sp_i, rec_pos, spacing, shape)
+            return fval * w_i, crop * w_i, illum * w_i
+
+        f, g, il = jax.vmap(per_shot)(si, sw, ob, dw, sp, w)
+        # the shot-axis sums lower to psum over 'shots'
+        return jnp.sum(f), jnp.sum(g, axis=0), jnp.sum(il, axis=0)
+
+    fval, grad, illum = run(vp, damp, src_wav, s_idx_p, s_w_p, r_idx, r_w,
+                            obs_p, dw_p, sp_p, valid, rec_positions,
+                            calc_grad=calc_grad)
+    fval = float(fval)
+    grad = np.array(grad, dtype=np.float64)
+    illum = np.array(illum, dtype=np.float64)
+    if calc_grad:
+        if precond:
+            grad /= np.sqrt(illum + 1e-30)
+        if mask is not None:
+            grad *= mask
+    return fval, grad
 
 
 def gradient_domain_sharded(geometry, residual, mesh=None, axis_sizes=None,

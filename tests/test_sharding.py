@@ -183,3 +183,22 @@ def test_domain_sharded_3d_forward_and_gradient():
     gscale = np.abs(grad_ref).max()
     assert grad_sh.shape == grad_ref.shape
     assert np.abs(grad_sh - grad_ref).max() < 1e-5 * gscale
+
+
+def test_hierarchical_shots_domain_objective_matches():
+    """Shots x domain 2-D mesh (GSPMD): 4 shot groups x 2-way grid split
+    over the 8 virtual devices reproduces the single-device objective +
+    gradient."""
+    from devito_fwi_tpu.parallel.sharding import hier_mesh, fwi_obj_sharded2d
+    g1, g0 = _setup()
+    obs = fm_multi(g1)
+    f_ref, grad_ref, _ = fwi_obj_multi(g0, obs, least_square,
+                                       calc_grad=True)
+    for axes in [(4, 2), (2, 4)]:
+        mesh = hier_mesh(axes)
+        f_sh, grad_sh = fwi_obj_sharded2d(g0, obs, least_square,
+                                          calc_grad=True, mesh=mesh)
+        assert np.isclose(f_sh, f_ref, rtol=1e-5)
+        ref = grad_ref.reshape(g0.model.shape)
+        scale = np.abs(ref).max()
+        assert np.abs(grad_sh - ref).max() < 1e-5 * scale
