@@ -39,7 +39,18 @@ def _legendre_last(u, s, max_tmp_elems=2_000_000):
     Evaluated in blocks of output rows: the naive broadcast materializes a
     (rows, n, n) intermediate — ~2 GB per Marmousi shot gather, which
     OOM-crashes the TPU worker under a vmap over shots. Blocking caps the
-    intermediate at ~max_tmp_elems while XLA still fuses the max-reduce."""
+    intermediate at ~max_tmp_elems while XLA still fuses the max-reduce.
+
+    Negative results (measured on the TPU chip, 8x(1357,101) Marmousi
+    batch, full 10-iteration bfm_jax loop — do not re-attempt without a
+    new end-to-end measurement):
+    * raising max_tmp_elems to 32M (fewer, larger scan steps) is 10x
+      faster for the transform standalone but changes the in-loop BFM
+      time by <1% — the loop is pushforward-scatter-bound;
+    * an exact O(n) convex fast path (slope-histogram argmax + cumsum)
+      for the convexification transforms is 3x faster standalone but
+      slower in-loop (TPU scatter/gather loses to the fused VPU
+      compare-reduce once vmapped over shots)."""
     n = s.shape[0]
     rows = 1 if u.ndim == 1 else u.shape[0]
     blk = max(8, min(n, max_tmp_elems // max(rows * n, 1)))
@@ -154,6 +165,11 @@ def _sampling_pushforward(mu, xMap, yMap, n1, n2, nsub):
                      (1 - xFrac) * yFrac * mass,
                      xFrac * (1 - yFrac) * mass,
                      xFrac * yFrac * mass]
+    # Negative result (measured, Marmousi batch, full loop): flattening to
+    # 1-D linear indices (`.at[y*n1+x].add`) looks better on a scatter
+    # microbenchmark with degenerate indices but is ~25% SLOWER in the
+    # real BFM loop (3.28 s vs 2.62 s per 8-shot batch) — keep the 2-D
+    # index form.
     yy = jnp.stack(ys_l).ravel()
     xx = jnp.stack(xs_l).ravel()
     vv = jnp.stack(vs_l).ravel()
