@@ -375,15 +375,24 @@ def _pallas_z0(geometry):
 
 def _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps, dtype):
     """Receiver rows -> traces: rec[1+g] = sum_c w_c * row[g, plane_c,
-    x_c]; rows beyond nsteps are layout padding."""
+    x_c]; rows beyond nsteps are layout padding.
+
+    Contracted on the MXU against a small scattered weight matrix
+    (2*nx, nrec) — the direct per-point gather costs tens of ms per
+    objective at Marmousi scale, the matmul well under one."""
     B = rec_rows.shape[0]
     nx = rec_rows.shape[-1]
-    rows = rec_rows.reshape(B, -1, 2, nx)[:, :nsteps]
+    nrec = r_idx.shape[0]
+    rows = rec_rows.reshape(B, -1, 2 * nx)[:, :nsteps]
     rxi = r_idx[:, :, 0]
     rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
-    tr = jnp.sum(rows[:, :, rplane, rxi] * r_w[None, None], axis=-1)
-    rec = jnp.zeros((B, nt, r_idx.shape[0]), dtype)
-    return rec.at[:, 1:nsteps + 1].set(tr)
+    W = jnp.zeros((2 * nx, nrec), jnp.float32)
+    W = W.at[rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
+        r_w.astype(jnp.float32))
+    tr = jnp.einsum("btq,qr->btr", rows.astype(jnp.float32), W,
+                    preferred_element_type=jnp.float32)
+    rec = jnp.zeros((B, nt, nrec), dtype)
+    return rec.at[:, 1:nsteps + 1].set(tr.astype(dtype))
 
 
 def _pallas_operands(vp, damp, src_wav, s_idx, s_w, dt, nt, total):
@@ -440,17 +449,24 @@ def _fm_batch_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
 
 @partial(jax.jit, static_argnames=("misfit_jax", "calc_grad", "nt",
                                    "spacing", "space_order", "pads", "shape",
-                                   "n_checkpoints", "z0", "dt", "fs"))
+                                   "n_checkpoints", "z0", "dt", "fs",
+                                   "stream"))
 def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
                         src_pos, rec_positions, dt, *, misfit_jax,
                         calc_grad, nt, spacing, space_order, pads, shape,
-                        n_checkpoints, z0, fs=False):
+                        n_checkpoints, z0, fs=False, stream=False):
     """All-shot fused objective on the Pallas VMEM-resident kernels:
     segment-checkpointed forward (receiver rows + seg starts + illum in
     one sweep), traceable misfit, then the reverse-sweep gradient kernel.
     Same outputs as ``_shots_fused``; measured ~2x the XLA scan path on
     the Marmousi bench (the reverse sweep keeps the recomputed d2u/dt2
-    history in VMEM instead of round-tripping HBM)."""
+    history in VMEM instead of round-tripping HBM).
+
+    With ``stream=True`` the forward kernel streams the d2u/dt2 history
+    to HBM and the reverse sweep skips the forward recompute — 2 stencil
+    sweeps per step instead of 3, same-arithmetic gradients. Callers
+    must bound the shot batch by ``stream_max_shots`` (the history is
+    ~nsteps x field bytes per shot)."""
     from .ops import pallas_acoustic as _pa
     from .ops.acoustic import _ckpt_layout
 
@@ -467,10 +483,20 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
         fvals, res = jax.vmap(misfit_jax)(rec - dw, obs - dw)
         return jnp.sum(fvals), res
 
-    rec, segT, illumT, m, mT, hdT, injT, wav_pad = _pallas_fwd(
-        vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, nt=nt,
-        spacing=spacing, space_order=space_order,
-        n_checkpoints=n_checkpoints, z0=z0, fs=fs)
+    if stream:
+        m, mT, hdT, injT, wav_pad = _pallas_operands(
+            vp, damp, src_wav, s_idx, s_w, dt, nt, nseg * seg)
+        rec_rows, dt2T, illumT = _pa.forward_dt2_segments(
+            mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz,
+            space_order=space_order, spacing=spacing, z0=z0,
+            n_checkpoints=n_checkpoints, fs=fs)
+        rec = _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps,
+                                vp.dtype)
+    else:
+        rec, segT, illumT, m, mT, hdT, injT, wav_pad = _pallas_fwd(
+            vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, nt=nt,
+            spacing=spacing, space_order=space_order,
+            n_checkpoints=n_checkpoints, z0=z0, fs=fs)
 
     syn = rec - dw
     obs_c = obs - dw
@@ -480,10 +506,16 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     res_rows = _pa.residual_rows(res, r_idx, r_w, m, dt * dt, z0, nsteps,
                                  seg, nseg)
 
-    gradT = _pa.gradient_segments(
-        mT, hdT, wav_pad, injT, segT, res_rows, dt, nt=nt, nx=nx, nz=nz,
-        space_order=space_order, spacing=spacing, z0=z0,
-        n_checkpoints=n_checkpoints, fs=fs)
+    if stream:
+        gradT = _pa.gradient_stream_segments(
+            mT, hdT, dt2T, res_rows, dt, nt=nt, nx=nx, nz=nz,
+            space_order=space_order, spacing=spacing, z0=z0,
+            n_checkpoints=n_checkpoints, fs=fs)
+    else:
+        gradT = _pa.gradient_segments(
+            mT, hdT, wav_pad, injT, segT, res_rows, dt, nt=nt, nx=nx, nz=nz,
+            space_order=space_order, spacing=spacing, z0=z0,
+            n_checkpoints=n_checkpoints, fs=fs)
     grad = jnp.swapaxes(gradT, -1, -2)
     illum = jnp.swapaxes(illumT, -1, -2)
 
@@ -541,10 +573,13 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     # Pallas VMEM-resident fast path (default-on on TPU for supported
     # geometries: 2-D f32 OT2, receivers on two z-planes; fs supported)
     z0 = pallas_nck = None
+    stream = False
     if statics["kernel"] == "OT2":
         z0 = _pallas_z0(geometry)
         if z0 is not None:
-            from .ops.pallas_acoustic import pick_n_checkpoints
+            from .ops.pallas_acoustic import (pick_n_checkpoints,
+                                              pick_stream_checkpoints,
+                                              stream_max_shots)
             nx_p, nz_p = model.padded_shape
             pallas_nck = pick_n_checkpoints(geometry.nt, nx_p, nz_p)
             pallas_nck = max(pallas_nck or 0, statics["n_checkpoints"]) \
@@ -553,6 +588,15 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
                 z0 = None
 
     chunk = min(nsrc, shot_chunk or nsrc)
+    if z0 is not None and calc_grad and \
+            os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
+        # streamed-history gradient: 2 stencil sweeps/step instead of 3;
+        # the HBM-resident d2u/dt2 history bounds the shot chunk
+        snck = pick_stream_checkpoints(geometry.nt, nx_p, nz_p)
+        if snck is not None:
+            stream = True
+            pallas_nck = max(snck, statics["n_checkpoints"])
+            chunk = min(chunk, stream_max_shots(geometry.nt, nx_p, nz_p))
     fvals, residuals = [], []
     grads, illums = [], []
     for lo in range(0, nsrc, chunk):
@@ -566,7 +610,8 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
                 spacing=statics["spacing"],
                 space_order=statics["space_order"], pads=statics["pads"],
                 shape=statics["shape"],
-                n_checkpoints=pallas_nck, z0=z0, fs=statics["fs"])
+                n_checkpoints=pallas_nck, z0=z0, fs=statics["fs"],
+                stream=stream)
         else:
             out = _shots_fused(vp, damp, src_wav, s_idx[lo:hi],
                                s_w[lo:hi], r_idx, r_w, obs_stack[lo:hi],
@@ -577,14 +622,20 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
         if calc_grad:
             grads.append(out[2])
             illums.append(out[3])
-    fval = float(_sum_scalars(jnp.stack(fvals)))
+    # one device->host round trip for everything (each float()/asarray()
+    # would otherwise block on the ~26 ms tunnel separately)
     residuals = ResidualStack(residuals)
     grad = np.zeros(model.shape, dtype=np.float64)
     illum = np.zeros(model.shape, dtype=np.float64)
     if calc_grad:
-        g, il = _sum_fields(jnp.stack(grads), jnp.stack(illums))
-        grad += np.asarray(g, dtype=np.float64)
-        illum += np.asarray(il, dtype=np.float64)
+        f_d = _sum_scalars(jnp.stack(fvals))
+        g_d, il_d = _sum_fields(jnp.stack(grads), jnp.stack(illums))
+        f_h, g_h, il_h = jax.device_get((f_d, g_d, il_d))
+        fval = float(f_h)
+        grad += np.asarray(g_h, dtype=np.float64)
+        illum += np.asarray(il_h, dtype=np.float64)
+    else:
+        fval = float(_sum_scalars(jnp.stack(fvals)))
     return fval, grad, illum, residuals
 
 

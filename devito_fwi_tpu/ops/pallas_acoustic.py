@@ -34,7 +34,9 @@ import numpy as np
 from ..utils.fd import second_derivative_weights
 
 __all__ = ["forward_rows", "forward_traces", "geometry_supported",
-           "available", "gradient_segments", "gradient_from_ckpt_pallas"]
+           "available", "gradient_segments", "gradient_from_ckpt_pallas",
+           "forward_dt2_segments", "gradient_stream_segments",
+           "pick_stream_checkpoints", "stream_max_shots"]
 
 
 def available():
@@ -206,19 +208,29 @@ def residual_rows(res_stack, r_idx, r_w, m, s2, z0, nsteps, seg, nseg):
     """Fold the receiver interpolation weights and s^2/m into dense
     two-z-plane rows, (B, nseg, seg, 2, nx) — matching the transposed
     (nz, nx) field layout where the planes are two sublane rows.
-    Traceable; `m` is the untransposed (nx, nz) squared slowness."""
+    Traceable; `m` is the untransposed (nx, nz) squared slowness.
+
+    Evaluated as one MXU matmul against a small scattered weight matrix
+    (nrec, 2*nx) instead of a (B*total*nrec)-point scatter-add: the
+    direct scatter runs at ~130M updates/s on TPU (~90 ms on the
+    Marmousi bench — more than a whole wavefield sweep), the matmul at
+    well under a millisecond."""
     B = res_stack.shape[0]
     nx = m.shape[0]
+    nrec = res_stack.shape[2]
     total = nseg * seg
     xi = r_idx[:, :, 0]
     zi = r_idx[:, :, 1]
     plane = (zi != z0).astype(jnp.int32)
-    scale = r_w * s2 / m[xi, zi]
-    res_pad = jnp.zeros((B, total, res_stack.shape[2]), res_stack.dtype)
-    res_pad = res_pad.at[:, :nsteps].set(res_stack[:, 1:nsteps + 1])
-    rows = jnp.zeros((B, total, 2, nx), jnp.float32)
-    rows = rows.at[:, :, plane, xi].add(
-        res_pad[..., None] * scale[None, None])
+    scale = (r_w * s2 / m[xi, zi]).astype(jnp.float32)
+    # V[r, p*nx + x] = sum over this receiver's corners with plane p, x
+    V = jnp.zeros((nrec, 2 * nx), jnp.float32)
+    V = V.at[jnp.arange(nrec)[:, None], plane * nx + xi].add(scale)
+    res_pad = jnp.zeros((B, total, nrec), jnp.float32)
+    res_pad = res_pad.at[:, :nsteps].set(
+        res_stack[:, 1:nsteps + 1].astype(jnp.float32))
+    rows = jnp.einsum("btr,rq->btq", res_pad, V,
+                      preferred_element_type=jnp.float32)
     return rows.reshape(B, nseg, seg, 2, nx)
 
 
@@ -555,6 +567,248 @@ def gradient_segments(m, hd, wav_pad, inj, seg_starts, res_rows, dt, *, nt,
         interpret=interpret,
     )(wav_pad, m, hd, inj, seg_starts, res_rows)
     return out
+
+
+# ---------------------------------------------------------------------------
+# streamed-history gradient: the forward kernel writes the d2u/dt2 history
+# to HBM as a pipelined output block per segment (the DMA overlaps the next
+# segment's compute), and the reverse kernel consumes it in reverse segment
+# order — eliminating the forward-recompute sweep entirely. Arithmetic
+# matches forward_ckpt_segments + gradient_segments (the dt2
+# values are produced by the exact same update formula, and the adjoint
+# accumulation order is unchanged); the cost model changes from 3 stencil
+# sweeps per step (fwd + recompute + adjoint) to 2 plus ~0.3 field-writes
+# of hidden DMA. HBM capacity bounds the shot batch: ~nsteps x padded-field
+# bytes per shot (~400 MB on the Marmousi bench), so callers chunk shots
+# via ``stream_max_shots``.
+# ---------------------------------------------------------------------------
+
+def _fwd_dt2_kernel(wav_ref, m_ref, hd_ref, inj_ref, dt2out_ref, recout_ref,
+                    illum_ref, u_ref, up_ref, *, seg, nsteps, nx, nz, w,
+                    inv_h2x, inv_h2z, z0, fs):
+    """One (shot b, segment j) grid step of the history-streaming forward:
+    identical leapfrog to ``_fwd_ckpt_kernel``, but instead of segment-start
+    checkpoints it emits the segment's d2u/dt2 history (un - 2u + up, the
+    s^2-scaled second time derivative) as an output block."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    base = j * seg
+
+    m = m_ref[:]
+    hd = hd_ref[:]
+    denom = 1.0 / (m + hd)
+    two_m_hd = 2.0 * m + hd
+    inj = inj_ref[:]
+    lap = _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+        up_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+        illum_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    def body(i, _):
+        u = u_ref[:]
+        up = up_ref[:]
+        recout_ref[i] = u[z0:z0 + 2, :]
+        un = (lap(u) + two_m_hd * u - m * up) * denom \
+            + wav_ref[base + i] * inj
+        dt2out_ref[i] = un - 2.0 * u + up
+
+        @pl.when(base + i < nsteps)
+        def _():
+            illum_ref[:] = illum_ref[:] + un * un
+
+        u_ref[:] = un
+        up_ref[:] = u
+        return 0
+
+    jax.lax.fori_loop(0, seg, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "n_checkpoints",
+                                   "interpret", "dt", "fs"))
+def forward_dt2_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
+                         space_order, spacing, z0, n_checkpoints,
+                         fs=False, interpret=False):
+    """Segment-grid Pallas forward that streams the d2u/dt2 history to HBM.
+    Transposed operands like ``forward_ckpt_segments``. Returns
+    (rec_rows (B, nseg, seg, 2, nx), dt2 (B, nseg, seg, nz, nx),
+    illum (B, nz, nx))."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+    from .acoustic import _ckpt_layout
+
+    w = tuple(float(v) for v in
+              np.asarray(second_derivative_weights(space_order)
+                         [space_order // 2:]))
+    s2 = float(dt) ** 2
+    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
+    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    B = inj.shape[0]
+
+    kern = partial(_fwd_dt2_kernel, seg=seg, nsteps=nsteps, nx=nx, nz=nz,
+                   w=w, inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0, fs=fs)
+
+    dt2, rec_rows, illum = pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # wav_pad
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # hd
+            pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),            # inj
+        ],
+        out_specs=(
+            pl.BlockSpec((None, None, seg, nz, nx),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # dt2 history
+            pl.BlockSpec((None, None, seg, 2, nx),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # rec rows
+            pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),            # illum
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nseg, seg, nz, nx), jnp.float32),
+            jax.ShapeDtypeStruct((B, nseg, seg, 2, nx), jnp.float32),
+            jax.ShapeDtypeStruct((B, nz, nx), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32),    # u
+                        pltpu.VMEM((nz, nx), jnp.float32)],   # up
+        interpret=interpret,
+    )(wav_pad, m, hd, inj)
+    return rec_rows, dt2, illum
+
+
+def _grad_stream_kernel(m_ref, hd_ref, dt2_ref, res_ref, grad_ref,
+                        v_ref, vn_ref, *, seg, nsteps, nx, nz, w,
+                        inv_h2x, inv_h2z, z0, neg_inv_s2, fs):
+    """One (shot b, reversed-segment j) grid step of the streamed-history
+    gradient: the adjoint sweep of ``_grad_kernel`` with the recompute
+    removed — the segment's d2u/dt2 history arrives as a pipelined input
+    block. Accumulation order matches ``_grad_kernel`` exactly."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    nseg = pl.num_programs(1)
+
+    m = m_ref[:]
+    hd = hd_ref[:]
+    denom = 1.0 / (m + hd)
+    two_m_hd = 2.0 * m + hd
+    k = nseg - 1 - j
+    base = k * seg
+    lap = _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs)
+
+    @pl.when(j == 0)
+    def _():
+        v_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+        vn_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+        grad_ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    def rev_body(i, _):
+        jj = seg - 1 - i
+
+        @pl.when(base + jj < nsteps)
+        def _():
+            v = v_ref[:]
+            grad_ref[:] = grad_ref[:] + dt2_ref[jj] * v
+            v_ref[:] = (lap(v) + two_m_hd * v - m * vn_ref[:]) * denom
+            v_ref[z0:z0 + 2, :] = v_ref[z0:z0 + 2, :] + res_ref[jj]
+            vn_ref[:] = v
+        return 0
+
+    jax.lax.fori_loop(0, seg, rev_body, 0)
+
+    @pl.when(j == nseg - 1)
+    def _():
+        grad_ref[:] = grad_ref[:] * neg_inv_s2
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "n_checkpoints",
+                                   "interpret", "dt", "fs"))
+def gradient_stream_segments(m, hd, dt2, res_rows, dt, *, nt, nx, nz,
+                             space_order, spacing, z0, n_checkpoints,
+                             fs=False, interpret=False):
+    """Reverse-sweep gradient from a streamed d2u/dt2 history
+    (``forward_dt2_segments`` output). Transposed operands; returns grad
+    (B, nz, nx) = sum_t -u.dt2[t]*v[t] / s^2, matching
+    ``gradient_segments`` up to XLA's per-program FMA contraction."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+    from .acoustic import _ckpt_layout
+
+    w = tuple(float(v) for v in
+              np.asarray(second_derivative_weights(space_order)
+                         [space_order // 2:]))
+    s2 = float(dt) ** 2
+    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
+    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    B = dt2.shape[0]
+
+    kern = partial(_grad_stream_kernel, seg=seg, nsteps=nsteps, nx=nx,
+                   nz=nz, w=w, inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0,
+                   neg_inv_s2=-1.0 / s2, fs=fs)
+
+    return pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # hd
+            pl.BlockSpec((None, None, seg, nz, nx),
+                         lambda b, j: (b, nseg - 1 - j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # dt2 history
+            pl.BlockSpec((None, None, seg, 2, nx),
+                         lambda b, j: (b, nseg - 1 - j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # res_rows
+        ],
+        out_specs=pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nz, nx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32),    # v
+                        pltpu.VMEM((nz, nx), jnp.float32)],   # vn
+        interpret=interpret,
+    )(m, hd, dt2, res_rows)
+
+
+def _padded_field_bytes(nx, nz):
+    """HBM bytes of one transposed (nz, nx) f32 field under the (8, 128)
+    tile padding."""
+    return (-(-nz // 8) * 8) * (-(-nx // 128) * 128) * 4
+
+
+def pick_stream_checkpoints(nt, nx, nz):
+    """Checkpoint count for the streamed-history kernels: the double-
+    buffered (seg, nz, nx) history blocks dominate VMEM, so
+    2*seg*field + ~12 resident fields <= ~15 MB. Returns None when even a
+    4-step segment cannot fit (fall back to the recompute path)."""
+    field = _padded_field_bytes(nx, nz)
+    budget = 15 * 2 ** 20 - 12 * field
+    seg_max = budget // (2 * field)
+    if seg_max < 4:
+        return None
+    # short segments pipeline the history DMA under the stencil compute;
+    # 12 keeps the block DMA (~3.5 MB on the Marmousi bench) well under a
+    # segment's compute time
+    seg = min(seg_max, 12)
+    nsteps = nt - 2
+    return max(int(-(-nsteps // seg)), 1)
+
+
+def stream_max_shots(nt, nx, nz, hbm_budget_bytes=8 << 30):
+    """Largest shot batch whose streamed d2u/dt2 history fits the HBM
+    budget (default 8 GB of the chip's 16, leaving room for XLA's other
+    live buffers)."""
+    per_shot = (nt - 2) * _padded_field_bytes(nx, nz)
+    return max(1, int(hbm_budget_bytes // max(per_shot, 1)))
 
 
 def gradient_from_ckpt_pallas(vp, damp, src_wav, s_idx, s_w, seg_starts,

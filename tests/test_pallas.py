@@ -211,3 +211,86 @@ def test_pallas_gradient_matches_xla_interpret(fs):
         interpret=True))
     scale = np.abs(gref).max()
     assert np.abs(gp - gref).max() < 1e-5 * scale
+
+@pytest.mark.skipif(not pa.available(), reason="pallas unavailable")
+@pytest.mark.parametrize("fs", [False, True])
+def test_pallas_streamed_gradient_matches_xla_interpret(fs):
+    """Streamed-history path (forward_dt2_segments + gradient_stream_
+    segments) == XLA gradient_from_ckpt, and its forward outputs ==
+    forward_ckpt_segments (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu.fwi import (_solver_dt, _pallas_operands,
+                                    _traces_from_rows)
+    from devito_fwi_tpu.ops import acoustic as ac
+    from devito_fwi_tpu.ops.acoustic import _ckpt_layout
+
+    model = demo_model("circle-isotropic", vp_circle=3.0, vp_background=2.5,
+                       origin=(0., 0.), shape=(61, 61), spacing=(10., 10.),
+                       nbl=10, space_order=4, fs=fs)
+    nsrc, nrec = 2, 41
+    zsrc = 2.0 if fs else 20.0
+    src = np.stack([np.linspace(0., 600., nsrc), np.full(nsrc, zsrc)], 1)
+    rec = np.stack([np.linspace(0., 600., nrec), np.full(nrec, 20.)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 300., f0=0.010,
+                               src_type="Ricker")
+    s_idx, s_w, r_idx, r_w, wav = _batched_tables(geom)
+    dt, nt, nck = float(_solver_dt(geom)), geom.nt, 7
+    statics = dict(nt=nt, spacing=model.spacing, space_order=4,
+                   kernel="OT2", fs=fs)
+    vp, damp = jnp.asarray(model.vp), jnp.asarray(model.damp)
+    recs, seg_starts, illum_ref = jax.vmap(
+        lambda a, b: ac.forward_ckpt(vp, damp, jnp.asarray(wav), a, b,
+                                     jnp.asarray(r_idx), jnp.asarray(r_w),
+                                     dt, n_checkpoints=nck, **statics))(
+        jnp.asarray(s_idx), jnp.asarray(s_w))
+    rng = np.random.RandomState(0)
+    res = jnp.asarray((np.asarray(recs) * 0.1
+                       + 0.01 * rng.randn(*recs.shape)).astype(np.float32))
+    gref = np.asarray(jax.vmap(
+        lambda a, b, sg, r: ac.gradient_from_ckpt(
+            vp, damp, jnp.asarray(wav), a, b, sg, r, jnp.asarray(r_idx),
+            jnp.asarray(r_w), dt, n_checkpoints=nck, **statics)[0])(
+        jnp.asarray(s_idx), jnp.asarray(s_w), seg_starts, res))
+
+    nsteps, seg, nseg = _ckpt_layout(nt, nck)
+    nx, nz = model.padded_shape
+    r_idx_n = np.asarray(r_idx)
+    z0 = int(r_idx_n[..., 1].min())
+    m, mT, hdT, injT, wav_pad = _pallas_operands(
+        vp, damp, jnp.asarray(wav), jnp.asarray(s_idx), jnp.asarray(s_w),
+        dt, nt, nseg * seg)
+    rec_rows, dt2T, illumT = pa.forward_dt2_segments(
+        mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz, space_order=4,
+        spacing=model.spacing, z0=z0, n_checkpoints=nck, fs=fs,
+        interpret=True)
+    # forward outputs match the XLA checkpointed forward
+    rec_p = np.asarray(_traces_from_rows(rec_rows, jnp.asarray(r_idx),
+                                         jnp.asarray(r_w), z0, nt, nsteps,
+                                         vp.dtype))
+    scale = np.abs(np.asarray(recs)).max()
+    assert np.abs(rec_p - np.asarray(recs)).max() < 1e-5 * scale
+    illum_p = np.swapaxes(np.asarray(illumT), -1, -2)
+    assert np.abs(illum_p - np.asarray(illum_ref)).max() < 1e-4 * \
+        max(np.abs(np.asarray(illum_ref)).max(), 1e-9)
+
+    rows = pa.residual_rows(res, jnp.asarray(r_idx), jnp.asarray(r_w),
+                            m, dt * dt, z0, nsteps, seg, nseg)
+    gradT = pa.gradient_stream_segments(
+        mT, hdT, dt2T, rows, dt, nt=nt, nx=nx, nz=nz, space_order=4,
+        spacing=model.spacing, z0=z0, n_checkpoints=nck, fs=fs,
+        interpret=True)
+    gp = np.swapaxes(np.asarray(gradT), -1, -2)
+    gscale = np.abs(gref).max()
+    assert np.abs(gp - gref).max() < 1e-5 * gscale
+
+    # and matches the recompute-path Pallas kernel to f32 fusion
+    # noise (same arithmetic; XLA contracts FMAs differently per program)
+    grT = pa.gradient_segments(
+        mT, hdT, wav_pad, injT, np.swapaxes(np.asarray(seg_starts), -1, -2),
+        rows, dt, nt=nt, nx=nx, nz=nz, space_order=4,
+        spacing=model.spacing, z0=z0, n_checkpoints=nck, fs=fs,
+        interpret=True)
+    d = np.abs(np.asarray(gradT) - np.asarray(grT)).max()
+    assert d < 1e-6 * max(np.abs(np.asarray(grT)).max(), 1e-30)
