@@ -528,6 +528,78 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     return fval, res, jnp.sum(crop, axis=0), jnp.sum(ilc, axis=0)
 
 
+@partial(jax.jit, static_argnames=("calc_grad", "stream", "nt", "spacing",
+                                   "space_order", "n_checkpoints", "z0",
+                                   "dt", "fs"))
+def _pallas_fwd_host(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *,
+                     calc_grad, stream, nt, spacing, space_order,
+                     n_checkpoints, z0, fs):
+    """Forward for the host-misfit objective on the Pallas segment
+    kernels. Returns (rec, hist, illumT): ``hist`` is the streamed dt2
+    history (stream=True, stays on device between the forward and the
+    reverse call) or the segment-start checkpoints."""
+    from .ops import pallas_acoustic as _pa
+    from .ops.acoustic import _ckpt_layout
+
+    nx, nz = vp.shape
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    if not calc_grad:
+        rec = _fm_batch_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w,
+                               dt, nt=nt, spacing=spacing,
+                               space_order=space_order,
+                               n_checkpoints=n_checkpoints, z0=z0, fs=fs)
+        return rec, None, None
+    _, mT, hdT, injT, wav_pad = _pallas_operands(
+        vp, damp, src_wav, s_idx, s_w, dt, nt, nseg * seg)
+    fwd = _pa.forward_dt2_segments if stream else _pa.forward_ckpt_segments
+    rec_rows, hist, illumT = fwd(
+        mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz,
+        space_order=space_order, spacing=spacing, z0=z0,
+        n_checkpoints=n_checkpoints, fs=fs)
+    rec = _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps, vp.dtype)
+    return rec, hist, illumT
+
+
+@partial(jax.jit, static_argnames=("stream", "nt", "spacing", "space_order",
+                                   "n_checkpoints", "z0", "dt", "fs",
+                                   "pads", "shape"))
+def _pallas_grad_host(vp, damp, src_wav, s_idx, s_w, hist, res_stack,
+                      r_idx, r_w, illumT, src_pos, rec_pos, dt, *, stream,
+                      nt, spacing, space_order, n_checkpoints, z0, fs,
+                      pads, shape):
+    """Reverse sweep for the host-misfit objective (Pallas kernels);
+    returns the cropped, illumination-fixed (grad_sum, illum_sum)."""
+    from .ops import pallas_acoustic as _pa
+    from .ops.acoustic import _ckpt_layout
+
+    nx, nz = vp.shape
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    m, mT, hdT, injT, wav_pad = _pallas_operands(
+        vp, damp, src_wav, s_idx, s_w, dt, nt, nseg * seg)
+    rows = _pa.residual_rows(res_stack, r_idx, r_w, m, dt * dt, z0,
+                             nsteps, seg, nseg)
+    if stream:
+        gradT = _pa.gradient_stream_segments(
+            mT, hdT, hist, rows, dt, nt=nt, nx=nx, nz=nz,
+            space_order=space_order, spacing=spacing, z0=z0,
+            n_checkpoints=n_checkpoints, fs=fs)
+    else:
+        gradT = _pa.gradient_segments(
+            mT, hdT, wav_pad, injT, hist, rows, dt, nt=nt, nx=nx, nz=nz,
+            space_order=space_order, spacing=spacing, z0=z0,
+            n_checkpoints=n_checkpoints, fs=fs)
+    grad = jnp.swapaxes(gradT, -1, -2)
+    illum = jnp.swapaxes(illumT, -1, -2)
+
+    def fix(g, sp):
+        return _fix_illum_jax(_crop(g, pads, shape), sp, rec_pos,
+                              spacing, shape)
+
+    crop = jax.vmap(fix)(grad, src_pos)
+    ilc = jax.vmap(fix)(illum, src_pos)
+    return jnp.sum(crop, axis=0), jnp.sum(ilc, axis=0)
+
+
 @jax.jit
 def _sum_scalars(x):
     return jnp.sum(x)
@@ -858,15 +930,53 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
 
     nsrc = geometry.nsrc
     chunk = min(nsrc, shot_chunk or nsrc)
+
+    # Pallas fast path (same gating as _shot_objective_batched): the
+    # propagation sweeps run in the VMEM segment kernels; only the
+    # gathers/residuals cross the host boundary for the misfit
+    z0 = pallas_nck = None
+    stream = False
+    if statics["kernel"] == "OT2":
+        z0 = _pallas_z0(geometry)
+        if z0 is not None:
+            from .ops.pallas_acoustic import (pick_n_checkpoints,
+                                              pick_stream_checkpoints,
+                                              stream_max_shots)
+            nx_p, nz_p = model.padded_shape
+            pallas_nck = pick_n_checkpoints(geometry.nt, nx_p, nz_p)
+            pallas_nck = max(pallas_nck or 0, statics["n_checkpoints"]) \
+                if pallas_nck is not None else None
+            if pallas_nck is None:
+                z0 = None
+    if z0 is not None and calc_grad and \
+            os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
+        snck = pick_stream_checkpoints(geometry.nt, nx_p, nz_p)
+        if snck is not None:
+            stream = True
+            pallas_nck = max(snck, statics["n_checkpoints"])
+            chunk = min(chunk, stream_max_shots(geometry.nt, nx_p, nz_p))
+
+    pallas_statics = dict(nt=statics["nt"], spacing=statics["spacing"],
+                          space_order=statics["space_order"],
+                          n_checkpoints=pallas_nck, z0=z0,
+                          fs=statics["fs"]) if z0 is not None else None
+
     fval = 0.0
     residuals = []
     grad = np.zeros(model.shape, dtype=np.float64)
     illum = np.zeros(model.shape, dtype=np.float64)
     for lo in range(0, nsrc, chunk):
         hi = min(lo + chunk, nsrc)
-        recs, seg_starts, illum_pad = _fwd_batch_ckpt(
-            vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi], c["s_w"][lo:hi],
-            c["r_idx"], c["r_w"], dt, calc_grad=calc_grad, **statics)
+        if z0 is not None:
+            recs, hist, illum_t = _pallas_fwd_host(
+                vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi],
+                c["s_w"][lo:hi], c["r_idx"], c["r_w"], float(dt),
+                calc_grad=calc_grad, stream=stream, **pallas_statics)
+        else:
+            recs, seg_starts, illum_pad = _fwd_batch_ckpt(
+                vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi],
+                c["s_w"][lo:hi], c["r_idx"], c["r_w"], dt,
+                calc_grad=calc_grad, **statics)
         rec_host = np.asarray(recs)
 
         fval_c, res_chunk = _host_misfit_chunk(
@@ -877,11 +987,19 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
 
         if calc_grad:
             res_stack = jnp.asarray(np.stack(residuals[lo:hi]))
-            g, il = _grad_batch_from_res(
-                vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi],
-                c["s_w"][lo:hi], seg_starts, res_stack, c["r_idx"],
-                c["r_w"], illum_pad, c["src_pos"][lo:hi], c["rec_pos"], dt,
-                pads=_pads(model), shape=model.shape, **statics)
+            if z0 is not None:
+                g, il = _pallas_grad_host(
+                    vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi],
+                    c["s_w"][lo:hi], hist, res_stack, c["r_idx"],
+                    c["r_w"], illum_t, c["src_pos"][lo:hi], c["rec_pos"],
+                    float(dt), stream=stream, pads=_pads(model),
+                    shape=model.shape, **pallas_statics)
+            else:
+                g, il = _grad_batch_from_res(
+                    vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi],
+                    c["s_w"][lo:hi], seg_starts, res_stack, c["r_idx"],
+                    c["r_w"], illum_pad, c["src_pos"][lo:hi], c["rec_pos"],
+                    dt, pads=_pads(model), shape=model.shape, **statics)
             grad += np.asarray(g, dtype=np.float64)
             illum += np.asarray(il, dtype=np.float64)
     return fval, grad, illum, residuals

@@ -119,11 +119,10 @@ def _pushforward_map(dual, n1, n2):
     return xMap, yMap
 
 
-def _sampling_pushforward(mu, xMap, yMap, n1, n2, nsub):
-    """Scatter the density mu through the corner map, supersampling each
-    cell nsub x nsub (fot2d.c:373-457 with fixed sampling)."""
-    dtype = mu.dtype
-    pcount = n1 * n2
+def _pushforward_points(mu, xMap, yMap, n1, n2, nsub):
+    """Stacked (P, n2, n1) destination indices / values of every
+    (subsample, corner) contribution, P = 4*nsub^2, plus the active-cell
+    mask (fot2d.c:373-457 with fixed sampling)."""
     # per-cell corner values
     c00x, c01x = xMap[:-1, :-1], xMap[:-1, 1:]
     c10x, c11x = xMap[1:, :-1], xMap[1:, 1:]
@@ -136,10 +135,6 @@ def _sampling_pushforward(mu, xMap, yMap, n1, n2, nsub):
     keep = (mu > 0) & (xStretch < xCut) & (yStretch < yCut)
     mass = jnp.where(keep, mu, 0.0) / (nsub * nsub)
 
-    # accumulate every (subsample, corner) contribution into ONE scatter:
-    # 4*nsub^2 separate .at[].add calls serialize into as many scatter
-    # kernels on TPU; a single fused scatter is ~an order of magnitude
-    # cheaper and compiles to one kernel
     ys_l, xs_l, vs_l = [], [], []
     for l in range(nsub):
         for k in range(nsub):
@@ -165,15 +160,42 @@ def _sampling_pushforward(mu, xMap, yMap, n1, n2, nsub):
                      (1 - xFrac) * yFrac * mass,
                      xFrac * (1 - yFrac) * mass,
                      xFrac * yFrac * mass]
-    # Negative result (measured, Marmousi batch, full loop): flattening to
-    # 1-D linear indices (`.at[y*n1+x].add`) looks better on a scatter
-    # microbenchmark with degenerate indices but is ~25% SLOWER in the
-    # real BFM loop (3.28 s vs 2.62 s per 8-shot batch) — keep the 2-D
-    # index form.
-    yy = jnp.stack(ys_l).ravel()
-    xx = jnp.stack(xs_l).ravel()
-    vv = jnp.stack(vs_l).ravel()
-    rho = jnp.zeros((n2, n1), dtype=dtype).at[yy, xx].add(vv)
+    return jnp.stack(ys_l), jnp.stack(xs_l), jnp.stack(vs_l), keep
+
+
+def _scatter_from_points(Y, X, V, n1, n2, dtype):
+    """One fused scatter-add of all (subsample, corner) contributions:
+    4*nsub^2 separate .at[].add calls serialize into as many scatter
+    kernels on TPU; a single fused scatter is ~an order of magnitude
+    cheaper and compiles to one kernel.
+
+    Negative result (measured, Marmousi batch, full loop): flattening to
+    1-D linear indices (`.at[y*n1+x].add`) looks better on a scatter
+    microbenchmark with degenerate indices but is ~25% SLOWER in the
+    real BFM loop (3.28 s vs 2.62 s per 8-shot batch) — keep the 2-D
+    index form."""
+    return jnp.zeros((n2, n1), dtype=dtype).at[
+        Y.ravel(), X.ravel()].add(V.ravel())
+
+
+def _sampling_pushforward(mu, xMap, yMap, n1, n2, nsub):
+    """Push the density mu through the corner map, supersampling each
+    cell nsub x nsub, via one fused scatter-add.
+
+    Negative result (measured on the TPU chip, 8-shot Marmousi batch,
+    full BFM loop — do not re-attempt without a new end-to-end
+    measurement): a banded "windowed" pushforward (kept-cell
+    displacements are structured — |dx| <~ 1 trace, |dy| ~ the data time
+    shift — so the scatter collapses to O(dy_max) dense masked shifts
+    with a lax.cond scatter fallback) is 3.3x SLOWER than the scatter
+    (8.6 s vs 2.6 s): the per-offset compare-select over the 16
+    contribution planes does not fuse under vmap and the materialized
+    intermediates saturate HBM bandwidth. The scatter's ~130M updates/s
+    stands as the fastest known formulation here."""
+    dtype = mu.dtype
+    pcount = n1 * n2
+    Y, X, V, _ = _pushforward_points(mu, xMap, yMap, n1, n2, nsub)
+    rho = _scatter_from_points(Y, X, V, n1, n2, dtype)
     total = jnp.sum(rho) / pcount
     return rho / jnp.where(total > 0, total, 1.0)
 

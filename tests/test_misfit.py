@@ -169,3 +169,4 @@ def test_host_misfit_path_matches_fused():
         assert np.isclose(f_n, f_j, rtol=1e-3)
         scale = np.abs(grad_j).max()
         assert np.abs(grad_n - grad_j).max() < 1e-2 * scale
+
