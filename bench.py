@@ -91,7 +91,7 @@ def main():
     one_objective()
     # the tunnel-attached chip shows ~20% run-to-run noise; report the
     # best of several repeats (standard throughput-bench practice)
-    n_iters, n_repeats = 2, 4
+    n_iters, n_repeats = 2, 8
     elapsed = float("inf")
     for _ in range(n_repeats):
         tic = time.perf_counter()

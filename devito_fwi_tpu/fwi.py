@@ -357,10 +357,14 @@ def _pallas_z0(geometry):
     DEVITO_FWI_TPU_PALLAS=0 to force the XLA scan path."""
     if os.environ.get("DEVITO_FWI_TPU_PALLAS", "1") == "0":
         return None
-    if jax.default_backend() != "tpu":
+    from .ops.pallas_acoustic import env_interpret
+    if jax.default_backend() != "tpu" and not env_interpret():
+        # DEVITO_FWI_TPU_PALLAS_INTERPRET=1 opens the fast path on CPU in
+        # interpreter mode (multi-device validation on the virtual mesh)
         return None
-    if jax.config.jax_enable_x64:
+    if jax.config.jax_enable_x64 and not env_interpret():
         # x64 promotion inside the f32 kernels breaks Mosaic tracing
+        # (harmless in interpreter mode — no Mosaic involved)
         return None
     model = geometry.model
     if model.dtype != np.float32 or model.dim != 2:
@@ -389,8 +393,13 @@ def _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps, dtype):
     W = jnp.zeros((2 * nx, nrec), jnp.float32)
     W = W.at[rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
         r_w.astype(jnp.float32))
+    # HIGHEST: the DEFAULT matmul precision truncates inputs to bf16 on
+    # TPU (and on this stack's CPU lowering) — a 0.4% trace error that a
+    # reverberant model amplifies to 3e-3; measured harmless to speed
+    # here (the matmul is <1% of an objective)
     tr = jnp.einsum("btq,qr->btr", rows.astype(jnp.float32), W,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     rec = jnp.zeros((B, nt, nrec), dtype)
     return rec.at[:, 1:nsteps + 1].set(tr.astype(dtype))
 

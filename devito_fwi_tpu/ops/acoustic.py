@@ -132,13 +132,15 @@ def _gather(field, idx):
     return field.at[coords].get(mode="fill", fill_value=0)
 
 
-def _update(u, u_prev, lap_u, q, m, hd, s2):
+def _update(u, u_prev, lap_u, q, m, hd, s2, inv_mhd):
     """The devito-solved leapfrog update (see module docstring).
     ``hd = s*damp``; the same formula serves forward and backward stepping
     because the transposed damping term ``damp*u.dt.T`` solved for
     ``u.backward`` yields the identical expression with the roles of
-    u[t+1]/u[t-1] swapped."""
-    return (s2 * (lap_u + q) + (2.0 * m + hd) * u - m * u_prev) / (m + hd)
+    u[t+1]/u[t-1] swapped. ``inv_mhd = 1/(m+hd)`` is precomputed once —
+    a multiply beats a per-step VPU divide, and the Pallas kernels mirror
+    this exact association so both paths share their rounding."""
+    return (s2 * (lap_u + q) + (2.0 * m + hd) * u - m * u_prev) * inv_mhd
 
 
 def _prep(vp, damp, dt, spacing, space_order, w_override=None):
@@ -154,7 +156,8 @@ def _prep(vp, damp, dt, spacing, space_order, w_override=None):
     s = jnp.asarray(dt, dtype=dtype)
     s2 = s * s
     hd = s * damp
-    return w, inv_h2, m, s2, hd
+    inv_mhd = 1.0 / (m + hd)
+    return w, inv_h2, m, s2, hd, inv_mhd
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +179,7 @@ def forward(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     e.g. ``utils.fd.drp_second_derivative_weights`` — the analog of
     devito's ``coefficients='symbolic'`` (tutorial 07_DRP_schemes).
     """
-    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order,
+    w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order,
                                  w_override)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_src = _gather(m, src_idx)
@@ -185,7 +188,7 @@ def forward(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     def step(carry, src_t):
         u, u_prev = carry
         rec_t = jnp.sum(_gather(u, rec_idx) * rec_w, axis=-1)
-        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
+        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2, inv_mhd)
         unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
         return (unext, u), (rec_t, unext if save else None)
 
@@ -211,7 +214,7 @@ def adjoint(vp, damp, rec_data, rec_idx, rec_w, src_idx, src_w, dt, *,
     """Adjoint modeling: inject receiver data backward in time, sample at the
     source locations (reference ``operators.py:143-180``). Returns
     (srca (nt, nsrcpt), v final slices)."""
-    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_rec = _gather(m, rec_idx)
     rec_scale = rec_w * s2 / m_rec
@@ -219,7 +222,7 @@ def adjoint(vp, damp, rec_data, rec_idx, rec_w, src_idx, src_w, dt, *,
     def step(carry, rec_t):
         v, v_next = carry
         srca_t = jnp.sum(_gather(v, src_idx) * src_w, axis=-1)
-        vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2)
+        vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2, inv_mhd)
         vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
         return (vprev, v), srca_t
 
@@ -244,7 +247,7 @@ def gradient(vp, damp, u_save, rec_res, rec_idx, rec_w, dt, *,
     ``grad = sum_t -u.dt2[t] * v[t]`` with v the receiver-residual adjoint
     field (reference ``operators.py:183-225``). Returns grad on the padded
     grid."""
-    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_rec = _gather(m, rec_idx)
     rec_scale = rec_w * s2 / m_rec
@@ -264,7 +267,7 @@ def gradient(vp, damp, u_save, rec_res, rec_idx, rec_w, dt, *,
             udt2 = udt2 + (s2 / 12.0) * laplacian_parts(lap_u * m2inv, w,
                                                         inv_h2, fs)
         grad = grad - udt2 * v
-        vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2)
+        vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2, inv_mhd)
         vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
         return (vprev, v, grad, u_t, u_tm1), None
 
@@ -304,7 +307,7 @@ def forward_ckpt(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     (sum_t u[t]^2, reference ``fwi.py:170``) and segment-start states for a
     later ``gradient_from_ckpt`` reverse sweep. Returns
     (rec (nt, nrec), seg_starts (nseg, 2, *grid), illum (*grid))."""
-    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_src = _gather(m, src_idx)
     src_scale = src_w * s2 / m_src
@@ -319,7 +322,7 @@ def forward_ckpt(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
         u, u_prev, illum = carry
         src_t, valid_t = xs
         rec_t = jnp.sum(_gather(u, rec_idx) * rec_w, axis=-1)
-        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
+        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2, inv_mhd)
         unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
         illum = illum + jnp.where(valid_t, unext * unext, 0.0)
         return (unext, u, illum), rec_t
@@ -347,7 +350,7 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
     """Reverse sweep of the checkpointed gradient: recompute each forward
     segment from its stored start state, step the adjoint field backward
     with residual injection, accumulate ``-u.dt2[t] * v[t]``."""
-    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_src = _gather(m, src_idx)
     src_scale = src_w * s2 / m_src
@@ -367,7 +370,7 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
 
         def refwd(c, s):
             u, u_prev = c
-            unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
+            unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2, inv_mhd)
             unext = _scatter_add(unext, src_idx, s[:, None] * src_scale)
             return (unext, u), unext
 
@@ -384,9 +387,13 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
             v, v_next, grad, u_hi, u_mid = c
             j, rec_t, valid = xs_local
             u_lo = jax.lax.dynamic_index_in_dim(useg, j, keepdims=False)
-            udt2 = (u_hi - 2.0 * u_mid + u_lo) / s2
-            grad = grad - jnp.where(valid, udt2 * v, 0.0)
-            vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2)
+            # accumulate the unscaled (u[t+1] - 2u[t] + u[t-1]) * v and
+            # defer the -1/s^2 to one final scale: one multiply per step
+            # saved, and the Pallas reverse kernels share this exact
+            # association
+            udt2s = u_hi - 2.0 * u_mid + u_lo
+            grad = grad + jnp.where(valid, udt2s * v, 0.0)
+            vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2, inv_mhd)
             vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
             new_v = jnp.where(valid, vprev, v)
             new_vn = jnp.where(valid, v, v_next)
@@ -409,7 +416,7 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
         seg_rev, (z, z, jnp.zeros_like(vp)),
         (seg_starts[::-1], src_segs[::-1], rec_segs[::-1],
          jnp.arange(nseg - 1, -1, -1)))
-    return grad, jnp.stack([v, z])
+    return grad * (-(1.0 / s2)), jnp.stack([v, z])
 
 
 # ---------------------------------------------------------------------------
@@ -450,7 +457,7 @@ def born(vp, damp, dm, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     """Linearized Born modeling: twin fields (u, U) with
     ``q = -dm * u.dt2`` driving U (reference ``operators.py:228-273``).
     Returns rec sampled from U."""
-    w, inv_h2, m, s2, hd = _prep(vp, damp, dt, spacing, space_order)
+    w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_src = _gather(m, src_idx)
     src_scale = src_w * s2 / m_src
@@ -458,10 +465,10 @@ def born(vp, damp, dm, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     def step(carry, src_t):
         u, u_prev, U, U_prev = carry
         rec_t = jnp.sum(_gather(U, rec_idx) * rec_w, axis=-1)
-        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2)
+        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2, inv_mhd)
         unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
         udt2 = (unext - 2.0 * u + u_prev) / s2
-        Unext = _update(U, U_prev, lap_fn(U), -dm * udt2, m, hd, s2)
+        Unext = _update(U, U_prev, lap_fn(U), -dm * udt2, m, hd, s2, inv_mhd)
         return (unext, u, Unext, U), rec_t
 
     z = jnp.zeros_like(vp)

@@ -25,6 +25,7 @@ tests/test_pallas.py in interpreter mode and by on-chip parity drives.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -45,6 +46,28 @@ def available():
         return True
     except Exception:
         return False
+
+
+def env_interpret(interpret=False):
+    """Resolve the effective interpret flag: explicit True wins; else
+    DEVITO_FWI_TPU_PALLAS_INTERPRET=1 turns every kernel into interpreter
+    mode (read at trace time — set it before the first call). This lets
+    the gated production paths (fused/host/sharded objectives) run on the
+    virtual CPU mesh for multi-device validation."""
+    return bool(interpret) or \
+        os.environ.get("DEVITO_FWI_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def _stencil_constants(space_order, spacing, dt, w_override=None):
+    """(w, inv_h2x, inv_h2z, s2) for the segment kernels, dt^2 folded
+    into the per-axis 1/h^2 scales (see ``_make_lap_t``)."""
+    w_full = second_derivative_weights(space_order) if w_override is None \
+        else np.asarray(w_override)
+    w = tuple(float(v) for v in np.asarray(w_full)[len(w_full) // 2:])
+    s2 = float(dt) ** 2
+    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
+    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    return w, inv_h2x, inv_h2z, s2
 
 
 def _kernel(wav_ref, m_ref, hd_ref, inj_ref, rec_ref,
@@ -122,7 +145,8 @@ def forward_rows(m, hd, wav, inj, dt, *, nt, nx, nz,
                          [space_order // 2:]))
     inv_h2x = float(1.0 / spacing[0] ** 2) * float(dt) ** 2
     inv_h2z = float(1.0 / spacing[1] ** 2) * float(dt) ** 2
-    # fold dt^2 into the laplacian scale: update uses s2*lap + ...
+    # (legacy kernel: keeps the folded dt^2 constants; the production
+    # segment kernels use _stencil_constants for XLA-aligned rounding)
     B = inj.shape[0]
 
     kern = partial(_kernel, nt=nt, nx=nx, nz=nz, w=w,
@@ -143,7 +167,7 @@ def forward_rows(m, hd, wav, inj, dt, *, nt, nx, nz,
         out_shape=jax.ShapeDtypeStruct((B, nt, 2, nx), jnp.float32),
         scratch_shapes=[pltpu.VMEM((nx, nz), jnp.float32),
                         pltpu.VMEM((nx, nz), jnp.float32)],
-        interpret=interpret,
+        interpret=env_interpret(interpret),
     )(wav, m, hd, inj)
     return out
 
@@ -158,7 +182,17 @@ def _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs):
     axis 1 = x (lanes), zero-Dirichlet shifts via zero-fill concatenates.
     With ``fs``, rows 0..r get the antisymmetric free-surface correction
     (the transposed twin of ``ops.acoustic._fs_fix_last_axis``):
-    delta[z] = -sum_{k=max(z,1)}^{r} w[k] * u[k-z]."""
+    delta[z] = -sum_{k=max(z,1)}^{r} w[k] * u[k-z].
+
+    The dt^2/h^2 scales are FOLDED into single per-tap constants. This
+    deviates from the XLA path's association by ~1 ulp per tap; an
+    order-exact variant ((shift+ + shift-) summed first, per-axis scale,
+    separate s2 multiply — mirroring ops.acoustic._axis_d2) was measured
+    16% SLOWER per sweep on the chip (43 ms vs 36 ms, Marmousi 21 shots)
+    with no accuracy benefit: end-to-end Pallas-vs-XLA trace deviation
+    is set by reassociation noise either way (~1e-5 at Marmousi scale;
+    the historical 3.4e-3 divergence was the receiver-assembly einsum
+    running at bf16 DEFAULT matmul precision, fixed separately)."""
     r = len(w) - 1
 
     def lap(u):
@@ -183,6 +217,176 @@ def _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs):
             delta = jnp.concatenate(rows, 0)
             acc = jnp.concatenate([acc[:r + 1] + delta, acc[r + 1:]], 0)
         return acc
+
+    return lap
+
+
+
+def _stencil_constants(space_order, spacing, dt, w_override=None):
+    """(w, inv_h2x, inv_h2z, s2) for the segment kernels, dt^2 folded
+    into the per-axis 1/h^2 scales (see ``_make_lap_t``)."""
+    w_full = second_derivative_weights(space_order) if w_override is None \
+        else np.asarray(w_override)
+    w = tuple(float(v) for v in np.asarray(w_full)[len(w_full) // 2:])
+    s2 = float(dt) ** 2
+    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
+    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    return w, inv_h2x, inv_h2z, s2
+
+
+def _kernel(wav_ref, m_ref, hd_ref, inj_ref, rec_ref,
+            u_ref, up_ref, *, nt, nx, nz, w, inv_h2x, inv_h2z, z0):
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    r = len(w) - 1
+    m = m_ref[:]
+    hd = hd_ref[:]
+    denom = 1.0 / (m + hd)
+    two_m_hd = 2.0 * m + hd
+    inj = inj_ref[0]
+
+    u_ref[:] = jnp.zeros((nx, nz), jnp.float32)
+    up_ref[:] = jnp.zeros((nx, nz), jnp.float32)
+
+    def lap(u):
+        acc = (w[0] * (inv_h2x + inv_h2z)) * u
+        for k in range(1, r + 1):
+            zx = jnp.zeros((k, nz), jnp.float32)
+            acc += (w[k] * inv_h2x) * jnp.concatenate(
+                [u[k:, :], zx], axis=0)
+            acc += (w[k] * inv_h2x) * jnp.concatenate(
+                [zx, u[:-k, :]], axis=0)
+            zz = jnp.zeros((nx, k), jnp.float32)
+            acc += (w[k] * inv_h2z) * jnp.concatenate(
+                [u[:, k:], zz], axis=1)
+            acc += (w[k] * inv_h2z) * jnp.concatenate(
+                [zz, u[:, :-k]], axis=1)
+        return acc
+
+    def body(t, _):
+        u = u_ref[:]
+        up = up_ref[:]
+        # record the two receiver rows of u at this step (host maps row
+        # j to time index j+1, matching the scan's rec[1:nt-1] filling)
+        rec_ref[t, 0, :] = u[:, z0]
+        rec_ref[t, 1, :] = u[:, z0 + 1]
+        un = (lap(u) + two_m_hd * u - m * up) * denom
+        # source injection as a dense masked FMA: Mosaic cannot address an
+        # unaligned dynamic 2x2 sub-block, and one extra fused field op per
+        # step is ~10% of the stencil cost
+        wav_t = wav_ref[t]
+        u_ref[:] = un + wav_t * inj
+        up_ref[:] = u
+        return 0
+
+    jax.lax.fori_loop(0, nt - 2, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "interpret", "dt"))
+def forward_rows(m, hd, wav, inj, dt, *, nt, nx, nz,
+                 space_order, spacing, z0, interpret=False):
+    """Run the VMEM-resident forward loop for a batch of shots.
+
+    Measured (TPU v5e, Marmousi 380x186, nt=1357, 29 shots): 129 ms =
+    21.5 Gcell-steps/s vs 155 ms (17.9) for the XLA-scan batch — the
+    VMEM-resident carries eliminate the scan's HBM round trips and the
+    kernel runs at the VPU compute roofline. Trade-off: ~7 min Mosaic
+    compile for the whole-nt loop, so production paths use the segment
+    kernels below instead; this variant is kept as the measured-baseline
+    artifact.
+
+    Parameters: m, hd (padded grid, f32); wav (nt-2,); inj (B, nx, nz)
+    per-shot dense injection pattern (w * dt^2 / m at the source corners,
+    zero elsewhere). Returns rec_rows (B, nt, 2, nx): the two z-plane rows
+    per time step.
+    """
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    w = tuple(float(v) for v in
+              np.asarray(second_derivative_weights(space_order)
+                         [space_order // 2:]))
+    inv_h2x = float(1.0 / spacing[0] ** 2) * float(dt) ** 2
+    inv_h2z = float(1.0 / spacing[1] ** 2) * float(dt) ** 2
+    # (legacy kernel: keeps the folded dt^2 constants; the production
+    # segment kernels use _stencil_constants for XLA-aligned rounding)
+    B = inj.shape[0]
+
+    kern = partial(_kernel, nt=nt, nx=nx, nz=nz, w=w,
+                   inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # wav (scalar reads)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # hd
+            pl.BlockSpec((1, nx, nz), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),      # inj (per shot)
+        ],
+        out_specs=pl.BlockSpec((None, nt, 2, nx), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nt, 2, nx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nx, nz), jnp.float32),
+                        pltpu.VMEM((nx, nz), jnp.float32)],
+        interpret=env_interpret(interpret),
+    )(wav, m, hd, inj)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# forward sweep with segment checkpoints (Pallas twin of
+# ops.acoustic.forward_ckpt, transposed (nz, nx) layout)
+# ---------------------------------------------------------------------------
+
+def _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs):
+    """Laplacian on the transposed (nz, nx) layout: axis 0 = z (sublanes),
+    axis 1 = x (lanes), zero-Dirichlet shifts via zero-fill concatenates.
+
+    The association mirrors ``ops.acoustic._axis_d2``/``laplacian_parts``
+    EXACTLY — w rounded to f32, (shift+ + shift-) summed before the
+    weight multiply, per-axis accumulation, x-axis term scaled and added
+    first, the free-surface fix replacing rows 0..r of the unscaled
+    z-derivative with the mirrored stencil in the XLA path's term order.
+    Folding dt^2/h^2 into single per-tap constants was measured to be a
+    COHERENT rounding bias vs the XLA path (constants differ by ~1 ulp
+    with the same sign every step): in a thin-sponge reverberant box it
+    amplified to 3.4e-3 trace error over ~170 steps where the XLA f32
+    path stays 4e-6 from the f64 truth. Shared association keeps the two
+    paths' rounding aligned up to compiler FMA contraction."""
+    r = len(w) - 1
+
+    def lap(u):
+        accx = w[0] * u
+        for kk in range(1, r + 1):
+            zx = jnp.zeros((nz, kk), jnp.float32)
+            sp = jnp.concatenate([u[:, kk:], zx], 1)
+            sm = jnp.concatenate([zx, u[:, :-kk]], 1)
+            accx = accx + w[kk] * (sp + sm)
+        accz = w[0] * u
+        for kk in range(1, r + 1):
+            zz = jnp.zeros((kk, nx), jnp.float32)
+            sp = jnp.concatenate([u[kk:, :], zz], 0)
+            sm = jnp.concatenate([zz, u[:-kk, :]], 0)
+            accz = accz + w[kk] * (sp + sm)
+        if fs:
+            # rows 0..r: XLA _fs_fix_last_axis term order — plain +k
+            # term, then the odd mirror (zero at z = 0), per k
+            rows = []
+            for z in range(r + 1):
+                acc = w[0] * u[z:z + 1, :]
+                for k in range(1, r + 1):
+                    acc = acc + w[k] * u[z + k:z + k + 1, :]
+                    i = z - k
+                    if i > 0:
+                        acc = acc + w[k] * u[i:i + 1, :]
+                    elif i < 0:
+                        acc = acc - w[k] * u[-i:-i + 1, :]
+                rows.append(acc)
+            accz = jnp.concatenate(rows + [accz[r + 1:]], 0)
+        return accx * inv_h2x + accz * inv_h2z
 
     return lap
 
@@ -230,7 +434,8 @@ def residual_rows(res_stack, r_idx, r_w, m, s2, z0, nsteps, seg, nseg):
     res_pad = res_pad.at[:, :nsteps].set(
         res_stack[:, 1:nsteps + 1].astype(jnp.float32))
     rows = jnp.einsum("btr,rq->btq", res_pad, V,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     return rows.reshape(B, nseg, seg, 2, nx)
 
 
@@ -261,7 +466,8 @@ def _fwd_rec_kernel(wav_ref, m_ref, hd_ref, inj_ref, recout_ref,
         u = u_ref[:]
         up = up_ref[:]
         recout_ref[i] = u[z0:z0 + 2, :]
-        un = (lap(u) + two_m_hd * u - m * up) * denom             + wav_ref[base + i] * inj
+        un = (lap(u) + two_m_hd * u - m * up) * denom \
+            + wav_ref[base + i] * inj
         u_ref[:] = un
         up_ref[:] = u
         return 0
@@ -282,12 +488,7 @@ def forward_rec_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
     import jax.experimental.pallas.tpu as pltpu
     from .acoustic import _ckpt_layout
 
-    w = tuple(float(v) for v in
-              np.asarray(second_derivative_weights(space_order)
-                         [space_order // 2:]))
-    s2 = float(dt) ** 2
-    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
-    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    w, inv_h2x, inv_h2z, s2 = _stencil_constants(space_order, spacing, dt)
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
     B = inj.shape[0]
 
@@ -309,7 +510,7 @@ def forward_rec_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
         out_shape=jax.ShapeDtypeStruct((B, nseg, seg, 2, nx), jnp.float32),
         scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32),
                         pltpu.VMEM((nz, nx), jnp.float32)],
-        interpret=interpret,
+        interpret=env_interpret(interpret),
     )(wav_pad, m, hd, inj)
 
 
@@ -374,12 +575,7 @@ def forward_ckpt_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
     import jax.experimental.pallas.tpu as pltpu
     from .acoustic import _ckpt_layout
 
-    w = tuple(float(v) for v in
-              np.asarray(second_derivative_weights(space_order)
-                         [space_order // 2:]))
-    s2 = float(dt) ** 2
-    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
-    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    w, inv_h2x, inv_h2z, s2 = _stencil_constants(space_order, spacing, dt)
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
     B = inj.shape[0]
 
@@ -413,7 +609,7 @@ def forward_ckpt_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
         ),
         scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32),    # u
                         pltpu.VMEM((nz, nx), jnp.float32)],   # up
-        interpret=interpret,
+        interpret=env_interpret(interpret),
     )(wav_pad, m, hd, inj)
     return rec_rows, seg_starts, illum
 
@@ -424,8 +620,8 @@ def forward_ckpt_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
 
 def _grad_kernel(wav_ref, m_ref, hd_ref, inj_ref, seg_ref, res_ref,
                  grad_ref, dt2_ref, v_ref, vn_ref, u_ref, up_ref, *,
-                 seg, nsteps, nx, nz, w, inv_h2x, inv_h2z, z0, neg_inv_s2,
-                 fs):
+                 seg, nsteps, nx, nz, w, inv_h2x, inv_h2z, z0,
+                 neg_inv_s2, fs):
     """One (shot b, reversed-segment j) grid step of the checkpointed
     gradient: recompute the forward segment from its stored start pair
     while writing the second time derivative history into VMEM, then run
@@ -527,12 +723,7 @@ def gradient_segments(m, hd, wav_pad, inj, seg_starts, res_rows, dt, *, nt,
     import jax.experimental.pallas.tpu as pltpu
     from .acoustic import _ckpt_layout
 
-    w = tuple(float(v) for v in
-              np.asarray(second_derivative_weights(space_order)
-                         [space_order // 2:]))
-    s2 = float(dt) ** 2
-    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
-    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    w, inv_h2x, inv_h2z, s2 = _stencil_constants(space_order, spacing, dt)
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
     B = inj.shape[0]
 
@@ -564,7 +755,7 @@ def gradient_segments(m, hd, wav_pad, inj, seg_starts, res_rows, dt, *, nt,
                         pltpu.VMEM((nz, nx), jnp.float32),       # vn
                         pltpu.VMEM((nz, nx), jnp.float32),       # u
                         pltpu.VMEM((nz, nx), jnp.float32)],      # up
-        interpret=interpret,
+        interpret=env_interpret(interpret),
     )(wav_pad, m, hd, inj, seg_starts, res_rows)
     return out
 
@@ -641,12 +832,7 @@ def forward_dt2_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
     import jax.experimental.pallas.tpu as pltpu
     from .acoustic import _ckpt_layout
 
-    w = tuple(float(v) for v in
-              np.asarray(second_derivative_weights(space_order)
-                         [space_order // 2:]))
-    s2 = float(dt) ** 2
-    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
-    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    w, inv_h2x, inv_h2z, s2 = _stencil_constants(space_order, spacing, dt)
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
     B = inj.shape[0]
 
@@ -680,7 +866,7 @@ def forward_dt2_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
         ),
         scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32),    # u
                         pltpu.VMEM((nz, nx), jnp.float32)],   # up
-        interpret=interpret,
+        interpret=env_interpret(interpret),
     )(wav_pad, m, hd, inj)
     return rec_rows, dt2, illum
 
@@ -744,12 +930,7 @@ def gradient_stream_segments(m, hd, dt2, res_rows, dt, *, nt, nx, nz,
     import jax.experimental.pallas.tpu as pltpu
     from .acoustic import _ckpt_layout
 
-    w = tuple(float(v) for v in
-              np.asarray(second_derivative_weights(space_order)
-                         [space_order // 2:]))
-    s2 = float(dt) ** 2
-    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
-    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
+    w, inv_h2x, inv_h2z, s2 = _stencil_constants(space_order, spacing, dt)
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
     B = dt2.shape[0]
 
@@ -775,7 +956,7 @@ def gradient_stream_segments(m, hd, dt2, res_rows, dt, *, nt, nx, nz,
         out_shape=jax.ShapeDtypeStruct((B, nz, nx), jnp.float32),
         scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32),    # v
                         pltpu.VMEM((nz, nx), jnp.float32)],   # vn
-        interpret=interpret,
+        interpret=env_interpret(interpret),
     )(m, hd, dt2, res_rows)
 
 

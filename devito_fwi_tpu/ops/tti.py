@@ -101,7 +101,8 @@ def _prep_tti(vp, damp, epsilon, delta, theta, phi, dt, spacing, space_order):
     def gxx(u):
         return lap(u) - gzz(u)
 
-    return gzz, gxx, m, ehat, dhat, s, s2, hd
+    inv_mhd = 1.0 / (m + hd)
+    return gzz, gxx, m, ehat, dhat, s, s2, hd, inv_mhd
 
 
 @partial(jax.jit, static_argnames=("nt", "space_order", "spacing", "save"))
@@ -109,7 +110,7 @@ def forward(vp, damp, epsilon, delta, theta, phi, src_wav, src_idx, src_w,
             rec_idx, rec_w, dt, *, nt, spacing, space_order=4, save=False):
     """TTI forward modeling. Returns (rec (nt, nrec), u history, v history)
     if save else (rec, (u,v) final slices)."""
-    gzz, gxx, m, ehat, dhat, s, s2, hd = _prep_tti(
+    gzz, gxx, m, ehat, dhat, s, s2, hd, inv_mhd = _prep_tti(
         vp, damp, epsilon, delta, theta, phi, dt, spacing, space_order)
     src_scale = src_w * s2 / _gather(m, src_idx)
 
@@ -120,8 +121,8 @@ def forward(vp, damp, epsilon, delta, theta, phi, src_wav, src_idx, src_w,
         Gzz_v = gzz(v)
         H0 = ehat * Gxx_u + dhat * Gzz_v
         Hz = dhat * Gxx_u + Gzz_v
-        unext = _update(u, u_prev, H0, 0.0, m, hd, s2)
-        vnext = _update(v, v_prev, Hz, 0.0, m, hd, s2)
+        unext = _update(u, u_prev, H0, 0.0, m, hd, s2, inv_mhd)
+        vnext = _update(v, v_prev, Hz, 0.0, m, hd, s2, inv_mhd)
         inj = src_t[:, None] * src_scale
         unext = _scatter_add(unext, src_idx, inj)
         vnext = _scatter_add(vnext, src_idx, inj)
@@ -148,7 +149,7 @@ def adjoint(vp, damp, epsilon, delta, theta, phi, rec_data, rec_idx, rec_w,
     ``H0 = Gxx(ehat p + dhat r), Hz = Gzz(dhat p + r)``
     (``operators.py:233-243``), receiver data injected into both fields.
     Returns (srca, final p)."""
-    gzz, gxx, m, ehat, dhat, s, s2, hd = _prep_tti(
+    gzz, gxx, m, ehat, dhat, s, s2, hd, inv_mhd = _prep_tti(
         vp, damp, epsilon, delta, theta, phi, dt, spacing, space_order)
     rec_scale = rec_w * s2 / _gather(m, rec_idx)
 
@@ -157,8 +158,8 @@ def adjoint(vp, damp, epsilon, delta, theta, phi, rec_data, rec_idx, rec_w,
         srca_t = jnp.sum(_gather(p + r, src_idx) * src_w, axis=-1)
         H0 = gxx(ehat * p + dhat * r)
         Hz = gzz(dhat * p + r)
-        pprev = _update(p, p_next, H0, 0.0, m, hd, s2)
-        rprev = _update(r, r_next, Hz, 0.0, m, hd, s2)
+        pprev = _update(p, p_next, H0, 0.0, m, hd, s2, inv_mhd)
+        rprev = _update(r, r_next, Hz, 0.0, m, hd, s2, inv_mhd)
         inj = rec_t[:, None] * rec_scale
         pprev = _scatter_add(pprev, rec_idx, inj)
         rprev = _scatter_add(rprev, rec_idx, inj)
@@ -178,7 +179,7 @@ def born(vp, damp, epsilon, delta, theta, phi, dm, src_wav, src_idx, src_w,
     """TTI linearized Born modeling: twin coupled systems, with
     ``qu = -dm u0.dt2, qv = -dm v0.dt2`` (``operators.py:570-575``).
     Returns rec = du + dv traces."""
-    gzz, gxx, m, ehat, dhat, s, s2, hd = _prep_tti(
+    gzz, gxx, m, ehat, dhat, s, s2, hd, inv_mhd = _prep_tti(
         vp, damp, epsilon, delta, theta, phi, dt, spacing, space_order)
     src_scale = src_w * s2 / _gather(m, src_idx)
 
@@ -187,8 +188,8 @@ def born(vp, damp, epsilon, delta, theta, phi, dm, src_wav, src_idx, src_w,
         rec_t = jnp.sum(_gather(du + dv, rec_idx) * rec_w, axis=-1)
         Gxx_u0 = gxx(u0)
         Gzz_v0 = gzz(v0)
-        u0n = _update(u0, u0p, ehat * Gxx_u0 + dhat * Gzz_v0, 0.0, m, hd, s2)
-        v0n = _update(v0, v0p, dhat * Gxx_u0 + Gzz_v0, 0.0, m, hd, s2)
+        u0n = _update(u0, u0p, ehat * Gxx_u0 + dhat * Gzz_v0, 0.0, m, hd, s2, inv_mhd)
+        v0n = _update(v0, v0p, dhat * Gxx_u0 + Gzz_v0, 0.0, m, hd, s2, inv_mhd)
         inj = src_t[:, None] * src_scale
         u0n = _scatter_add(u0n, src_idx, inj)
         v0n = _scatter_add(v0n, src_idx, inj)
@@ -196,8 +197,8 @@ def born(vp, damp, epsilon, delta, theta, phi, dm, src_wav, src_idx, src_w,
         qv = -dm * (v0n - 2.0 * v0 + v0p) / s2
         Gxx_du = gxx(du)
         Gzz_dv = gzz(dv)
-        dun = _update(du, dup, ehat * Gxx_du + dhat * Gzz_dv, qu, m, hd, s2)
-        dvn = _update(dv, dvp, dhat * Gxx_du + Gzz_dv, qv, m, hd, s2)
+        dun = _update(du, dup, ehat * Gxx_du + dhat * Gzz_dv, qu, m, hd, s2, inv_mhd)
+        dvn = _update(dv, dvp, dhat * Gxx_du + Gzz_dv, qv, m, hd, s2, inv_mhd)
         return (u0n, u0, v0n, v0, dun, du, dvn, dv), rec_t
 
     z = jnp.zeros_like(vp)
@@ -214,7 +215,7 @@ def jacobian_adjoint(vp, damp, epsilon, delta, theta, phi, u0_save, v0_save,
     """TTI gradient: reverse-time coupled adjoint (du, dv) with receiver
     injection into both fields, accumulating
     ``dm -= u0.dt2 du + v0.dt2 dv`` (``operators.py:633``)."""
-    gzz, gxx, m, ehat, dhat, s, s2, hd = _prep_tti(
+    gzz, gxx, m, ehat, dhat, s, s2, hd, inv_mhd = _prep_tti(
         vp, damp, epsilon, delta, theta, phi, dt, spacing, space_order)
     rec_scale = rec_w * s2 / _gather(m, rec_idx)
 
@@ -231,8 +232,8 @@ def jacobian_adjoint(vp, damp, epsilon, delta, theta, phi, u0_save, v0_save,
         dm = dm - (dt2_of(u0_save) * du + dt2_of(v0_save) * dv)
         H0 = gxx(ehat * du + dhat * dv)
         Hz = gzz(dhat * du + dv)
-        dup = _update(du, dun, H0, 0.0, m, hd, s2)
-        dvp = _update(dv, dvn, Hz, 0.0, m, hd, s2)
+        dup = _update(du, dun, H0, 0.0, m, hd, s2, inv_mhd)
+        dvp = _update(dv, dvn, Hz, 0.0, m, hd, s2, inv_mhd)
         inj = rec_t[:, None] * rec_scale
         dup = _scatter_add(dup, rec_idx, inj)
         dvp = _scatter_add(dvp, rec_idx, inj)

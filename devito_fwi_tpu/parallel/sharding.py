@@ -133,8 +133,31 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
          jnp.asarray(geometry.src_positions, dtype=model.dtype)],
         geometry.nsrc, ndev, model.dtype)
 
-    from ..fwi import _default_checkpoints
+    from ..fwi import _default_checkpoints, _pallas_z0
     nck = _default_checkpoints(geometry.nt)
+
+    # Pallas fast path per shard: the same gated VMEM segment kernels as
+    # the single-chip fused objective run inside shard_map on each
+    # device's shot block (pallas_call is a per-device program, so the
+    # only collective is the existing psum). Validated on the virtual
+    # CPU mesh via DEVITO_FWI_TPU_PALLAS_INTERPRET=1.
+    z0 = _pallas_z0(geometry) if static["kernel"] == "OT2" else None
+    if z0 is not None:
+        out = _fwi_obj_sharded_pallas(
+            geometry, misfit_jax, calc_grad, mesh, ndev, z0, vp, damp,
+            src_wav, s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid, r_idx, r_w,
+            float(dt), static, pads, shape, spacing, rec_positions)
+        if out is not None:
+            fval, grad, illum = out
+            fval = float(fval)
+            grad = np.array(grad, dtype=np.float64)
+            illum = np.array(illum, dtype=np.float64)
+            if calc_grad:
+                if precond:
+                    grad /= np.sqrt(illum + 1e-30)
+                if mask is not None:
+                    grad *= mask
+            return fval, grad
 
     def per_shot(si, sw, obs_i, dw_i, sp, w):
         # segment-checkpointed gradient (same memory-lean path as the
@@ -183,6 +206,90 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
         if mask is not None:
             grad *= mask
     return fval, grad
+
+
+def _fwi_obj_sharded_pallas(geometry, misfit_jax, calc_grad, mesh, ndev, z0,
+                            vp, damp, src_wav, s_idx_p, s_w_p, obs_p, dw_p,
+                            sp_p, valid, r_idx, r_w, dtf, static, pads,
+                            shape, spacing, rec_positions):
+    """Per-shard Pallas body of ``fwi_obj_sharded``: each device runs its
+    local shot block through the VMEM segment kernels (streamed-history
+    gradient when the per-shard d2u/dt2 history fits HBM), then psums the
+    (fval, grad, illum) triple over the 'shots' axis. Returns device
+    arrays, or None when the kernels don't fit (caller falls back to the
+    XLA scan path)."""
+    import os
+    from ..ops import pallas_acoustic as _pa
+    from ..ops.acoustic import _ckpt_layout
+    from ..fwi import (_pallas_operands, _traces_from_rows, _fix_illum_jax,
+                       _crop, _default_checkpoints)
+
+    model = geometry.model
+    nx, nz = model.padded_shape
+    nt, fs, so = static["nt"], static["fs"], static["space_order"]
+    nck = _pa.pick_n_checkpoints(nt, nx, nz)
+    if nck is None:
+        return None
+    nck = max(nck, _default_checkpoints(nt))
+    Bp = s_idx_p.shape[0] // ndev
+    stream = False
+    if calc_grad and os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
+        snck = _pa.pick_stream_checkpoints(nt, nx, nz)
+        if snck is not None and Bp <= _pa.stream_max_shots(nt, nx, nz):
+            stream = True
+            nck = max(snck, _default_checkpoints(nt))
+    nsteps, seg, nseg = _ckpt_layout(nt, nck)
+    r_idx_j = jnp.asarray(r_idx)
+    r_w_j = jnp.asarray(r_w)
+    src_wav_j = jnp.asarray(src_wav)
+    kkw = dict(nt=nt, nx=nx, nz=nz, space_order=so, spacing=spacing,
+               z0=z0, n_checkpoints=nck, fs=fs)
+
+    def body(si, sw, ob, dw, sp, w):
+        m, mT, hdT, injT, wav_pad = _pallas_operands(
+            vp, damp, src_wav_j, si, sw, dtf, nt, nseg * seg)
+        if not calc_grad:
+            rec_rows = _pa.forward_rec_segments(mT, hdT, wav_pad, injT,
+                                                dtf, **kkw)
+            rec = _traces_from_rows(rec_rows, r_idx_j, r_w_j, z0, nt,
+                                    nsteps, vp.dtype)
+            fvals, _ = jax.vmap(misfit_jax)(rec - dw, ob - dw)
+            f = jax.lax.psum(jnp.sum(fvals * w), "shots")
+            zero = jnp.zeros(shape, vp.dtype)
+            return f, zero, zero
+        fwd = _pa.forward_dt2_segments if stream \
+            else _pa.forward_ckpt_segments
+        rec_rows, hist, illumT = fwd(mT, hdT, wav_pad, injT, dtf, **kkw)
+        rec = _traces_from_rows(rec_rows, r_idx_j, r_w_j, z0, nt, nsteps,
+                                vp.dtype)
+        fvals, res = jax.vmap(misfit_jax)(rec - dw, ob - dw)
+        rows = _pa.residual_rows(res, r_idx_j, r_w_j, m, dtf * dtf, z0,
+                                 nsteps, seg, nseg)
+        if stream:
+            gradT = _pa.gradient_stream_segments(mT, hdT, hist, rows, dtf,
+                                                 **kkw)
+        else:
+            gradT = _pa.gradient_segments(mT, hdT, wav_pad, injT, hist,
+                                          rows, dtf, **kkw)
+        grad = jnp.swapaxes(gradT, -1, -2)
+        illum = jnp.swapaxes(illumT, -1, -2)
+
+        def fix(g, spos):
+            return _fix_illum_jax(_crop(g, pads, shape), spos,
+                                  rec_positions, spacing, shape)
+
+        crop = jax.vmap(fix)(grad, sp)
+        ilc = jax.vmap(fix)(illum, sp)
+        f = jax.lax.psum(jnp.sum(fvals * w), "shots")
+        g = jax.lax.psum(jnp.sum(crop * w[:, None, None], axis=0), "shots")
+        il = jax.lax.psum(jnp.sum(ilc * w[:, None, None], axis=0), "shots")
+        return f, g, il
+
+    run = shard_map(body, mesh=mesh, check_vma=False,
+                    in_specs=(P("shots"), P("shots"), P("shots"),
+                              P("shots"), P("shots"), P("shots")),
+                    out_specs=(P(), P(), P()))
+    return run(s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid)
 
 
 def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,

@@ -202,3 +202,46 @@ def test_hierarchical_shots_domain_objective_matches():
         ref = grad_ref.reshape(g0.model.shape)
         scale = np.abs(ref).max()
         assert np.abs(grad_sh - ref).max() < 1e-5 * scale
+
+
+def test_shot_sharded_pallas_path_matches(monkeypatch):
+    """The per-shard Pallas fast path of fwi_obj_sharded (validated here
+    in interpreter mode on the virtual CPU mesh) == the XLA scan path."""
+    nsrc = 5
+    shape, spacing = (49, 49), (10., 10.)
+    true_model = demo_model("circle-isotropic", vp_circle=3.2,
+                            vp_background=3.0, r=10, origin=(0., 0.),
+                            shape=shape, spacing=spacing, space_order=4,
+                            nbl=10, dt=1.2)
+    init_model = demo_model("circle-isotropic", vp_circle=3.0,
+                            vp_background=3.0, r=10, origin=(0., 0.),
+                            shape=shape, spacing=spacing, space_order=4,
+                            nbl=10, dt=1.2)
+    # horizontal receiver line (two z-planes) so the Pallas gate opens
+    src = np.stack([np.linspace(0, 480, nsrc), np.full(nsrc, 20.0)], axis=1)
+    rec = np.stack([np.linspace(0, 480, 21), np.full(21, 30.0)], axis=1)
+    g1 = AcquisitionGeometry(true_model, rec, src, 0., 200., f0=0.010,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(init_model, rec, src, 0., 200., f0=0.010,
+                             src_type="Ricker")
+    obs = fm_multi(g1)
+    # reference: XLA paths only
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS", "0")
+    f_ref, grad_ref, _ = fwi_obj_multi(g0, obs, least_square,
+                                       calc_grad=True)
+    f0_ref = fwi_obj_sharded(g0, obs, least_square, calc_grad=False,
+                             mesh=shot_mesh())[0]
+    # sharded objective through the per-shard Pallas kernels (interpret)
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS", "1")
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS_INTERPRET", "1")
+    from devito_fwi_tpu.fwi import _pallas_z0
+    assert _pallas_z0(g0) is not None
+    f_sh, grad_sh = fwi_obj_sharded(g0, obs, least_square, calc_grad=True,
+                                    mesh=shot_mesh())
+    assert np.isclose(f_sh, f_ref, rtol=1e-4)
+    ref = grad_ref.reshape(g0.model.shape)
+    scale = np.abs(ref).max()
+    assert np.abs(grad_sh - ref).max() < 1e-4 * scale
+    f0_sh = fwi_obj_sharded(g0, obs, least_square, calc_grad=False,
+                            mesh=shot_mesh())[0]
+    assert np.isclose(f0_sh, f0_ref, rtol=1e-4)
