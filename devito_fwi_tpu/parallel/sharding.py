@@ -50,8 +50,9 @@ def _pad_shots(arrs, nsrc, ndev, dtype=np.float32):
 
 def fm_multi_sharded(geometry, save=False, mesh=None):
     """All-shot forward modeling sharded over the device mesh. Returns a
-    list of PointSource shot records (like ``fwi.fm_multi``)."""
-    from ..fwi import _batched_tables, _solver_dt
+    list of PointSource shot records (like ``fwi.fm_multi``). Supported
+    geometries run each shard through the Pallas segment kernel."""
+    from ..fwi import _batched_tables, _solver_dt, _pallas_z0
     from ..models.sources import PointSource
 
     model = geometry.model
@@ -64,6 +65,44 @@ def fm_multi_sharded(geometry, save=False, mesh=None):
     ndev = mesh.devices.size
     (s_idx_p, s_w_p), valid = _pad_shots(
         [jnp.asarray(s_idx), jnp.asarray(s_w)], geometry.nsrc, ndev, model.dtype)
+
+    z0 = _pallas_z0(geometry)
+    if z0 is not None:
+        from ..fwi import (_pallas_operands, _traces_from_rows,
+                           _default_checkpoints)
+        from ..ops import pallas_acoustic as _pa
+        from ..ops.acoustic import _ckpt_layout
+        nx, nz = model.padded_shape
+        nck = _pa.pick_n_checkpoints(geometry.nt, nx, nz)
+        if nck is not None:
+            nck = max(nck, _default_checkpoints(geometry.nt))
+            nsteps, seg, nseg = _ckpt_layout(geometry.nt, nck)
+            r_idx_j, r_w_j = jnp.asarray(r_idx), jnp.asarray(r_w)
+            src_wav_j = jnp.asarray(src_wav)
+            dtf, nt = float(dt), geometry.nt
+
+            @partial(shard_map, mesh=mesh, check_vma=False,
+                     in_specs=(P("shots"), P("shots")),
+                     out_specs=P("shots"))
+            def run_pl(si, sw):
+                _, mT, hdT, injT, wav_pad = _pallas_operands(
+                    vp, damp, src_wav_j, si, sw, dtf, nt, nseg * seg)
+                rows = _pa.forward_rec_segments(
+                    mT, hdT, wav_pad, injT, dtf, nt=nt, nx=nx, nz=nz,
+                    space_order=model.space_order, spacing=model.spacing,
+                    z0=z0, n_checkpoints=nck, fs=model.fs)
+                return _traces_from_rows(rows, r_idx_j, r_w_j, z0, nt,
+                                         nsteps, vp.dtype)
+
+            rec_all = np.asarray(run_pl(s_idx_p, s_w_p))[:geometry.nsrc]
+            shots = []
+            for i in range(geometry.nsrc):
+                shot = PointSource(name="rec", time_range=geometry.time_axis,
+                                   coordinates=geometry.rec_positions,
+                                   dtype=model.dtype)
+                shot.data[:] = rec_all[i]
+                shots.append(shot)
+            return shots
 
     fwd = partial(_ac.forward, nt=geometry.nt, spacing=model.spacing,
                   space_order=model.space_order, kernel="OT2", fs=model.fs,

@@ -245,3 +245,25 @@ def test_shot_sharded_pallas_path_matches(monkeypatch):
     f0_sh = fwi_obj_sharded(g0, obs, least_square, calc_grad=False,
                             mesh=shot_mesh())[0]
     assert np.isclose(f0_sh, f0_ref, rtol=1e-4)
+
+
+def test_fm_sharded_pallas_path_matches(monkeypatch):
+    """fm_multi_sharded's per-shard Pallas forward (interpreter mode on
+    the CPU mesh) == the XLA sharded forward."""
+    nsrc = 3
+    shape, spacing = (49, 49), (10., 10.)
+    m = demo_model("circle-isotropic", vp_circle=3.2, vp_background=3.0,
+                   r=10, origin=(0., 0.), shape=shape, spacing=spacing,
+                   space_order=4, nbl=10, dt=1.2)
+    src = np.stack([np.linspace(0, 480, nsrc), np.full(nsrc, 20.0)], axis=1)
+    rec = np.stack([np.linspace(0, 480, 21), np.full(21, 30.0)], axis=1)
+    g = AcquisitionGeometry(m, rec, src, 0., 200., f0=0.010,
+                            src_type="Ricker")
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS", "0")
+    ref = fm_multi_sharded(g)
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS", "1")
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS_INTERPRET", "1")
+    out = fm_multi_sharded(g)
+    scale = max(np.abs(np.stack([o.data for o in ref])).max(), 1e-12)
+    for a, b in zip(ref, out):
+        assert np.abs(a.data - b.data).max() < 1e-5 * scale
