@@ -414,27 +414,6 @@ def _pallas_operands(vp, damp, src_wav, s_idx, s_w, dt, nt, total):
     return m, m.T, hdT, injT, wav_pad
 
 
-def _pallas_fwd(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
-                spacing, space_order, n_checkpoints, z0, fs=False):
-    """Traced helper: checkpointed Pallas forward in transposed layout +
-    receiver-row -> trace assembly. Returns (rec, segT, illumT, m, mT,
-    hdT, injT, wav_pad) for reuse by the reverse sweep."""
-    from .ops import pallas_acoustic as _pa
-    from .ops.acoustic import _ckpt_layout
-
-    nx, nz = vp.shape
-    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
-    m, mT, hdT, injT, wav_pad = _pallas_operands(
-        vp, damp, src_wav, s_idx, s_w, dt, nt, nseg * seg)
-    rec_rows, segT, illumT = _pa.forward_ckpt_segments(
-        mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz,
-        space_order=space_order, spacing=spacing, z0=z0,
-        n_checkpoints=n_checkpoints, fs=fs)
-    rec = _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps,
-                            vp.dtype)
-    return rec, segT, illumT, m, mT, hdT, injT, wav_pad
-
-
 @partial(jax.jit, static_argnames=("nt", "spacing", "space_order",
                                    "n_checkpoints", "z0", "dt", "fs"))
 def _fm_batch_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
@@ -476,77 +455,38 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     sweeps per step instead of 3, same-arithmetic gradients. Callers
     must bound the shot batch by ``stream_max_shots`` (the history is
     ~nsteps x field bytes per shot)."""
-    from .ops import pallas_acoustic as _pa
-    from .ops.acoustic import _ckpt_layout
-
-    nx, nz = vp.shape
-    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    statics = dict(nt=nt, spacing=spacing, space_order=space_order,
+                   n_checkpoints=n_checkpoints, z0=z0, fs=fs)
 
     if not calc_grad:
         # line-search trials: receiver-rows-only kernel (no checkpoint /
         # illumination writes)
-        rec = _fm_batch_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w,
-                               dt, nt=nt, spacing=spacing,
-                               space_order=space_order,
-                               n_checkpoints=n_checkpoints, z0=z0, fs=fs)
+        rec, _, _ = _pallas_fwd_core(vp, damp, src_wav, s_idx, s_w, r_idx,
+                                     r_w, dt, calc_grad=False,
+                                     stream=False, **statics)
         fvals, res = jax.vmap(misfit_jax)(rec - dw, obs - dw)
         return jnp.sum(fvals), res
 
-    if stream:
-        m, mT, hdT, injT, wav_pad = _pallas_operands(
-            vp, damp, src_wav, s_idx, s_w, dt, nt, nseg * seg)
-        rec_rows, dt2T, illumT = _pa.forward_dt2_segments(
-            mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz,
-            space_order=space_order, spacing=spacing, z0=z0,
-            n_checkpoints=n_checkpoints, fs=fs)
-        rec = _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps,
-                                vp.dtype)
-    else:
-        rec, segT, illumT, m, mT, hdT, injT, wav_pad = _pallas_fwd(
-            vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, nt=nt,
-            spacing=spacing, space_order=space_order,
-            n_checkpoints=n_checkpoints, z0=z0, fs=fs)
-
-    syn = rec - dw
-    obs_c = obs - dw
-    fvals, res = jax.vmap(misfit_jax)(syn, obs_c)
+    rec, hist, illumT = _pallas_fwd_core(
+        vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, calc_grad=True,
+        stream=stream, **statics)
+    fvals, res = jax.vmap(misfit_jax)(rec - dw, obs - dw)
     fval = jnp.sum(fvals)
-
-    res_rows = _pa.residual_rows(res, r_idx, r_w, m, dt * dt, z0, nsteps,
-                                 seg, nseg)
-
-    if stream:
-        gradT = _pa.gradient_stream_segments(
-            mT, hdT, dt2T, res_rows, dt, nt=nt, nx=nx, nz=nz,
-            space_order=space_order, spacing=spacing, z0=z0,
-            n_checkpoints=n_checkpoints, fs=fs)
-    else:
-        gradT = _pa.gradient_segments(
-            mT, hdT, wav_pad, injT, segT, res_rows, dt, nt=nt, nx=nx, nz=nz,
-            space_order=space_order, spacing=spacing, z0=z0,
-            n_checkpoints=n_checkpoints, fs=fs)
-    grad = jnp.swapaxes(gradT, -1, -2)
-    illum = jnp.swapaxes(illumT, -1, -2)
-
-    def fix(g, sp):
-        return _fix_illum_jax(_crop(g, pads, shape), sp, rec_positions,
-                              spacing, shape)
-
-    crop = jax.vmap(fix)(grad, src_pos)
-    ilc = jax.vmap(fix)(illum, src_pos)
+    crop, ilc = _pallas_grad_core(
+        vp, damp, src_wav, s_idx, s_w, hist, res, r_idx, r_w, illumT,
+        src_pos, rec_positions, dt, stream=stream, pads=pads, shape=shape,
+        **statics)
     return fval, res, jnp.sum(crop, axis=0), jnp.sum(ilc, axis=0)
 
 
-@partial(jax.jit, static_argnames=("calc_grad", "stream", "nt", "spacing",
-                                   "space_order", "n_checkpoints", "z0",
-                                   "dt", "fs"))
-def _pallas_fwd_host(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *,
+def _pallas_fwd_core(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *,
                      calc_grad, stream, nt, spacing, space_order,
                      n_checkpoints, z0, fs):
-    """Forward for the host-misfit objective on the Pallas segment
-    kernels. Returns (rec, hist, illumT): ``hist`` is the streamed dt2
+    """Traced forward core shared by the fused, host-misfit and sharded
+    objectives. Returns (rec, hist, illumT): ``hist`` is the streamed dt2
     history (stream=True, stays on device between the forward and the
-    reverse call) or the segment-start checkpoints."""
+    reverse call) or the segment-start checkpoints; both are None for
+    the receiver-rows-only calc_grad=False path."""
     from .ops import pallas_acoustic as _pa
     from .ops.acoustic import _ckpt_layout
 
@@ -569,15 +509,14 @@ def _pallas_fwd_host(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *,
     return rec, hist, illumT
 
 
-@partial(jax.jit, static_argnames=("stream", "nt", "spacing", "space_order",
-                                   "n_checkpoints", "z0", "dt", "fs",
-                                   "pads", "shape"))
-def _pallas_grad_host(vp, damp, src_wav, s_idx, s_w, hist, res_stack,
+def _pallas_grad_core(vp, damp, src_wav, s_idx, s_w, hist, res_stack,
                       r_idx, r_w, illumT, src_pos, rec_pos, dt, *, stream,
                       nt, spacing, space_order, n_checkpoints, z0, fs,
                       pads, shape):
-    """Reverse sweep for the host-misfit objective (Pallas kernels);
-    returns the cropped, illumination-fixed (grad_sum, illum_sum)."""
+    """Traced reverse-sweep core shared by the fused, host-misfit and
+    sharded objectives: gradient kernel + per-shot crop and illumination
+    fix. Returns the PER-SHOT (crop, illum) stacks — callers reduce
+    (plain sums here, validity-weighted psums in the sharded path)."""
     from .ops import pallas_acoustic as _pa
     from .ops.acoustic import _ckpt_layout
 
@@ -606,6 +545,27 @@ def _pallas_grad_host(vp, damp, src_wav, s_idx, s_w, hist, res_stack,
 
     crop = jax.vmap(fix)(grad, src_pos)
     ilc = jax.vmap(fix)(illum, src_pos)
+    return crop, ilc
+
+
+_pallas_fwd_host = partial(jax.jit, static_argnames=(
+    "calc_grad", "stream", "nt", "spacing", "space_order",
+    "n_checkpoints", "z0", "dt", "fs"))(_pallas_fwd_core)
+
+
+@partial(jax.jit, static_argnames=("stream", "nt", "spacing", "space_order",
+                                   "n_checkpoints", "z0", "dt", "fs",
+                                   "pads", "shape"))
+def _pallas_grad_host(vp, damp, src_wav, s_idx, s_w, hist, res_stack,
+                      r_idx, r_w, illumT, src_pos, rec_pos, dt, *, stream,
+                      nt, spacing, space_order, n_checkpoints, z0, fs,
+                      pads, shape):
+    """Jitted host-misfit entry over ``_pallas_grad_core`` (summed)."""
+    crop, ilc = _pallas_grad_core(
+        vp, damp, src_wav, s_idx, s_w, hist, res_stack, r_idx, r_w,
+        illumT, src_pos, rec_pos, dt, stream=stream, nt=nt,
+        spacing=spacing, space_order=space_order,
+        n_checkpoints=n_checkpoints, z0=z0, fs=fs, pads=pads, shape=shape)
     return jnp.sum(crop, axis=0), jnp.sum(ilc, axis=0)
 
 
