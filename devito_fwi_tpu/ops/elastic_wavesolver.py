@@ -3,6 +3,7 @@
 forward-only solvers returning (rec1, rec2, v, tau, summary))."""
 from __future__ import annotations
 
+import os
 import time as _time
 
 import numpy as np
@@ -10,6 +11,21 @@ import numpy as np
 from . import staggered as _st
 from .interp import interp_table
 from .wavesolver import PerfSummary
+
+
+def _elastic_pallas_ok(model, s_idx, r_idx):
+    """Gate for the Pallas elastic fast path (mirrors fwi._pallas_z0's
+    backend/env checks)."""
+    if os.environ.get("DEVITO_FWI_TPU_PALLAS", "1") == "0":
+        return False
+    import jax
+    from .pallas_acoustic import env_interpret
+    if jax.default_backend() != "tpu" and not env_interpret():
+        return False
+    if jax.config.jax_enable_x64 and not env_interpret():
+        return False
+    from .pallas_staggered import elastic_supported
+    return elastic_supported(model, s_idx, r_idx)
 
 __all__ = ["ElasticWaveSolver", "ViscoelasticWaveSolver"]
 
@@ -64,10 +80,17 @@ class ElasticWaveSolver(_StaggeredSolverBase):
         s_idx, s_w = self._tables(src.coordinates)
         r_idx, r_w = self._tables(rec1.coordinates)
         tic = _time.perf_counter()
-        r1, r2 = _st.elastic_forward(lam, mu, b, damp, src.data, s_idx, s_w,
-                                     r_idx, r_w, dt, nt=self.nt,
-                                     spacing=self.model.spacing,
-                                     space_order=self.space_order)
+        if _elastic_pallas_ok(self.model, s_idx, r_idx):
+            from .pallas_staggered import elastic_forward_pallas
+            r1, r2 = elastic_forward_pallas(
+                lam, mu, b, damp, src.data, s_idx, s_w, r_idx, r_w, dt,
+                nt=self.nt, spacing=self.model.spacing,
+                space_order=self.space_order)
+        else:
+            r1, r2 = _st.elastic_forward(lam, mu, b, damp, src.data, s_idx,
+                                         s_w, r_idx, r_w, dt, nt=self.nt,
+                                         spacing=self.model.spacing,
+                                         space_order=self.space_order)
         r1.block_until_ready()
         toc = _time.perf_counter()
         rec1.data[:] = np.asarray(r1)

@@ -1,0 +1,273 @@
+"""Pallas TPU segment kernel for the 2-D velocity-stress elastic system.
+
+The same VMEM-resident design as ``pallas_acoustic``: a grid over
+(time segments) with the five field carries (vx, vz, txx, tzz, txz)
+persisting in scratch across sequential segment steps, so the XLA scan's
+~12 HBM field sweeps per step collapse to the per-segment receiver-row
+blocks. Numerics mirror ``ops.staggered.elastic_forward`` term for term
+(same staggered Fornberg stencils, same zero-Dirichlet shifts, same
+update association); parity is pinned by tests/test_pallas_staggered.py
+in interpreter mode.
+
+Scope: 2-D, float32, one source point, receivers between two z-planes —
+the reference ``elastic_example.py`` geometry. Reference semantics:
+``seismic/elastic/operators.py:6-65``.
+
+Measured on the chip (380x230, so=8, nt=1166): solver-level wall time is
+~205 ms for BOTH paths — the single-shot example API is dominated by the
+tunnel's host transfers, not device compute — with trace parity 2.8e-7.
+The kernel exists for the same reason the acoustic segment kernels do
+(VMEM-resident carries; the acoustic twin measured ~3x the XLA scan at
+device level), and becomes the production path whenever elastic shots
+are batched.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.fd import fd_weights
+from .self_adjoint import staggered_weights
+from .pallas_acoustic import env_interpret
+
+__all__ = ["elastic_forward_pallas", "elastic_supported", "seg_layout"]
+
+
+def seg_layout(nsteps, target=32):
+    """(seg, nseg) segment split of a forward-only time loop."""
+    seg = min(max(nsteps, 1), target)
+    nseg = -(-max(nsteps, 1) // seg)
+    return seg, nseg
+
+
+def _shift(u, o, axis, nx, nz):
+    """Zero-Dirichlet integer shift on the transposed (nz, nx) layout:
+    out[idx] = u[idx + o] along `axis`."""
+    if o == 0:
+        return u
+    if axis == 0:
+        z = jnp.zeros((abs(o), nx), jnp.float32)
+        return jnp.concatenate([u[o:, :], z], 0) if o > 0 \
+            else jnp.concatenate([z, u[:o, :]], 0)
+    z = jnp.zeros((nz, abs(o)), jnp.float32)
+    return jnp.concatenate([u[:, o:], z], 1) if o > 0 \
+        else jnp.concatenate([z, u[:, :o]], 1)
+
+
+def _make_sd(nx, nz):
+    """Shifted-derivative factory mirroring
+    ``ops.self_adjoint.shifted_derivative``'s association:
+    (w0*u[off0] + sum_k wk*u[offk]) * inv_h. `axis` is the PHYSICAL dim
+    (0 = x -> lane axis, 1 = z -> sublane axis in the transposed
+    layout)."""
+    def sd(u, w, off, axis, inv_h):
+        kaxis = 1 if axis == 0 else 0
+        acc = None
+        for wk, ok in zip(w, off):
+            if wk == 0.0:
+                continue
+            term = wk * _shift(u, int(ok), kaxis, nx, nz)
+            acc = term if acc is None else acc + term
+        return acc * inv_h
+    return sd
+
+
+def _elastic_kernel(wav_ref, lam_ref, mu_ref, b0_ref, b1_ref, damp_ref,
+                    d0_ref, d1_ref, mu01_ref, d01_ref, inj_ref, rec_ref,
+                    vx_ref, vz_ref, txx_ref, tzz_ref, txz_ref, *,
+                    seg, nx, nz, wp, op, wm, om, wc, oc, ihx, ihz, s, z0):
+    """One time-segment grid step of the elastic leapfrog (transposed
+    (nz, nx) fields). Mirrors ``staggered.elastic_forward``'s step."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(0)
+    base = j * seg
+    lam = lam_ref[:]
+    mu = mu_ref[:]
+    b0 = b0_ref[:]
+    b1 = b1_ref[:]
+    damp = damp_ref[:]
+    d0 = d0_ref[:]
+    d1 = d1_ref[:]
+    mu01 = mu01_ref[:]
+    d01 = d01_ref[:]
+    inj = inj_ref[:]
+    sd = _make_sd(nx, nz)
+
+    @pl.when(j == 0)
+    def _():
+        for ref in (vx_ref, vz_ref, txx_ref, tzz_ref, txz_ref):
+            ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    def body(i, _):
+        vx, vz = vx_ref[:], vz_ref[:]
+        txx, tzz, txz = txx_ref[:], tzz_ref[:], txz_ref[:]
+        # receivers at time t: rec1 = tau_zz, rec2 = div(v) with the
+        # centered own-grid derivative (staggered.py module docstring)
+        rec_ref[i, 0] = tzz[z0:z0 + 2, :]
+        div_c = sd(vx, wc, oc, 0, ihx) + sd(vz, wc, oc, 1, ihz)
+        rec_ref[i, 1] = div_c[z0:z0 + 2, :]
+
+        # v[t+1] = damp (v + dt b div(tau))
+        dtau_x = sd(txx, wp, op, 0, ihx) + sd(txz, wm, om, 1, ihz)
+        dtau_z = sd(tzz, wp, op, 1, ihz) + sd(txz, wm, om, 0, ihx)
+        vxn = d0 * (vx + s * b0 * dtau_x)
+        vzn = d1 * (vz + s * b1 * dtau_z)
+
+        dvx = sd(vxn, wm, om, 0, ihx)
+        dvz = sd(vzn, wm, om, 1, ihz)
+        div_vn = dvx + dvz
+
+        # tau[t+1] = damp (tau + dt lam diag(div v') + dt mu (grad+grad^T))
+        txxn = damp * (txx + s * lam * div_vn + 2.0 * s * mu * dvx)
+        tzzn = damp * (tzz + s * lam * div_vn + 2.0 * s * mu * dvz)
+        g = sd(vxn, wp, op, 1, ihz) + sd(vzn, wp, op, 0, ihx)
+        txzn = d01 * (txz + s * mu01 * g)
+
+        wav_t = wav_ref[base + i]
+        vx_ref[:] = vxn
+        vz_ref[:] = vzn
+        txx_ref[:] = txxn + wav_t * inj
+        tzz_ref[:] = tzzn + wav_t * inj
+        txz_ref[:] = txzn
+        return 0
+
+    jax.lax.fori_loop(0, seg, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "dt", "interpret"))
+def _elastic_segments(lam_t, mu_t, b0_t, b1_t, damp_t, d0_t, d1_t, mu01_t,
+                      d01_t, inj_t, wav_pad, dt, *, nt, nx, nz, space_order,
+                      spacing, z0, interpret=False):
+    """Segment-grid Pallas elastic forward (transposed operands).
+    Returns rec_rows (nseg, seg, 2, 2, nx): per step, the two z-plane
+    rows of (tau_zz, div v)."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    dtype = np.float32
+    w_p, off_p, w_m, off_m = staggered_weights(space_order)
+    r = space_order // 2
+    oc = np.arange(-r, r + 1)
+    wc = fd_weights(1, oc, 0.0)
+    # constants rounded exactly like elastic_forward's jnp.asarray(f32)
+    wp = tuple(float(v) for v in np.asarray(w_p, dtype))
+    wm = tuple(float(v) for v in np.asarray(w_m, dtype))
+    wcc = tuple(float(v) for v in np.asarray(wc, dtype))
+    ihx = float(dtype(1.0 / spacing[0]))
+    ihz = float(dtype(1.0 / spacing[1]))
+    s = float(dtype(dt))
+    nsteps = nt - 1
+    seg, nseg = seg_layout(nsteps)
+
+    kern = partial(_elastic_kernel, seg=seg, nx=nx, nz=nz,
+                   wp=wp, op=tuple(int(o) for o in off_p),
+                   wm=wm, om=tuple(int(o) for o in off_m),
+                   wc=wcc, oc=tuple(int(o) for o in oc),
+                   ihx=ihx, ihz=ihz, s=s, z0=z0)
+    return pl.pallas_call(
+        kern,
+        grid=(nseg,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec((None, seg, 2, 2, nx),
+                               lambda j: (j, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nseg, seg, 2, 2, nx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32)] * 5,
+        interpret=env_interpret(interpret),
+    )(wav_pad, lam_t, mu_t, b0_t, b1_t, damp_t, d0_t, d1_t, mu01_t, d01_t,
+      inj_t)
+
+
+def elastic_supported(model, src_idx, rec_idx):
+    """True when the elastic fast path applies: 2-D f32, one source
+    point, receivers between two z-planes."""
+    if model.dim != 2 or model.dtype != np.float32:
+        return False
+    if np.asarray(src_idx).shape[0] != 1:
+        return False
+    zplanes = np.unique(np.asarray(rec_idx)[..., 1])
+    return len(zplanes) <= 2
+
+
+def elastic_forward_pallas(lam, mu, b, damp, src_wav, src_idx, src_w,
+                           rec_idx, rec_w, dt, *, nt, spacing,
+                           space_order=4, interpret=False):
+    """Drop-in twin of ``staggered.elastic_forward`` on the Pallas
+    segment kernel (gate with ``elastic_supported`` first). Returns
+    (rec1, rec2) traces, each (nt, nrec)."""
+    def np_avg(p, dims):
+        # numpy twin of staggered.avg_to (each eager jnp op would cost a
+        # ~40 ms tunnel round trip — 6 of them dwarfed the kernel)
+        for d in dims:
+            pp = np.concatenate(
+                [p, np.zeros_like(np.take(p, [0], axis=d))], axis=d)
+            p = 0.5 * (p + np.take(pp, np.arange(1, p.shape[d] + 1),
+                                   axis=d))
+        return p.astype(np.float32)
+
+    dtype = np.float32
+    lam = np.asarray(lam, dtype)
+    mu = np.asarray(mu, dtype)
+    nx, nz = lam.shape
+    b_a = np.asarray(b, dtype) if np.ndim(b) else np.full((nx, nz), b, dtype)
+    damp_a = np.asarray(damp, dtype) if np.ndim(damp) \
+        else np.full((nx, nz), damp, dtype)
+    b0 = np_avg(b_a, (0,))
+    b1 = np_avg(b_a, (1,))
+    d0 = np_avg(damp_a, (0,))
+    d1 = np_avg(damp_a, (1,))
+    mu01 = np_avg(mu, (0, 1))
+    d01 = np_avg(damp_a, (0, 1))
+
+    s = float(np.float32(dt))
+    s_idx_n = np.asarray(src_idx)
+    s_w_n = np.asarray(src_w)
+    inj = np.zeros((nx, nz), dtype)
+    for c in range(s_idx_n.shape[1]):
+        xi, zi = s_idx_n[0, c]
+        inj[xi, zi] += s_w_n[0, c] * s     # w_p * dt (operators.py:20-25)
+
+    r_idx_n = np.asarray(rec_idx)
+    z0 = int(r_idx_n[..., 1].min())
+    nsteps = nt - 1
+    seg, nseg = seg_layout(nsteps)
+    wav_pad = np.zeros((nseg * seg,), dtype)
+    wav_pad[:nsteps] = np.asarray(src_wav, dtype)[0:nt - 1, 0]
+
+    rows = _elastic_segments(
+        jnp.asarray(lam.T), jnp.asarray(mu.T), jnp.asarray(b0.T),
+        jnp.asarray(b1.T), jnp.asarray(damp_a.T), jnp.asarray(d0.T),
+        jnp.asarray(d1.T), jnp.asarray(mu01.T), jnp.asarray(d01.T),
+        jnp.asarray(inj.T), jnp.asarray(wav_pad), float(dt), nt=nt, nx=nx,
+        nz=nz, space_order=space_order, spacing=spacing, z0=z0,
+        interpret=interpret)
+    return _stag_assemble(rows, jnp.asarray(rec_idx), jnp.asarray(rec_w),
+                          z0=z0, nt=nt, nsteps=nsteps, nx=nx)
+
+
+@partial(jax.jit, static_argnames=("z0", "nt", "nsteps", "nx"))
+def _stag_assemble(rows, r_idx, r_w, *, z0, nt, nsteps, nx):
+    """Receiver rows -> (rec1, rec2) traces; the staggered loop records
+    t = 0..nt-2 (vs the acoustic 1..nt-1), rec[nt-1] stays 0. MXU
+    contraction against the scattered weight matrix, HIGHEST precision
+    (the DEFAULT matmul precision truncates to bf16)."""
+    nrec = r_idx.shape[0]
+    rxi = r_idx[:, :, 0]
+    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
+    W = jnp.zeros((2 * nx, nrec), jnp.float32).at[
+        rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
+        r_w.astype(jnp.float32))
+    flat = rows.reshape(-1, 2, 2 * nx)[:nsteps]
+    out = []
+    for o in range(2):
+        tr = jnp.einsum("tq,qr->tr", flat[:, o], W,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        out.append(jnp.zeros((nt, nrec), jnp.float32).at[0:nsteps].set(tr))
+    return out[0], out[1]

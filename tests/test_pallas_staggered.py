@@ -1,0 +1,52 @@
+"""Elastic Pallas segment kernel: interpreter-mode parity vs the XLA
+scan (ops.staggered.elastic_forward)."""
+import numpy as np
+import pytest
+
+from devito_fwi_tpu import SeismicModel, AcquisitionGeometry
+from devito_fwi_tpu.ops import pallas_acoustic as pa
+
+
+@pytest.mark.skipif(not pa.available(), reason="pallas unavailable")
+def test_elastic_pallas_matches_xla_interpret():
+    import jax.numpy as jnp
+    from devito_fwi_tpu.ops import staggered as st
+    from devito_fwi_tpu.ops import pallas_staggered as ps
+    from devito_fwi_tpu.ops.interp import interp_table
+
+    shape = (61, 51)
+    vp = np.full(shape, 2.0, np.float32)
+    vp[:, 25:] = 2.5
+    vs = vp / 2.0
+    rho = 0.31 * (1e3 * vp) ** 0.25
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.), shape=shape,
+                         space_order=4, vp=vp, vs=vs, b=1.0 / rho, nbl=10,
+                         bcs="mask", dtype=np.float32)
+    src = np.array([[300.0, 20.0]])
+    rec = np.stack([np.linspace(0., 600., 33), np.full(33, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 300., f0=0.012,
+                               src_type="Ricker")
+    lam = np.asarray(model.lam, np.float32)
+    mu = np.asarray(model.mu, np.float32)
+    b = np.asarray(model.b, np.float32)
+    damp = np.asarray(model.damp, np.float32)
+    dt = model.critical_dt
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    wav = geom.src.data
+    assert ps.elastic_supported(model, s_idx, r_idx)
+
+    r1_x, r2_x = st.elastic_forward(
+        jnp.asarray(lam), jnp.asarray(mu), jnp.asarray(b),
+        jnp.asarray(damp), jnp.asarray(wav), jnp.asarray(s_idx),
+        jnp.asarray(s_w), jnp.asarray(r_idx), jnp.asarray(r_w), float(dt),
+        nt=geom.nt, spacing=model.spacing, space_order=4)
+    r1_p, r2_p = ps.elastic_forward_pallas(
+        lam, mu, b, damp, wav, s_idx, s_w, r_idx, r_w, float(dt),
+        nt=geom.nt, spacing=model.spacing, space_order=4, interpret=True)
+    for a, b_ in ((r1_x, r1_p), (r2_x, r2_p)):
+        a = np.asarray(a)
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(np.asarray(b_) - a).max() < 1e-5 * scale
