@@ -16,8 +16,8 @@ Scope of the fast path:
 * receivers between two z-planes (every reference geometry is), read
   back as two grid rows per step and contracted with bilinear weights.
 
-``forward_rows``/``forward_traces`` are the legacy whole-nt variants
-(bench artifacts; no fs support, ~7 min compile).
+The legacy whole-nt variants (``forward_rows``/``forward_traces``, no fs
+support, ~7 min compile) live in ``pallas_legacy`` as bench artifacts.
 
 Numerics are identical to ``ops.acoustic`` (same weights, same
 t = 1..nt-2 bounds, same checkpoint layout) — pinned by
@@ -34,10 +34,10 @@ import numpy as np
 
 from ..utils.fd import second_derivative_weights
 
-__all__ = ["forward_rows", "forward_traces", "geometry_supported",
-           "available", "gradient_segments", "gradient_from_ckpt_pallas",
-           "forward_dt2_segments", "gradient_stream_segments",
-           "pick_stream_checkpoints", "stream_max_shots"]
+__all__ = ["geometry_supported", "available", "gradient_segments",
+           "gradient_from_ckpt_pallas", "forward_dt2_segments",
+           "gradient_stream_segments", "pick_stream_checkpoints",
+           "stream_max_shots"]
 
 
 def available():
@@ -68,273 +68,6 @@ def _stencil_constants(space_order, spacing, dt, w_override=None):
     inv_h2x = float(1.0 / spacing[0] ** 2) * s2
     inv_h2z = float(1.0 / spacing[1] ** 2) * s2
     return w, inv_h2x, inv_h2z, s2
-
-
-def _kernel(wav_ref, m_ref, hd_ref, inj_ref, rec_ref,
-            u_ref, up_ref, *, nt, nx, nz, w, inv_h2x, inv_h2z, z0):
-    import jax.experimental.pallas as pl  # noqa: F401
-
-    r = len(w) - 1
-    m = m_ref[:]
-    hd = hd_ref[:]
-    denom = 1.0 / (m + hd)
-    two_m_hd = 2.0 * m + hd
-    inj = inj_ref[0]
-
-    u_ref[:] = jnp.zeros((nx, nz), jnp.float32)
-    up_ref[:] = jnp.zeros((nx, nz), jnp.float32)
-
-    def lap(u):
-        acc = (w[0] * (inv_h2x + inv_h2z)) * u
-        for k in range(1, r + 1):
-            zx = jnp.zeros((k, nz), jnp.float32)
-            acc += (w[k] * inv_h2x) * jnp.concatenate(
-                [u[k:, :], zx], axis=0)
-            acc += (w[k] * inv_h2x) * jnp.concatenate(
-                [zx, u[:-k, :]], axis=0)
-            zz = jnp.zeros((nx, k), jnp.float32)
-            acc += (w[k] * inv_h2z) * jnp.concatenate(
-                [u[:, k:], zz], axis=1)
-            acc += (w[k] * inv_h2z) * jnp.concatenate(
-                [zz, u[:, :-k]], axis=1)
-        return acc
-
-    def body(t, _):
-        u = u_ref[:]
-        up = up_ref[:]
-        # record the two receiver rows of u at this step (host maps row
-        # j to time index j+1, matching the scan's rec[1:nt-1] filling)
-        rec_ref[t, 0, :] = u[:, z0]
-        rec_ref[t, 1, :] = u[:, z0 + 1]
-        un = (lap(u) + two_m_hd * u - m * up) * denom
-        # source injection as a dense masked FMA: Mosaic cannot address an
-        # unaligned dynamic 2x2 sub-block, and one extra fused field op per
-        # step is ~10% of the stencil cost
-        wav_t = wav_ref[t]
-        u_ref[:] = un + wav_t * inj
-        up_ref[:] = u
-        return 0
-
-    jax.lax.fori_loop(0, nt - 2, body, 0)
-
-
-@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
-                                   "spacing", "z0", "interpret", "dt"))
-def forward_rows(m, hd, wav, inj, dt, *, nt, nx, nz,
-                 space_order, spacing, z0, interpret=False):
-    """Run the VMEM-resident forward loop for a batch of shots.
-
-    Measured (TPU v5e, Marmousi 380x186, nt=1357, 29 shots): 129 ms =
-    21.5 Gcell-steps/s vs 155 ms (17.9) for the XLA-scan batch — the
-    VMEM-resident carries eliminate the scan's HBM round trips and the
-    kernel runs at the VPU compute roofline. Trade-off: ~7 min Mosaic
-    compile for the whole-nt loop, so production paths use the segment
-    kernels below instead; this variant is kept as the measured-baseline
-    artifact.
-
-    Parameters: m, hd (padded grid, f32); wav (nt-2,); inj (B, nx, nz)
-    per-shot dense injection pattern (w * dt^2 / m at the source corners,
-    zero elsewhere). Returns rec_rows (B, nt, 2, nx): the two z-plane rows
-    per time step.
-    """
-    import jax.experimental.pallas as pl
-    import jax.experimental.pallas.tpu as pltpu
-
-    w = tuple(float(v) for v in
-              np.asarray(second_derivative_weights(space_order)
-                         [space_order // 2:]))
-    inv_h2x = float(1.0 / spacing[0] ** 2) * float(dt) ** 2
-    inv_h2z = float(1.0 / spacing[1] ** 2) * float(dt) ** 2
-    # (legacy kernel: keeps the folded dt^2 constants; the production
-    # segment kernels use _stencil_constants for XLA-aligned rounding)
-    B = inj.shape[0]
-
-    kern = partial(_kernel, nt=nt, nx=nx, nz=nz, w=w,
-                   inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0)
-
-    out = pl.pallas_call(
-        kern,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # wav (scalar reads)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # m
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # hd
-            pl.BlockSpec((1, nx, nz), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),      # inj (per shot)
-        ],
-        out_specs=pl.BlockSpec((None, nt, 2, nx), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nt, 2, nx), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nx, nz), jnp.float32),
-                        pltpu.VMEM((nx, nz), jnp.float32)],
-        interpret=env_interpret(interpret),
-    )(wav, m, hd, inj)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# forward sweep with segment checkpoints (Pallas twin of
-# ops.acoustic.forward_ckpt, transposed (nz, nx) layout)
-# ---------------------------------------------------------------------------
-
-def _make_lap_t(w, inv_h2x, inv_h2z, nx, nz, fs):
-    """Laplacian on the transposed (nz, nx) layout: axis 0 = z (sublanes),
-    axis 1 = x (lanes), zero-Dirichlet shifts via zero-fill concatenates.
-    With ``fs``, rows 0..r get the antisymmetric free-surface correction
-    (the transposed twin of ``ops.acoustic._fs_fix_last_axis``):
-    delta[z] = -sum_{k=max(z,1)}^{r} w[k] * u[k-z].
-
-    The dt^2/h^2 scales are FOLDED into single per-tap constants. This
-    deviates from the XLA path's association by ~1 ulp per tap; an
-    order-exact variant ((shift+ + shift-) summed first, per-axis scale,
-    separate s2 multiply — mirroring ops.acoustic._axis_d2) was measured
-    16% SLOWER per sweep on the chip (43 ms vs 36 ms, Marmousi 21 shots)
-    with no accuracy benefit: end-to-end Pallas-vs-XLA trace deviation
-    is set by reassociation noise either way (~1e-5 at Marmousi scale;
-    the historical 3.4e-3 divergence was the receiver-assembly einsum
-    running at bf16 DEFAULT matmul precision, fixed separately)."""
-    r = len(w) - 1
-
-    def lap(u):
-        acc = (w[0] * (inv_h2x + inv_h2z)) * u
-        for kk in range(1, r + 1):
-            zz = jnp.zeros((kk, nx), jnp.float32)
-            acc += (w[kk] * inv_h2z) * jnp.concatenate([u[kk:, :], zz], 0)
-            acc += (w[kk] * inv_h2z) * jnp.concatenate([zz, u[:-kk, :]], 0)
-            zx = jnp.zeros((nz, kk), jnp.float32)
-            acc += (w[kk] * inv_h2x) * jnp.concatenate([u[:, kk:], zx], 1)
-            acc += (w[kk] * inv_h2x) * jnp.concatenate([zx, u[:, :-kk]], 1)
-        if fs:
-            # k starts at max(z, 1): the w[0] center term is identical in
-            # the plain and mirrored stencils (including at z = 0, where
-            # the reference keeps w[0]*u[0] — ops/acoustic.py:80-82)
-            rows = []
-            for z in range(r + 1):
-                d = jnp.zeros((1, nx), jnp.float32)
-                for k in range(max(z, 1), r + 1):
-                    d = d + (-w[k] * inv_h2z) * u[k - z:k - z + 1, :]
-                rows.append(d)
-            delta = jnp.concatenate(rows, 0)
-            acc = jnp.concatenate([acc[:r + 1] + delta, acc[r + 1:]], 0)
-        return acc
-
-    return lap
-
-
-
-def _stencil_constants(space_order, spacing, dt, w_override=None):
-    """(w, inv_h2x, inv_h2z, s2) for the segment kernels, dt^2 folded
-    into the per-axis 1/h^2 scales (see ``_make_lap_t``)."""
-    w_full = second_derivative_weights(space_order) if w_override is None \
-        else np.asarray(w_override)
-    w = tuple(float(v) for v in np.asarray(w_full)[len(w_full) // 2:])
-    s2 = float(dt) ** 2
-    inv_h2x = float(1.0 / spacing[0] ** 2) * s2
-    inv_h2z = float(1.0 / spacing[1] ** 2) * s2
-    return w, inv_h2x, inv_h2z, s2
-
-
-def _kernel(wav_ref, m_ref, hd_ref, inj_ref, rec_ref,
-            u_ref, up_ref, *, nt, nx, nz, w, inv_h2x, inv_h2z, z0):
-    import jax.experimental.pallas as pl  # noqa: F401
-
-    r = len(w) - 1
-    m = m_ref[:]
-    hd = hd_ref[:]
-    denom = 1.0 / (m + hd)
-    two_m_hd = 2.0 * m + hd
-    inj = inj_ref[0]
-
-    u_ref[:] = jnp.zeros((nx, nz), jnp.float32)
-    up_ref[:] = jnp.zeros((nx, nz), jnp.float32)
-
-    def lap(u):
-        acc = (w[0] * (inv_h2x + inv_h2z)) * u
-        for k in range(1, r + 1):
-            zx = jnp.zeros((k, nz), jnp.float32)
-            acc += (w[k] * inv_h2x) * jnp.concatenate(
-                [u[k:, :], zx], axis=0)
-            acc += (w[k] * inv_h2x) * jnp.concatenate(
-                [zx, u[:-k, :]], axis=0)
-            zz = jnp.zeros((nx, k), jnp.float32)
-            acc += (w[k] * inv_h2z) * jnp.concatenate(
-                [u[:, k:], zz], axis=1)
-            acc += (w[k] * inv_h2z) * jnp.concatenate(
-                [zz, u[:, :-k]], axis=1)
-        return acc
-
-    def body(t, _):
-        u = u_ref[:]
-        up = up_ref[:]
-        # record the two receiver rows of u at this step (host maps row
-        # j to time index j+1, matching the scan's rec[1:nt-1] filling)
-        rec_ref[t, 0, :] = u[:, z0]
-        rec_ref[t, 1, :] = u[:, z0 + 1]
-        un = (lap(u) + two_m_hd * u - m * up) * denom
-        # source injection as a dense masked FMA: Mosaic cannot address an
-        # unaligned dynamic 2x2 sub-block, and one extra fused field op per
-        # step is ~10% of the stencil cost
-        wav_t = wav_ref[t]
-        u_ref[:] = un + wav_t * inj
-        up_ref[:] = u
-        return 0
-
-    jax.lax.fori_loop(0, nt - 2, body, 0)
-
-
-@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
-                                   "spacing", "z0", "interpret", "dt"))
-def forward_rows(m, hd, wav, inj, dt, *, nt, nx, nz,
-                 space_order, spacing, z0, interpret=False):
-    """Run the VMEM-resident forward loop for a batch of shots.
-
-    Measured (TPU v5e, Marmousi 380x186, nt=1357, 29 shots): 129 ms =
-    21.5 Gcell-steps/s vs 155 ms (17.9) for the XLA-scan batch — the
-    VMEM-resident carries eliminate the scan's HBM round trips and the
-    kernel runs at the VPU compute roofline. Trade-off: ~7 min Mosaic
-    compile for the whole-nt loop, so production paths use the segment
-    kernels below instead; this variant is kept as the measured-baseline
-    artifact.
-
-    Parameters: m, hd (padded grid, f32); wav (nt-2,); inj (B, nx, nz)
-    per-shot dense injection pattern (w * dt^2 / m at the source corners,
-    zero elsewhere). Returns rec_rows (B, nt, 2, nx): the two z-plane rows
-    per time step.
-    """
-    import jax.experimental.pallas as pl
-    import jax.experimental.pallas.tpu as pltpu
-
-    w = tuple(float(v) for v in
-              np.asarray(second_derivative_weights(space_order)
-                         [space_order // 2:]))
-    inv_h2x = float(1.0 / spacing[0] ** 2) * float(dt) ** 2
-    inv_h2z = float(1.0 / spacing[1] ** 2) * float(dt) ** 2
-    # (legacy kernel: keeps the folded dt^2 constants; the production
-    # segment kernels use _stencil_constants for XLA-aligned rounding)
-    B = inj.shape[0]
-
-    kern = partial(_kernel, nt=nt, nx=nx, nz=nz, w=w,
-                   inv_h2x=inv_h2x, inv_h2z=inv_h2z, z0=z0)
-
-    out = pl.pallas_call(
-        kern,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # wav (scalar reads)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # m
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # hd
-            pl.BlockSpec((1, nx, nz), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),      # inj (per shot)
-        ],
-        out_specs=pl.BlockSpec((None, nt, 2, nx), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nt, 2, nx), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nx, nz), jnp.float32),
-                        pltpu.VMEM((nx, nz), jnp.float32)],
-        interpret=env_interpret(interpret),
-    )(wav, m, hd, inj)
-    return out
-
 
 # ---------------------------------------------------------------------------
 # forward sweep with segment checkpoints (Pallas twin of
@@ -1056,8 +789,8 @@ def pick_n_checkpoints(nt, nx, nz, n_min=4):
 def geometry_supported(geometry):
     """True when the Pallas fast path applies: 2-D grid, one source per
     shot, all receivers between the same two z-planes, OT2 (free surface
-    is supported by the segment kernels; the legacy ``forward_rows``
-    kernel additionally requires ``not model.fs``)."""
+    is supported by the segment kernels; the legacy ``pallas_legacy``
+    whole-nt kernel additionally requires ``not model.fs``)."""
     model = geometry.model
     if model.dim != 2:
         return False
@@ -1067,52 +800,3 @@ def geometry_supported(geometry):
     zplanes = np.unique(np.asarray(r_idx)[..., 1])
     return len(zplanes) <= 2
 
-
-def forward_traces(geometry, vp=None):
-    """All-shot forward modeling through the legacy whole-nt Pallas kernel
-    (``forward_rows`` — no free-surface support); returns (nsrc, nt, nrec)
-    traces (numpy). Requires ``geometry_supported(geometry)`` and
-    ``not model.fs``. Production paths use the segment kernels instead
-    (``forward_ckpt_segments`` via ``fwi.fm_multi``)."""
-    if geometry.model.fs:
-        raise ValueError("forward_traces (forward_rows kernel) has no "
-                         "free-surface support; use fwi.fm_multi")
-    from ..fwi import _batched_tables, _solver_dt
-    model = geometry.model
-    s_idx, s_w, r_idx, r_w, wav = _batched_tables(geometry)
-    dt = float(_solver_dt(geometry))
-    nt = geometry.nt
-    nx, nz = model.padded_shape
-    vp_arr = np.asarray(vp if vp is not None else model.vp,
-                        dtype=np.float32)
-    m_pad = 1.0 / (vp_arr * vp_arr)
-    damp = model.damp if isinstance(model.damp, np.ndarray) \
-        else np.zeros((nx, nz), np.float32)
-    hd = (dt * damp).astype(np.float32)
-    nsrc = geometry.nsrc
-    inj = np.zeros((nsrc, nx, nz), np.float32)
-    s_idx_n = np.asarray(s_idx)
-    s_w_n = np.asarray(s_w)
-    for b in range(nsrc):
-        for c in range(s_idx_n.shape[2]):
-            xi, zi = s_idx_n[b, 0, c]
-            inj[b, xi, zi] += s_w_n[b, 0, c] * dt * dt / m_pad[xi, zi]
-    r_idx_n = np.asarray(r_idx)
-    z0 = int(r_idx_n[..., 1].min())
-    rows = forward_rows(jnp.asarray(m_pad), jnp.asarray(hd),
-                        jnp.asarray(wav[1:nt - 1, 0]), jnp.asarray(inj),
-                        dt, nt=nt, nx=nx, nz=nz,
-                        space_order=model.space_order,
-                        spacing=model.spacing, z0=z0)
-    rows = np.asarray(rows)
-    r_w_n = np.asarray(r_w)
-    nrec = r_idx_n.shape[0]
-    trace = np.zeros((nsrc, nt, nrec), np.float32)
-    for c in range(r_idx_n.shape[1]):
-        xi = r_idx_n[:, c, 0]
-        sel = (r_idx_n[:, c, 1] != z0).astype(np.int32)
-        trace[:, 1:nt - 1, :] += r_w_n[None, None, :, c] * \
-            rows[:, :nt - 2, :, :][np.arange(nsrc)[:, None, None],
-                                   np.arange(nt - 2)[None, :, None],
-                                   sel[None, None, :], xi[None, None, :]]
-    return trace

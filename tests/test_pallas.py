@@ -8,6 +8,7 @@ import pytest
 from devito_fwi_tpu import SeismicModel, AcquisitionGeometry
 from devito_fwi_tpu.fwi import fm_multi, _batched_tables
 from devito_fwi_tpu.ops import pallas_acoustic as pa
+from devito_fwi_tpu.ops import pallas_legacy as pleg
 
 
 @pytest.mark.skipif(not pa.available(), reason="pallas unavailable")
@@ -29,14 +30,14 @@ def test_pallas_forward_matches_xla_interpret(monkeypatch):
     ref = np.stack([o.data for o in obs])
 
     # run forward_traces with the kernel in interpreter mode
-    orig = pa.forward_rows
+    orig = pleg.forward_rows
 
     def rows_interp(*args, **kw):
         kw["interpret"] = True
         return orig(*args, **kw)
 
-    monkeypatch.setattr(pa, "forward_rows", rows_interp)
-    tr = pa.forward_traces(geom)
+    monkeypatch.setattr(pleg, "forward_rows", rows_interp)
+    tr = pleg.forward_traces(geom)
     scale = np.abs(ref).max()
     assert np.abs(tr - ref).max() < 1e-5 * scale
 
