@@ -301,54 +301,55 @@ def fwi_obj_single(geometry, obs, misfit_func, direct_wave=None,
     return fval, crop_grad, residual.data, illum
 
 
-def _shot_body(vp, damp, src_wav, si, sw, r_idx, r_w, obs_i, dw_i, src_pos,
-               rec_positions, dt, *, misfit_jax, calc_grad, nt, spacing,
-               space_order, kernel, fs, pads, shape, n_checkpoints):
-    """Single-shot objective body: forward + misfit (+ checkpointed adjoint
-    gradient + illumination). Traced under a vmap over shots."""
-    static = dict(nt=nt, spacing=spacing, space_order=space_order,
-                  kernel=kernel, fs=fs)
-    if calc_grad:
-        rec, seg_starts, illum_pad = _ac.forward_ckpt(
-            vp, damp, src_wav, si, sw, r_idx, r_w, dt,
-            n_checkpoints=n_checkpoints, **static)
-    else:
-        rec, _ = _ac.forward(vp, damp, src_wav, si, sw, r_idx, r_w, dt,
-                             save=False, **static)
-    syn = rec - dw_i
-    obs_c = obs_i - dw_i
-    fval, res = misfit_jax(syn, obs_c)
-    if not calc_grad:
-        return fval, res
-    grad, _ = _ac.gradient_from_ckpt(vp, damp, src_wav, si, sw, seg_starts,
-                                     res, r_idx, r_w, dt,
-                                     n_checkpoints=n_checkpoints, **static)
-    crop = _crop(grad, pads, shape)
-    crop = _fix_illum_jax(crop, src_pos, rec_positions, spacing, shape)
-    illum = _crop(illum_pad, pads, shape)
-    illum = _fix_illum_jax(illum, src_pos, rec_positions, spacing, shape)
-    return fval, res, crop, illum
-
-
-@partial(jax.jit, static_argnames=("misfit_jax", "calc_grad", "nt",
+@partial(jax.jit, static_argnames=("misfit_jax", "misfit_batch",
+                                   "calc_grad", "nt",
                                    "spacing", "space_order", "kernel", "fs",
                                    "pads", "shape", "n_checkpoints"))
 def _shots_fused(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
-                 src_pos, rec_positions, dt, **statics):
-    """All-shot fused objective: one TPU program vmapping the single-shot
-    body over the shot axis and reducing on device. Batching shots
-    amortizes the per-scan-step dispatch overhead that dominates at 2-D
-    grid sizes (measured 7.4x over a python loop of single-shot programs
-    on Marmousi: 29 shots in 155 ms vs 1.14 s)."""
-    outs = jax.vmap(
-        lambda si, sw, ob, dwi, sp: _shot_body(
-            vp, damp, src_wav, si, sw, r_idx, r_w, ob, dwi, sp,
-            rec_positions, dt, **statics)
-    )(s_idx, s_w, obs, dw, src_pos)
-    fval = jnp.sum(outs[0])
-    if not statics["calc_grad"]:
-        return fval, outs[1]
-    return fval, outs[1], jnp.sum(outs[2], axis=0), jnp.sum(outs[3], axis=0)
+                 src_pos, rec_positions, dt, *, misfit_jax,
+                 misfit_batch=None, calc_grad, nt, spacing, space_order,
+                 kernel, fs, pads, shape, n_checkpoints):
+    """All-shot fused objective: one TPU program vmapping the forward and
+    gradient sweeps over the shot axis, with the misfit applied at BATCH
+    level between them, and reducing on device. Batching shots amortizes
+    the per-scan-step dispatch overhead that dominates at 2-D grid sizes
+    (measured 7.4x over a python loop of single-shot programs on
+    Marmousi: 29 shots in 155 ms vs 1.14 s). ``misfit_batch`` (when the
+    misfit provides one, e.g. the batch-native BFM) sees the whole shot
+    stack — required for its batch-wide ``lax.cond`` fast path; a
+    per-shot vmapped misfit is used otherwise."""
+    static = dict(nt=nt, spacing=spacing, space_order=space_order,
+                  kernel=kernel, fs=fs)
+    mf = misfit_batch if misfit_batch is not None else jax.vmap(misfit_jax)
+    if calc_grad:
+        rec, seg_starts, illum_pad = jax.vmap(
+            lambda si, sw: _ac.forward_ckpt(
+                vp, damp, src_wav, si, sw, r_idx, r_w, dt,
+                n_checkpoints=n_checkpoints, **static))(s_idx, s_w)
+    else:
+        rec, _ = jax.vmap(
+            lambda si, sw: _ac.forward(vp, damp, src_wav, si, sw, r_idx,
+                                       r_w, dt, save=False, **static)
+        )(s_idx, s_w)
+    fvals, res = mf(rec - dw, obs - dw)
+    fval = jnp.sum(fvals)
+    if not calc_grad:
+        return fval, res
+
+    def grad_one(si, sw, segs, r, ilp, sp):
+        grad, _ = _ac.gradient_from_ckpt(vp, damp, src_wav, si, sw, segs,
+                                         r, r_idx, r_w, dt,
+                                         n_checkpoints=n_checkpoints,
+                                         **static)
+        crop = _fix_illum_jax(_crop(grad, pads, shape), sp, rec_positions,
+                              spacing, shape)
+        illum = _fix_illum_jax(_crop(ilp, pads, shape), sp, rec_positions,
+                               spacing, shape)
+        return crop, illum
+
+    crops, illums = jax.vmap(grad_one)(s_idx, s_w, seg_starts, res,
+                                       illum_pad, src_pos)
+    return fval, res, jnp.sum(crops, axis=0), jnp.sum(illums, axis=0)
 
 
 def _pallas_z0(geometry):
@@ -435,13 +436,15 @@ def _fm_batch_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
                              vp.dtype)
 
 
-@partial(jax.jit, static_argnames=("misfit_jax", "calc_grad", "nt",
+@partial(jax.jit, static_argnames=("misfit_jax", "misfit_batch",
+                                   "calc_grad", "nt",
                                    "spacing", "space_order", "pads", "shape",
                                    "n_checkpoints", "z0", "dt", "fs",
                                    "stream"))
 def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
                         src_pos, rec_positions, dt, *, misfit_jax,
-                        calc_grad, nt, spacing, space_order, pads, shape,
+                        misfit_batch=None, calc_grad, nt, spacing,
+                        space_order, pads, shape,
                         n_checkpoints, z0, fs=False, stream=False):
     """All-shot fused objective on the Pallas VMEM-resident kernels:
     segment-checkpointed forward (receiver rows + seg starts + illum in
@@ -457,6 +460,7 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     ~nsteps x field bytes per shot)."""
     statics = dict(nt=nt, spacing=spacing, space_order=space_order,
                    n_checkpoints=n_checkpoints, z0=z0, fs=fs)
+    mf = misfit_batch if misfit_batch is not None else jax.vmap(misfit_jax)
 
     if not calc_grad:
         # line-search trials: receiver-rows-only kernel (no checkpoint /
@@ -464,13 +468,13 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
         rec, _, _ = _pallas_fwd_core(vp, damp, src_wav, s_idx, s_w, r_idx,
                                      r_w, dt, calc_grad=False,
                                      stream=False, **statics)
-        fvals, res = jax.vmap(misfit_jax)(rec - dw, obs - dw)
+        fvals, res = mf(rec - dw, obs - dw)
         return jnp.sum(fvals), res
 
     rec, hist, illumT = _pallas_fwd_core(
         vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, calc_grad=True,
         stream=stream, **statics)
-    fvals, res = jax.vmap(misfit_jax)(rec - dw, obs - dw)
+    fvals, res = mf(rec - dw, obs - dw)
     fval = jnp.sum(fvals)
     crop, ilc = _pallas_grad_core(
         vp, damp, src_wav, s_idx, s_w, hist, res, r_idx, r_w, illumT,
@@ -585,7 +589,7 @@ def _default_checkpoints(nt):
 
 
 def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
-                            calc_grad, shot_chunk=32):
+                            calc_grad, shot_chunk=32, misfit_batch=None):
     """Multi-shot objective: chunked vmap of the fused single-shot body —
     one TPU program per (at most two) chunk shapes, with on-device
     reductions and a single device->host transfer.
@@ -598,7 +602,8 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     damp = cached["damp"]
     vp = jnp.asarray(model.vp)
     dt = _solver_dt(geometry)
-    statics = dict(misfit_jax=misfit_jax, calc_grad=calc_grad,
+    statics = dict(misfit_jax=misfit_jax, misfit_batch=misfit_batch,
+                   calc_grad=calc_grad,
                    nt=geometry.nt, spacing=model.spacing,
                    space_order=model.space_order, kernel="OT2", fs=model.fs,
                    pads=_pads(model), shape=model.shape,
@@ -647,6 +652,7 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
                 vp, damp, src_wav, s_idx[lo:hi], s_w[lo:hi], r_idx, r_w,
                 obs_stack[lo:hi], dw_full[lo:hi], src_pos_all[lo:hi],
                 rec_positions, float(dt), misfit_jax=statics["misfit_jax"],
+                misfit_batch=statics["misfit_batch"],
                 calc_grad=calc_grad, nt=statics["nt"],
                 spacing=statics["spacing"],
                 space_order=statics["space_order"], pads=statics["pads"],
@@ -980,15 +986,20 @@ def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
     """Multi-shot objective/gradient (reference ``fwi.py:175-205``)."""
     misfit_jax = None if resample_dt not in (None, geometry.dt) \
         else _misfit_jax(misfit_func)
+    misfit_batch = None
     if getattr(misfit_func, "method", None) == "2d" and \
             getattr(misfit_func, "bfm_backend", None) == "native":
         # the native BFM runs on the host (pure_callback is unsupported on
         # some TPU runtimes); use the batched host-misfit path
         misfit_jax = None
     elif getattr(misfit_func, "method", None) == "2d":
-        # the BFM's scatter-heavy pushforward faults the TPU worker at
-        # large vmap widths; chunk the fused program conservatively
-        shot_chunk = min(shot_chunk or 8, 8)
+        misfit_batch = getattr(misfit_func, "jax_batch", None)
+        if misfit_batch is None:
+            # the BFM's scatter-heavy pushforward faults the TPU worker
+            # at large vmap widths; chunk the fused program conservatively
+            # (the batch-native BFM has no such scatter and runs the
+            # full shot stack)
+            shot_chunk = min(shot_chunk or 8, 8)
 
     if misfit_jax is not None:
         obs_stack = _device_stack(obs)
@@ -997,7 +1008,8 @@ def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
         else:
             dw_stack = jnp.zeros_like(obs_stack[:, :1, :1])
         fval, grad, illum, residuals = _shot_objective_batched(
-            geometry, obs_stack, misfit_jax, dw_stack, calc_grad, shot_chunk)
+            geometry, obs_stack, misfit_jax, dw_stack, calc_grad,
+            shot_chunk, misfit_batch)
     else:
         # host-misfit path (custom numpy misfits, native BFM, resampling):
         # device-batched propagation with a single gather round trip

@@ -137,6 +137,24 @@ class qWasserstein:
                                  step_scale=self.step_scale)
         return loss, (grad / mass) * d
 
+    def jax_batch(self, f_b, g_b):
+        """Traceable batched misfit over a (B, nt, ntraces) shot stack:
+        returns ``(fvals (B,), residuals (B, nt, ntraces))``. For the 2-D
+        method this routes through the batch-native BFM
+        (``bfm.bfm_jax_batch``) whose banded-matmul pushforward needs a
+        batch-wide ``lax.cond`` — a per-shot ``vmap`` of :meth:`jax`
+        would degrade it to the slow scatter unconditionally."""
+        if self.method != "2d" or self.bfm_backend == "native":
+            return jax.vmap(self.jax)(f_b, g_b)
+        mus, nus, ds = jax.vmap(
+            lambda f, g: transform_jax(f, g, self.trans_type, self.gamma)
+        )(f_b, g_b)
+        mass = jnp.sum(mus, axis=(1, 2)) / (mus.shape[1] * mus.shape[2])
+        from .bfm import bfm_jax_batch
+        losses, grads = bfm_jax_batch(mus, nus, num_steps=self.num_steps,
+                                      step_scale=self.step_scale)
+        return losses, (grads / mass[:, None, None]) * ds
+
     # ---------------------------------------------------------------- numpy
     def __call__(self, f, g):
         f = np.asarray(f)

@@ -130,6 +130,8 @@ def test_native_adaptive_matches_reference_binary(oracle_ricker):
 
 
 def test_jax_matches_reference_binary(oracle_ricker):
+    """Fixed nsub=2: measured 6.0e-5 loss / 1.69e-4 grad parity in f64
+    (the residual is the oracle's float32 internals, not the sampling)."""
     import jax
     import jax.numpy as jnp
     from devito_fwi_tpu.misfit.bfm import bfm_jax
@@ -137,9 +139,26 @@ def test_jax_matches_reference_binary(oracle_ricker):
     loss_j, grad_j = jax.jit(
         lambda a, b: bfm_jax(a, b, num_steps=10, step_scale=1.0))(
         jnp.asarray(mu), jnp.asarray(nu))
-    assert abs(float(loss_j) - loss_o) / abs(loss_o) < 1e-3
+    assert abs(float(loss_j) - loss_o) / abs(loss_o) < 3e-4
     assert (np.linalg.norm(np.asarray(grad_j) - grad_o)
-            / np.linalg.norm(grad_o)) < 1e-3
+            / np.linalg.norm(grad_o)) < 3e-4
+
+
+def test_jax_adaptive_matches_reference_binary(oracle_ricker):
+    """nsub=0 = two-level adaptive supersampling (2x2 base, 4x4 on
+    high-stretch cells, reference rule fot2d.c:419-423). Measured grad
+    parity 1.53e-4 — identical to the native solver's fully-adaptive
+    nsub=0 mode, confirming two levels capture the whole effect."""
+    import jax
+    import jax.numpy as jnp
+    from devito_fwi_tpu.misfit.bfm import bfm_jax
+    mu, nu, loss_o, grad_o = oracle_ricker
+    loss_j, grad_j = jax.jit(
+        lambda a, b: bfm_jax(a, b, num_steps=10, step_scale=1.0, nsub=0))(
+        jnp.asarray(mu), jnp.asarray(nu))
+    assert abs(float(loss_j) - loss_o) / abs(loss_o) < 2e-4
+    assert (np.linalg.norm(np.asarray(grad_j) - grad_o)
+            / np.linalg.norm(grad_o)) < 2e-4
 
 
 def test_oracle_smooth_density_parity():

@@ -5,6 +5,7 @@ is .5*|delta|^2) and for self-consistency (W2(f,f) ~ 0, gradient descent
 direction reduces the distance) — mirroring the intent of the reference's
 ``test_misfit.py`` comparison script.
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -89,6 +90,111 @@ def test_bfm_translation_cost():
     loss2, _ = bfm_jax(f - eps * np.asarray(grad) * f.mean(), g,
                        num_steps=30, step_scale=1.0)
     assert loss2 < loss
+
+
+def _gather_batch(B=3, nt=160, ntr=24, seed=2):
+    """Small positive shot-gather-like stack with per-shot time shifts."""
+    t = np.linspace(0, 1, nt)
+    out = []
+    for b in range(B):
+        tr = _ricker(t, t0=0.3 + 0.03 * b)[:, None] * np.ones((1, ntr))
+        tr = tr + 0.002 * np.sin(7 * t)[:, None] * (b + 1)
+        out.append(tr + 1.05 * abs(tr.min()))  # positive
+    return np.stack(out).astype(np.float64)
+
+
+def test_bfm_banded_pushforward_matches_scatter():
+    """The banded-matmul pushforward must reproduce the exact scatter
+    bit-for-same-additions when every displacement is in band, across
+    non-multiple-of-row_block heights and batched shots."""
+    import importlib
+
+    import jax
+    B = importlib.import_module("devito_fwi_tpu.misfit.bfm")
+
+    rng = np.random.default_rng(3)
+    n1, n2, nsub, Bb = 24, 90, 2, 3
+    mu = jnp.asarray(rng.uniform(0.2, 2.0, size=(Bb, n2, n1)))
+    # smooth random potentials -> smooth maps with small displacements
+    pot = rng.normal(size=(Bb, n2, n1)) * 1e-3
+    from scipy.ndimage import gaussian_filter
+    pot = np.stack([gaussian_filter(p, 4) for p in pot])
+    xs = (np.arange(n1) + 0.5) / n1
+    ys = (np.arange(n2) + 0.5) / n2
+    quad = 0.5 * (xs[None, :] ** 2 + ys[:, None] ** 2)
+    pot = jnp.asarray(pot + quad)
+
+    xMap, yMap = jax.vmap(lambda p: B._pushforward_map(p, n1, n2))(pot)
+    out = jax.vmap(lambda m, xm, ym: B._pushforward_subsamples(
+        m, xm, ym, n1, n2, nsub))(mu, xMap, yMap)
+    subs = out[:7]
+    rho_scat = B._scatter_pushforward_batch(subs, n1, n2)
+    for dmax in (4, 31):
+        assert bool(B._inband_predicate(subs, dmax))
+        rho_band = B._banded_pushforward_batch(subs, n1, n2, dmax)
+        np.testing.assert_allclose(np.asarray(rho_band),
+                                   np.asarray(rho_scat),
+                                   rtol=1e-12, atol=1e-12)
+        # column-blocked variant, incl. a col_block that does not divide n1
+        assert bool(B._dx_inband_predicate(subs, 7))
+        for cb in (16, 32):
+            rho_blk = B._blocked_banded_pushforward_batch(
+                subs, n1, n2, dmax, 7, col_block=cb)
+            np.testing.assert_allclose(np.asarray(rho_blk),
+                                       np.asarray(rho_scat),
+                                       rtol=1e-12, atol=1e-12)
+    # a too-small band must be detected, not silently truncated
+    assert not bool(B._inband_predicate(subs, 0))
+    assert not bool(B._dx_inband_predicate(subs, 0))
+
+
+def test_bfm_batch_matches_scatter_path_end_to_end():
+    """bfm_jax_batch with the banded fast path (large dmax) must agree
+    with the forced-scatter fallback (dmax too small for the maps)."""
+    from devito_fwi_tpu.misfit.bfm import bfm_jax_batch
+
+    fb = _gather_batch()
+    gb = np.roll(fb, 5, axis=1)
+    l_fast, g_fast = bfm_jax_batch(fb, gb, num_steps=8, step_scale=1.0,
+                                   dmax=31)
+    l_slow, g_slow = bfm_jax_batch(fb, gb, num_steps=8, step_scale=1.0,
+                                   dmax=0)
+    np.testing.assert_allclose(np.asarray(l_fast), np.asarray(l_slow),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_bfm_batch_matches_single():
+    """Batch solver rows == single-gather solver on each row."""
+    from devito_fwi_tpu.misfit.bfm import bfm_jax_batch
+
+    fb = _gather_batch()
+    gb = np.roll(fb, 4, axis=1)
+    lb, gradb = bfm_jax_batch(fb, gb, num_steps=10, step_scale=1.0)
+    for i in range(fb.shape[0]):
+        li, gi = bfm_jax(fb[i], gb[i], num_steps=10, step_scale=1.0)
+        assert float(lb[i]) == pytest.approx(float(li), rel=1e-10)
+        np.testing.assert_allclose(np.asarray(gradb[i]), np.asarray(gi),
+                                   rtol=1e-8, atol=1e-12)
+
+
+def test_qwasserstein_jax_batch_matches_vmap():
+    """qWasserstein.jax_batch (batch-native BFM route) == vmapped
+    per-shot qWasserstein.jax, for both 2d and 1d methods."""
+    import jax
+
+    fb = jnp.asarray(_gather_batch() - 1.0)   # signed traces
+    gb = jnp.roll(fb, 3, axis=1)
+    for method in ("2d", "1d"):
+        w2 = qWasserstein(trans_type='linear', gamma=1.01, method=method,
+                          num_steps=6, step_scale=1.0)
+        lb, rb = w2.jax_batch(fb, gb)
+        lv, rv = jax.vmap(w2.jax)(fb, gb)
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(lv),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(rb), np.asarray(rv),
+                                   rtol=1e-7, atol=1e-11)
 
 
 def test_qwasserstein_2d_dispatch():
