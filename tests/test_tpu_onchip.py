@@ -66,10 +66,17 @@ def test_streamed_matches_recompute_on_chip(workload):
     from devito_fwi_tpu.misfit import least_square
     g0, obs = workload
     f_r, g_r = _grad(g0, obs, least_square, DEVITO_FWI_TPU_STREAM="0")
-    f_s, g_s = _grad(g0, obs, least_square, DEVITO_FWI_TPU_STREAM="1")
+    # f32 history: same arithmetic as the recompute path
+    f_s, g_s = _grad(g0, obs, least_square, DEVITO_FWI_TPU_STREAM="1",
+                     DEVITO_FWI_TPU_HIST="f32")
     assert np.isclose(f_r, f_s, rtol=1e-5)
     scale = np.abs(g_r).max()
     assert np.abs(g_s - g_r).max() < 1e-4 * scale
+    # bf16 history (the default): ~0.4% per-sample dt2 rounding
+    f_b, g_b = _grad(g0, obs, least_square, DEVITO_FWI_TPU_STREAM="1",
+                     DEVITO_FWI_TPU_HIST="bf16")
+    assert np.isclose(f_r, f_b, rtol=1e-5)
+    assert np.abs(g_b - g_r).max() < 2e-3 * scale
 
 
 def test_pallas_matches_xla_objective_on_chip(workload):
