@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -72,13 +73,82 @@ def _legendre_last(u, s, max_tmp_elems=2_000_000):
     return out[..., :n]
 
 
-def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000):
+def _legendre_last_banded(u, s, W, K):
+    """Diagonal-banded Legendre candidate + exactness certificate.
+
+    ``out_b[..., i] = max_{|d| <= W} (s[i] s[i+d] - u[..., i+d])`` via a
+    fused scan over the 2W+1 offsets (no gathers/scatters), plus a SOUND
+    batch-wide certificate that the true global argmax lies inside the
+    band for every output: f(i, j) = s_i s_j - u_j is totally monotone
+    in (i, j) for increasing s (f(i2,j) - f(i2,j') - [f(i,j) - f(i,j')]
+    = (s_i2 - s_i)(s_j - s_j') >= 0 for i2 > i, j > j'), so the argmax
+    is non-decreasing in i — no argmax below the first-argmax of a
+    smaller i, none above the last-argmax of a larger i. Sampling exact
+    full rows every K outputs therefore brackets every in-between
+    argmax: for i in [i_m, i_{m+1}], j*(i) in [first(i_m),
+    last(i_{m+1})]. The certificate holds iff those brackets stay
+    within the band, for ANY u (no convexity assumed).
+
+    Returns (out_b, ok). Cost ~ (2W+1 + n/K)/n of the full transform
+    (~14% at n=1357, W=48, K=16)."""
+    n = s.shape[0]
+    big = jnp.asarray(np.finfo(np.float32).max / 8, u.dtype)
+    lead = [(0, 0)] * (u.ndim - 1)
+    up = jnp.pad(u, lead + [(W, W)], constant_values=big)
+    sp = jnp.pad(s, (W, W))
+
+    def off_body(acc, d):
+        sj = jax.lax.dynamic_slice_in_dim(sp, d, n)
+        uj = jax.lax.dynamic_slice_in_dim(up, d, n, axis=-1)
+        return jnp.maximum(acc, s * sj - uj), None
+
+    acc0 = jnp.full(u.shape, -big, u.dtype)
+    out_b, _ = jax.lax.scan(off_body, acc0, jnp.arange(2 * W + 1))
+
+    samp = np.unique(np.r_[np.arange(0, n, K), n - 1]).astype(np.int32)
+
+    def samp_body(carry, si):
+        v = jnp.take(s, si) * s - u                      # (..., n)
+        first = jnp.argmax(v, axis=-1)
+        last = n - 1 - jnp.argmax(v[..., ::-1], axis=-1)
+        return carry, (first, last)
+
+    _, (firsts, lasts) = jax.lax.scan(samp_body, None, jnp.asarray(samp))
+    i_m = samp.reshape((-1,) + (1,) * (u.ndim - 1))
+    ok = jnp.all(lasts[1:] - i_m[:-1] <= W) & \
+        jnp.all(i_m[1:] - firsts[:-1] <= W)
+    return out_b, ok
+
+
+def _legendre_last_fast(u, s, max_tmp_elems=2_000_000, W=None, K=None):
+    """Exact Legendre transform along the last axis: certified banded
+    fast path (see ``_legendre_last_banded``) with the full blocked
+    transform as the lax.cond fallback. On the Marmousi W2 workload the
+    transport displacement stays within ~18 rows, so the default bands
+    hold throughout; the oracle's +-69-row shifted-Ricker fixtures
+    fail the certificate and take the exact full path. The certificate
+    needs W >= K + max displacement."""
+    n = s.shape[0]
+    if W is None:
+        W, K = (48, 16) if n >= 512 else (24, 8)
+    if n <= 2 * W + 1 + n // K:
+        return _legendre_last(u, s, max_tmp_elems)
+    out_b, ok = _legendre_last_banded(u, s, W, K)
+    return jax.lax.cond(
+        ok, lambda a: a[0],
+        lambda a: _legendre_last(a[1], s, max_tmp_elems), (out_b, u))
+
+
+def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=True):
     """2-D Legendre transform, separable (fot2d.c:151-173):
     out[..., iy, ix] = max_{jx, jy} (x_ix x_jx + y_iy y_jy - u[..., jy, jx]).
-    Batch-polymorphic over leading dims."""
-    a = _legendre_last(u, sx, max_tmp_elems)            # max over jx
-    b = _legendre_last(-jnp.swapaxes(a, -1, -2), sy,
-                       max_tmp_elems)                   # max over jy
+    Batch-polymorphic over leading dims. ``banded=True`` routes each
+    1-D pass through the certified banded fast path (exact either
+    way)."""
+    fn = _legendre_last_fast if banded else _legendre_last
+    a = fn(u, sx, max_tmp_elems)                        # max over jx
+    b = fn(-jnp.swapaxes(a, -1, -2), sy,
+           max_tmp_elems)                               # max over jy
     return jnp.swapaxes(b, -1, -2)
 
 
@@ -356,7 +426,7 @@ def _col_fold(band, Cb, width):
 
 
 def _blocked_banded_pushforward_batch(subs, n1, n2, dmax, dxmax,
-                                      row_block=32, col_block=32):
+                                      row_block=32, col_block=64):
     """Column-blocked variant of the banded-matmul pushforward.
 
     The full-column form one-hots target columns over all n1 of them,
@@ -484,6 +554,36 @@ def _scatter_pushforward_batch(subs, n1, n2, chunk=8):
     return rho.reshape(nb * chunk, n2, n1)[:B]
 
 
+def _dispatch_push(subs, n1, n2, dmax):
+    """Tiered pushforward dispatch, cheapest first: column-blocked banded
+    matmuls with progressively wider dy bands, then the exact scatter.
+    Every tier computes the exact same sums; the predicates only pick the
+    cheapest valid ordering. Measured displacement structure on
+    shifted-Ricker gathers (tests/test_bfm_oracle.py fixture, 10 BFM
+    iterations): |dx| <= 6 throughout (lateral transport is tiny —
+    dxmax=7 always holds in practice), while dy grows with the data's
+    time shifts (up to +-69 rows there) — hence narrow-dx always, tiered
+    dy. The real Marmousi W2 residuals stay within dy +-18 for all 10
+    BFM iterations (tools/diag_w2_bands.py), so the 15/23 tiers carry
+    the production load (on-chip: 23-band 290 ms/call vs 31-band 533)."""
+    dxmax = 7
+    tiers = sorted({min(d, dmax) for d in (7, 15, 23, 31)} | {dmax})
+    dx_ok = _dx_inband_predicate(subs, dxmax)
+
+    def dispatch(ts):
+        d = ts[0]
+        fast = lambda u: _blocked_banded_pushforward_batch(u, n1, n2, d,
+                                                           dxmax)
+        if len(ts) == 1:
+            slow = lambda u: _scatter_pushforward_batch(u, n1, n2)
+        else:
+            slow = dispatch(ts[1:])
+        return lambda s: jax.lax.cond(
+            dx_ok & _inband_predicate(s, d), fast, slow, s)
+
+    return dispatch(tiers)(subs)
+
+
 def _sampling_pushforward_batch(mu_b, xMap_b, yMap_b, n1, n2, nsub, dmax):
     """Batch pushforward: banded matmul when every displacement is in
     band (the common FWI case), exact scatter fallback otherwise. The
@@ -503,40 +603,26 @@ def _sampling_pushforward_batch(mu_b, xMap_b, yMap_b, n1, n2, nsub, dmax):
         lo_out = jax.vmap(lambda m, xm, ym, h: _pushforward_subsamples(
             m, xm, ym, n1, n2, 2, level_mask=~h))(
             mu_b, xMap_b, yMap_b, hi)
-        hi_out = jax.vmap(lambda m, xm, ym, h: _pushforward_subsamples(
-            m, xm, ym, n1, n2, 4, level_mask=h))(
-            mu_b, xMap_b, yMap_b, hi)
-        subs = tuple(jnp.concatenate([a, b], axis=1)
-                     for a, b in zip(lo_out[:7], hi_out[:7]))
-    else:
-        out = jax.vmap(lambda m, xm, ym: _pushforward_subsamples(
-            m, xm, ym, n1, n2, nsub))(mu_b, xMap_b, yMap_b)
-        subs = out[:7]
+        rho = _dispatch_push(lo_out[:7], n1, n2, dmax)
 
-    # Tiered dispatch, cheapest first: column-blocked banded matmuls with
-    # progressively wider dy bands, then the exact scatter. Every tier
-    # computes the exact same sums; the predicates only pick the cheapest
-    # valid ordering. Measured displacement structure on shifted-Ricker
-    # gathers (tests/test_bfm_oracle.py fixture, 10 BFM iterations):
-    # |dx| <= 6 throughout (lateral transport is tiny — dxmax=7 always
-    # holds in practice), while dy grows with the data's time shifts (up
-    # to +-69 rows there) — hence narrow-dx always, tiered dy.
-    dxmax = 7
-    tiers = sorted({min(7, dmax), min(31, dmax), dmax})
-    dx_ok = _dx_inband_predicate(subs, dxmax)
+        # the 4x4 pass covers only high-stretch cells — usually none
+        # (its 16 subsample planes would quadruple the banded-matmul
+        # work), so it runs behind a batch-wide cond
+        def hi_pass(args):
+            mu, xm, ym, h = args
+            hi_out = jax.vmap(lambda m, x, y, hh: _pushforward_subsamples(
+                m, x, y, n1, n2, 4, level_mask=hh))(mu, xm, ym, h)
+            return _dispatch_push(hi_out[:7], n1, n2, dmax)
 
-    def dispatch(ts):
-        d = ts[0]
-        fast = lambda u: _blocked_banded_pushforward_batch(u, n1, n2, d,
-                                                           dxmax)
-        if len(ts) == 1:
-            slow = lambda u: _scatter_pushforward_batch(u, n1, n2)
-        else:
-            slow = dispatch(ts[1:])
-        return lambda s: jax.lax.cond(
-            dx_ok & _inband_predicate(s, d), fast, slow, s)
-
-    rho = dispatch(tiers)(subs)
+        rho = rho + jax.lax.cond(
+            jnp.any(hi), hi_pass,
+            lambda args: jnp.zeros_like(rho),
+            (mu_b, xMap_b, yMap_b, hi))
+        total = jnp.sum(rho, axis=(1, 2), keepdims=True) / pcount
+        return rho / jnp.where(total > 0, total, 1.0).astype(dtype)
+    out = jax.vmap(lambda m, xm, ym: _pushforward_subsamples(
+        m, xm, ym, n1, n2, nsub))(mu_b, xMap_b, yMap_b)
+    rho = _dispatch_push(out[:7], n1, n2, dmax)
     total = jnp.sum(rho, axis=(1, 2), keepdims=True) / pcount
     return rho / jnp.where(total > 0, total, 1.0).astype(dtype)
 
