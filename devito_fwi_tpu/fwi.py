@@ -226,6 +226,30 @@ def fix_source_illumination(geometry, g):
 
 @partial(jax.jit, static_argnames=("spacing", "shape"))
 def _fix_illum_jax(g, src_pos, rec_positions, spacing, shape):
+    if len(shape) == 3:
+        # 3-D extension (the reference workflow is 2-D-only; same
+        # Gaussian-mask formula with sigma = dx + dz kept for
+        # 2-D-continuity). Receivers fold via scan so the mask product
+        # never materializes an (nrec, nx, ny, nz) buffer.
+        dx, dy, dz = spacing
+        nx, ny, nz = shape
+        xx, yy, zz = jnp.meshgrid(jnp.arange(nx) * dx, jnp.arange(ny) * dy,
+                                  jnp.arange(nz) * dz, indexing="ij")
+        sigma = dx + dz
+        inv2s2 = -.5 / sigma ** 2
+
+        def gauss(p):
+            return jnp.exp(((xx - p[0]) ** 2 + (yy - p[1]) ** 2
+                            + (zz - p[2]) ** 2) * inv2s2)
+
+        g = g * (1. - gauss(src_pos))
+
+        def fold(acc, p):
+            return acc * (1. - gauss(p)), None
+
+        prod, _ = jax.lax.scan(fold, jnp.ones(shape, g.dtype),
+                               rec_positions)
+        return g * prod
     dx, dz = spacing
     nx, nz = shape
     x = jnp.arange(0, nx) * dx
@@ -352,10 +376,29 @@ def _shots_fused(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     return fval, res, jnp.sum(crops, axis=0), jnp.sum(illums, axis=0)
 
 
+def _pallas_cliff_warn(reason):
+    """One loud warning per reason when a TPU geometry falls off the
+    Pallas fast path onto the ~4x-slower XLA scan path (measured 32 vs 8
+    Gcell-steps/s on the Marmousi gradient, docs/04_performance.md)."""
+    if reason in _pallas_cliff_warn.seen:
+        return
+    _pallas_cliff_warn.seen.add(reason)
+    import warnings
+    warnings.warn(
+        f"devito_fwi_tpu: geometry falls off the Pallas fast path "
+        f"({reason}); using the ~4x-slower XLA scan kernels. See "
+        f"docs/04_performance.md.", stacklevel=3)
+
+
+_pallas_cliff_warn.seen = set()
+
+
 def _pallas_z0(geometry):
     """Static receiver z-plane index for the Pallas fast path, or None
     when the geometry/backend is unsupported. Default-ON on TPU; set
-    DEVITO_FWI_TPU_PALLAS=0 to force the XLA scan path."""
+    DEVITO_FWI_TPU_PALLAS=0 to force the XLA scan path. Unsupported
+    geometries on TPU warn once per reason (the XLA path is ~4x
+    slower)."""
     if os.environ.get("DEVITO_FWI_TPU_PALLAS", "1") == "0":
         return None
     from .ops.pallas_acoustic import env_interpret
@@ -367,11 +410,17 @@ def _pallas_z0(geometry):
         # x64 promotion inside the f32 kernels breaks Mosaic tracing
         # (harmless in interpreter mode — no Mosaic involved)
         return None
+    on_tpu = jax.default_backend() == "tpu"
     model = geometry.model
     if model.dtype != np.float32 or model.dim != 2:
+        if on_tpu:
+            _pallas_cliff_warn(f"dtype={np.dtype(model.dtype).name}, "
+                               f"dim={model.dim}; need float32 2-D")
         return None
     from .ops import pallas_acoustic as _pa
     if not (_pa.available() and _pa.geometry_supported(geometry)):
+        if on_tpu:
+            _pallas_cliff_warn("receivers not on <=2 z-planes")
         return None
     r_idx, _ = interp_table(geometry.rec_positions, model.origin_pml,
                             model.spacing, dtype=model.dtype)
@@ -440,12 +489,13 @@ def _fm_batch_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *, nt,
                                    "calc_grad", "nt",
                                    "spacing", "space_order", "pads", "shape",
                                    "n_checkpoints", "z0", "dt", "fs",
-                                   "stream"))
+                                   "stream", "hist_dtype"))
 def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
                         src_pos, rec_positions, dt, *, misfit_jax,
                         misfit_batch=None, calc_grad, nt, spacing,
                         space_order, pads, shape,
-                        n_checkpoints, z0, fs=False, stream=False):
+                        n_checkpoints, z0, fs=False, stream=False,
+                        hist_dtype="float32"):
     """All-shot fused objective on the Pallas VMEM-resident kernels:
     segment-checkpointed forward (receiver rows + seg starts + illum in
     one sweep), traceable misfit, then the reverse-sweep gradient kernel.
@@ -473,7 +523,7 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
 
     rec, hist, illumT = _pallas_fwd_core(
         vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, calc_grad=True,
-        stream=stream, **statics)
+        stream=stream, hist_dtype=hist_dtype, **statics)
     fvals, res = mf(rec - dw, obs - dw)
     fval = jnp.sum(fvals)
     crop, ilc = _pallas_grad_core(
@@ -485,7 +535,7 @@ def _shots_fused_pallas(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
 
 def _pallas_fwd_core(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *,
                      calc_grad, stream, nt, spacing, space_order,
-                     n_checkpoints, z0, fs):
+                     n_checkpoints, z0, fs, hist_dtype="float32"):
     """Traced forward core shared by the fused, host-misfit and sharded
     objectives. Returns (rec, hist, illumT): ``hist`` is the streamed dt2
     history (stream=True, stays on device between the forward and the
@@ -504,11 +554,16 @@ def _pallas_fwd_core(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *,
         return rec, None, None
     _, mT, hdT, injT, wav_pad = _pallas_operands(
         vp, damp, src_wav, s_idx, s_w, dt, nt, nseg * seg)
-    fwd = _pa.forward_dt2_segments if stream else _pa.forward_ckpt_segments
-    rec_rows, hist, illumT = fwd(
-        mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz,
-        space_order=space_order, spacing=spacing, z0=z0,
-        n_checkpoints=n_checkpoints, fs=fs)
+    if stream:
+        rec_rows, hist, illumT = _pa.forward_dt2_segments(
+            mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz,
+            space_order=space_order, spacing=spacing, z0=z0,
+            n_checkpoints=n_checkpoints, fs=fs, hist_dtype=hist_dtype)
+    else:
+        rec_rows, hist, illumT = _pa.forward_ckpt_segments(
+            mT, hdT, wav_pad, injT, dt, nt=nt, nx=nx, nz=nz,
+            space_order=space_order, spacing=spacing, z0=z0,
+            n_checkpoints=n_checkpoints, fs=fs)
     rec = _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps, vp.dtype)
     return rec, hist, illumT
 
@@ -554,7 +609,7 @@ def _pallas_grad_core(vp, damp, src_wav, s_idx, s_w, hist, res_stack,
 
 _pallas_fwd_host = partial(jax.jit, static_argnames=(
     "calc_grad", "stream", "nt", "spacing", "space_order",
-    "n_checkpoints", "z0", "dt", "fs"))(_pallas_fwd_core)
+    "n_checkpoints", "z0", "dt", "fs", "hist_dtype"))(_pallas_fwd_core)
 
 
 @partial(jax.jit, static_argnames=("stream", "nt", "spacing", "space_order",
@@ -634,15 +689,33 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
                 z0 = None
 
     chunk = min(nsrc, shot_chunk or nsrc)
+    hist_dtype = "float32"
     if z0 is not None and calc_grad and \
             os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
         # streamed-history gradient: 2 stencil sweeps/step instead of 3;
         # the HBM-resident d2u/dt2 history bounds the shot chunk
-        snck = pick_stream_checkpoints(geometry.nt, nx_p, nz_p)
+        from .ops.pallas_acoustic import stream_hist_dtype
+        hist_dtype = stream_hist_dtype()
+        snck = pick_stream_checkpoints(geometry.nt, nx_p, nz_p,
+                                       hist_dtype=hist_dtype)
         if snck is not None:
             stream = True
             pallas_nck = max(snck, statics["n_checkpoints"])
-            chunk = min(chunk, stream_max_shots(geometry.nt, nx_p, nz_p))
+            chunk = min(chunk, stream_max_shots(geometry.nt, nx_p, nz_p,
+                                                hist_dtype=hist_dtype))
+    if misfit_batch is not None and calc_grad and z0 is not None:
+        # the batch-native BFM's HLO temporaries (blocked Legendre
+        # scratch + subsample stacks) cost ~400 MB/shot at Marmousi
+        # gather size (measured from OOM allocation dumps) and are live
+        # while the dt2 history sits in HBM — budget both together
+        from .ops.pallas_acoustic import _padded_field_bytes
+        import jax.numpy as _jnp
+        nrec = geometry.rec_positions.shape[0]
+        misfit_ps = 300 * geometry.nt * nrec * 4
+        hist_ps = (geometry.nt - 2) * _padded_field_bytes(
+            nx_p, nz_p, _jnp.dtype(hist_dtype).itemsize) if stream else 0
+        chunk = min(chunk,
+                    max(1, int((10 << 30) // (hist_ps + misfit_ps))))
     fvals, residuals = [], []
     grads, illums = [], []
     for lo in range(0, nsrc, chunk):
@@ -658,7 +731,7 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
                 space_order=statics["space_order"], pads=statics["pads"],
                 shape=statics["shape"],
                 n_checkpoints=pallas_nck, z0=z0, fs=statics["fs"],
-                stream=stream)
+                stream=stream, hist_dtype=hist_dtype)
         else:
             out = _shots_fused(vp, damp, src_wav, s_idx[lo:hi],
                                s_w[lo:hi], r_idx, r_w, obs_stack[lo:hi],
@@ -923,13 +996,18 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
                 if pallas_nck is not None else None
             if pallas_nck is None:
                 z0 = None
+    hist_dtype = "float32"
     if z0 is not None and calc_grad and \
             os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
-        snck = pick_stream_checkpoints(geometry.nt, nx_p, nz_p)
+        from .ops.pallas_acoustic import stream_hist_dtype
+        hist_dtype = stream_hist_dtype()
+        snck = pick_stream_checkpoints(geometry.nt, nx_p, nz_p,
+                                       hist_dtype=hist_dtype)
         if snck is not None:
             stream = True
             pallas_nck = max(snck, statics["n_checkpoints"])
-            chunk = min(chunk, stream_max_shots(geometry.nt, nx_p, nz_p))
+            chunk = min(chunk, stream_max_shots(geometry.nt, nx_p, nz_p,
+                                                hist_dtype=hist_dtype))
 
     pallas_statics = dict(nt=statics["nt"], spacing=statics["spacing"],
                           space_order=statics["space_order"],
@@ -946,7 +1024,8 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
             recs, hist, illum_t = _pallas_fwd_host(
                 vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi],
                 c["s_w"][lo:hi], c["r_idx"], c["r_w"], float(dt),
-                calc_grad=calc_grad, stream=stream, **pallas_statics)
+                calc_grad=calc_grad, stream=stream,
+                hist_dtype=hist_dtype, **pallas_statics)
         else:
             recs, seg_starts, illum_pad = _fwd_batch_ckpt(
                 vp, c["damp"], c["src_wav"], c["s_idx"][lo:hi],

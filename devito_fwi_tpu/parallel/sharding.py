@@ -13,6 +13,7 @@ shots whose contributions are masked by a validity weight.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -272,9 +273,13 @@ def _fwi_obj_sharded_pallas(geometry, misfit_jax, calc_grad, mesh, ndev, z0,
     nck = max(nck, _default_checkpoints(nt))
     Bp = s_idx_p.shape[0] // ndev
     stream = False
+    hist_dtype = "float32"
     if calc_grad and os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
-        snck = _pa.pick_stream_checkpoints(nt, nx, nz)
-        if snck is not None and Bp <= _pa.stream_max_shots(nt, nx, nz):
+        hist_dtype = _pa.stream_hist_dtype()
+        snck = _pa.pick_stream_checkpoints(nt, nx, nz,
+                                           hist_dtype=hist_dtype)
+        if snck is not None and Bp <= _pa.stream_max_shots(
+                nt, nx, nz, hist_dtype=hist_dtype):
             stream = True
             nck = max(snck, _default_checkpoints(nt))
     nsteps, seg, nseg = _ckpt_layout(nt, nck)
@@ -296,9 +301,12 @@ def _fwi_obj_sharded_pallas(geometry, misfit_jax, calc_grad, mesh, ndev, z0,
             f = jax.lax.psum(jnp.sum(fvals * w), "shots")
             zero = jnp.zeros(shape, vp.dtype)
             return f, zero, zero
-        fwd = _pa.forward_dt2_segments if stream \
-            else _pa.forward_ckpt_segments
-        rec_rows, hist, illumT = fwd(mT, hdT, wav_pad, injT, dtf, **kkw)
+        if stream:
+            rec_rows, hist, illumT = _pa.forward_dt2_segments(
+                mT, hdT, wav_pad, injT, dtf, hist_dtype=hist_dtype, **kkw)
+        else:
+            rec_rows, hist, illumT = _pa.forward_ckpt_segments(
+                mT, hdT, wav_pad, injT, dtf, **kkw)
         rec = _traces_from_rows(rec_rows, r_idx_j, r_w_j, z0, nt, nsteps,
                                 vp.dtype)
         fvals, res = jax.vmap(misfit_jax)(rec - dw, ob - dw)
@@ -339,10 +347,18 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
     where the misfit fans out through ``qWasserstein.batch`` (native BFM
     -> one OpenMP C call, the mpibfm2d analog). This closes the
     reference's dask-parallelized-W2 capability (``fwi.py:207-234``) that
-    the traceable-only sharded path could not serve."""
+    the traceable-only sharded path could not serve.
+
+    Supported geometries run each shard through the same Pallas cores as
+    the single-chip host path (``_pallas_fwd_core``/``_pallas_grad_core``
+    — VMEM segment kernels, streamed-history gradient when the per-shard
+    d2u/dt2 history fits); shots are chunked so the per-device
+    checkpoint/history buffer stays bounded for large surveys."""
     from ..fwi import (_batched_tables, _solver_dt, _fix_illum_jax,
                        _default_checkpoints, _host_misfit_chunk, _pads,
-                       _crop)
+                       _crop, _pallas_z0, _pallas_fwd_core,
+                       _pallas_grad_core)
+    from ..ops import pallas_acoustic as _pa
 
     model = geometry.model
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
@@ -350,6 +366,7 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
         else model.dtype(0.0)
     vp = jnp.asarray(model.vp)
     dt = _solver_dt(geometry)
+    dtf = float(dt)
     pads = _pads(model)
     nck = _default_checkpoints(geometry.nt)
     static = dict(nt=geometry.nt, spacing=model.spacing,
@@ -360,49 +377,86 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
     mesh = mesh or shot_mesh()
     ndev = mesh.devices.size
     nsrc = geometry.nsrc
-    (s_idx_p, s_w_p, sp_p), valid = _pad_shots(
-        [jnp.asarray(s_idx), jnp.asarray(s_w),
-         jnp.asarray(geometry.src_positions, dtype=model.dtype)],
-        nsrc, ndev, model.dtype)
 
-    @partial(shard_map, mesh=mesh, check_vma=False,
-             in_specs=(P("shots"), P("shots")),
-             out_specs=(P("shots"), P("shots"), P("shots")))
-    def run_fwd(si, sw):
-        def per(si_i, sw_i):
-            if calc_grad:
-                return _ac.forward_ckpt(vp, damp, src_wav, si_i, sw_i,
-                                        r_idx, r_w, dt, n_checkpoints=nck,
-                                        **static)
-            rec, _ = _ac.forward(vp, damp, src_wav, si_i, sw_i, r_idx,
-                                 r_w, dt, save=False, **static)
-            nseg = _ac._ckpt_layout(geometry.nt, nck)[2]
-            zck = jnp.zeros((nseg, 2) + vp.shape, vp.dtype)
-            return rec, zck, jnp.zeros_like(vp)
-        return jax.vmap(per)(si, sw)
+    # Pallas gating — identical to the single-chip host-misfit path
+    z0 = _pallas_z0(geometry) if static["kernel"] == "OT2" else None
+    pallas_nck = None
+    stream = False
+    hist_dtype = "float32"
+    per_dev_cap = 32  # bounds the per-device checkpoint buffer
+    if z0 is not None:
+        nx_p, nz_p = model.padded_shape
+        pallas_nck = _pa.pick_n_checkpoints(geometry.nt, nx_p, nz_p)
+        pallas_nck = max(pallas_nck or 0, nck) \
+            if pallas_nck is not None else None
+        if pallas_nck is None:
+            z0 = None
+    if z0 is not None and calc_grad and \
+            os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
+        hist_dtype = _pa.stream_hist_dtype()
+        snck = _pa.pick_stream_checkpoints(geometry.nt, nx_p, nz_p,
+                                           hist_dtype=hist_dtype)
+        if snck is not None:
+            stream = True
+            pallas_nck = max(snck, nck)
+            per_dev_cap = _pa.stream_max_shots(geometry.nt, nx_p, nz_p,
+                                               hist_dtype=hist_dtype)
+    pallas_statics = dict(
+        nt=static["nt"], spacing=static["spacing"],
+        space_order=static["space_order"], n_checkpoints=pallas_nck,
+        z0=z0, fs=static["fs"]) if z0 is not None else None
 
-    recs, seg_starts, illum_pad = run_fwd(s_idx_p, s_w_p)
-    rec_host = np.asarray(recs)[:nsrc]
+    s_idx_j, s_w_j = jnp.asarray(s_idx), jnp.asarray(s_w)
+    r_idx_j, r_w_j = jnp.asarray(r_idx), jnp.asarray(r_w)
+    src_wav_j = jnp.asarray(src_wav)
+    src_pos = jnp.asarray(geometry.src_positions, dtype=model.dtype)
 
-    fval, residuals = _host_misfit_chunk(geometry, rec_host, obs,
-                                         misfit_func, direct_wave,
-                                         resample_dt, 0, nsrc)
-
-    grad = np.zeros(shape, dtype=np.float64)
-    illum = np.zeros(shape, dtype=np.float64)
-    if calc_grad:
-        res_stack = jnp.asarray(np.stack(residuals))
-        pad = (-nsrc) % ndev
-        if pad:
-            res_stack = jnp.concatenate(
-                [res_stack, jnp.zeros((pad,) + res_stack.shape[1:],
-                                      res_stack.dtype)])
+    if z0 is not None:
+        @partial(shard_map, mesh=mesh, check_vma=False,
+                 in_specs=(P("shots"), P("shots")),
+                 out_specs=(P("shots"), P("shots"), P("shots")))
+        def run_fwd(si, sw):
+            rec, hist, illumT = _pallas_fwd_core(
+                vp, damp, src_wav_j, si, sw, r_idx_j, r_w_j, dtf,
+                calc_grad=calc_grad, stream=stream, hist_dtype=hist_dtype,
+                **pallas_statics)
+            if not calc_grad:
+                z = jnp.zeros((si.shape[0], 1, 1), vp.dtype)
+                return rec, z, z
+            return rec, hist, illumT
 
         @partial(shard_map, mesh=mesh, check_vma=False,
-                 in_specs=(P("shots"), P("shots"), P("shots"), P("shots"),
-                           P("shots"), P("shots"), P("shots")),
+                 in_specs=(P("shots"),) * 6,
                  out_specs=(P(), P()))
-        def run_grad(si, sw, sg, res, il, sp, w):
+        def run_grad(si, sw, hist, res, ilT, sp):
+            crop, ilc = _pallas_grad_core(
+                vp, damp, src_wav_j, si, sw, hist, res, r_idx_j, r_w_j,
+                ilT, sp, rec_positions, dtf, stream=stream, pads=pads,
+                shape=shape, **pallas_statics)
+            g = jax.lax.psum(jnp.sum(crop, axis=0), "shots")
+            il = jax.lax.psum(jnp.sum(ilc, axis=0), "shots")
+            return g, il
+    else:
+        @partial(shard_map, mesh=mesh, check_vma=False,
+                 in_specs=(P("shots"), P("shots")),
+                 out_specs=(P("shots"), P("shots"), P("shots")))
+        def run_fwd(si, sw):
+            def per(si_i, sw_i):
+                if calc_grad:
+                    return _ac.forward_ckpt(vp, damp, src_wav, si_i, sw_i,
+                                            r_idx, r_w, dt,
+                                            n_checkpoints=nck, **static)
+                rec, _ = _ac.forward(vp, damp, src_wav, si_i, sw_i, r_idx,
+                                     r_w, dt, save=False, **static)
+                nseg = _ac._ckpt_layout(geometry.nt, nck)[2]
+                zck = jnp.zeros((nseg, 2) + vp.shape, vp.dtype)
+                return rec, zck, jnp.zeros_like(vp)
+            return jax.vmap(per)(si, sw)
+
+        @partial(shard_map, mesh=mesh, check_vma=False,
+                 in_specs=(P("shots"),) * 6,
+                 out_specs=(P(), P()))
+        def run_grad(si, sw, sg, res, il, sp):
             def per(si_i, sw_i, sg_i, r_i, il_i, sp_i):
                 g, _ = _ac.gradient_from_ckpt(vp, damp, src_wav, si_i,
                                               sw_i, sg_i, r_i, r_idx, r_w,
@@ -414,14 +468,58 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
                                       rec_positions, spacing, shape)
                 return crop, il_c
             g, il = jax.vmap(per)(si, sw, sg, res, il, sp)
-            g = jnp.sum(g * w[:, None, None], axis=0)
-            il = jnp.sum(il * w[:, None, None], axis=0)
-            return jax.lax.psum(g, "shots"), jax.lax.psum(il, "shots")
+            g = jax.lax.psum(jnp.sum(g, axis=0), "shots")
+            il = jax.lax.psum(jnp.sum(il, axis=0), "shots")
+            return g, il
 
-        g, il = run_grad(s_idx_p, s_w_p, seg_starts, res_stack, illum_pad,
-                         sp_p, valid)
-        grad += np.asarray(g, dtype=np.float64)
-        illum += np.asarray(il, dtype=np.float64)
+    # chunk shots so the per-device checkpoint/history buffer stays
+    # bounded (every chunk is padded to the same length — one compile)
+    chunk = min(nsrc, ndev * per_dev_cap)
+    chunk += (-chunk) % ndev
+
+    fval = 0.0
+    residuals = []
+    grad = np.zeros(shape, dtype=np.float64)
+    illum = np.zeros(shape, dtype=np.float64)
+    for lo in range(0, nsrc, chunk):
+        hi = min(lo + chunk, nsrc)
+        n_c = hi - lo
+
+        def padc(a):
+            pad = chunk - n_c
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+            return a
+
+        si_p, sw_p, sp_p = (padc(s_idx_j[lo:hi]), padc(s_w_j[lo:hi]),
+                            padc(src_pos[lo:hi]))
+        recs, hist_p, illum_p = run_fwd(si_p, sw_p)
+        rec_host = np.asarray(recs)[:n_c]
+
+        fval_c, res_chunk = _host_misfit_chunk(geometry, rec_host, obs,
+                                               misfit_func, direct_wave,
+                                               resample_dt, lo, hi)
+        fval += fval_c
+        residuals.extend(res_chunk)
+
+        if calc_grad:
+            res_stack = jnp.asarray(np.stack(res_chunk))
+            pad = chunk - n_c
+            if pad:
+                # padded shots replay the last real shot with a zero
+                # residual -> zero gradient/illum contribution
+                res_stack = jnp.concatenate(
+                    [res_stack, jnp.zeros((pad,) + res_stack.shape[1:],
+                                          res_stack.dtype)])
+                vmask = jnp.concatenate(
+                    [jnp.ones(n_c, illum_p.dtype),
+                     jnp.zeros(pad, illum_p.dtype)])
+                illum_p = illum_p * vmask[:, None, None]
+            g, il = run_grad(si_p, sw_p, hist_p, res_stack, illum_p, sp_p)
+            grad += np.asarray(g, dtype=np.float64)
+            illum += np.asarray(il, dtype=np.float64)
+    if calc_grad:
         if precond:
             grad /= np.sqrt(illum + 1e-30)
         if mask is not None:

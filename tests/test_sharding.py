@@ -247,6 +247,66 @@ def test_shot_sharded_pallas_path_matches(monkeypatch):
     assert np.isclose(f0_sh, f0_ref, rtol=1e-4)
 
 
+def test_shot_sharded_host_misfit_pallas_matches(monkeypatch):
+    """The sharded host-misfit objective routed through the Pallas cores
+    (interpret mode), with the shot batch chunked (stream_max_shots
+    forced to 1 shot/device -> 2 chunks for 9 shots on 8 devices) ==
+    the single-device host-misfit path."""
+    from devito_fwi_tpu.misfit import qWasserstein
+    import devito_fwi_tpu.ops.pallas_acoustic as pa
+
+    nsrc = 9
+    shape, spacing = (49, 49), (10., 10.)
+    true_model = demo_model("circle-isotropic", vp_circle=3.2,
+                            vp_background=3.0, r=10, origin=(0., 0.),
+                            shape=shape, spacing=spacing, space_order=4,
+                            nbl=10, dt=1.2)
+    init_model = demo_model("circle-isotropic", vp_circle=3.0,
+                            vp_background=3.0, r=10, origin=(0., 0.),
+                            shape=shape, spacing=spacing, space_order=4,
+                            nbl=10, dt=1.2)
+    src = np.stack([np.linspace(0, 480, nsrc), np.full(nsrc, 20.0)], axis=1)
+    rec = np.stack([np.linspace(0, 480, 21), np.full(21, 30.0)], axis=1)
+    g1 = AcquisitionGeometry(true_model, rec, src, 0., 200., f0=0.010,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(init_model, rec, src, 0., 200., f0=0.010,
+                             src_type="Ricker")
+    obs = fm_multi(g1)
+
+    qw = qWasserstein(gamma=1.01, method="2d", num_steps=6, step_scale=1.,
+                      bfm_backend="jax")
+
+    class HostOnly:  # hide the traceable entry point
+        method = "2d"
+        bfm_backend = "host"
+
+        def __call__(self, f, g):
+            return qw(f, g)
+
+    qw_host = HostOnly()
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS", "0")
+    f_ref, grad_ref, _ = fwi_obj_multi(g0, obs, qw_host, calc_grad=True)
+
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS", "1")
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS_INTERPRET", "1")
+    real_sms = pa.stream_max_shots
+    monkeypatch.setattr(pa, "stream_max_shots",
+                        lambda *a, **k: min(1, real_sms(*a, **k)))
+    from devito_fwi_tpu.fwi import _pallas_z0
+    assert _pallas_z0(g0) is not None
+    f_sh, grad_sh = fwi_obj_sharded(g0, obs, qw_host, calc_grad=True,
+                                    mesh=shot_mesh())
+    assert np.isclose(f_sh, f_ref, rtol=1e-4)
+    ref = grad_ref.reshape(g0.model.shape)
+    scale = np.abs(ref).max()
+    assert np.abs(grad_sh - ref).max() < 1e-4 * scale
+    # objective-only (no gradient) path
+    f0_ref = fwi_obj_multi(g0, obs, qw_host, calc_grad=False)[0]
+    f0_sh = fwi_obj_sharded(g0, obs, qw_host, calc_grad=False,
+                            mesh=shot_mesh())[0]
+    assert np.isclose(f0_sh, f0_ref, rtol=1e-4)
+
+
 def test_fm_sharded_pallas_path_matches(monkeypatch):
     """fm_multi_sharded's per-shard Pallas forward (interpreter mode on
     the CPU mesh) == the XLA sharded forward."""
