@@ -14,7 +14,10 @@ Additional per-config figures (BASELINE.json configs):
     throughput;
   * config 3 — W2-2d optimal-transport objective on SMARMN: seconds per
     fused gradient evaluation and its ratio to the L2 one;
-  * config 4 — TTI multi-shot gradient (layers preset, XLA path).
+  * config 4 — TTI multi-shot gradient (layers preset, XLA path);
+  * config 5 — 3-D acoustic multi-shot gradient (layers preset, XLA
+    path — the Pallas segment kernels are 2-D-only, so this is the
+    honest throughput of the 3-D fallback).
 
 ``vs_baseline`` ratios:
   * ``vs_cpu_same_code`` — MEASURED: this repo's own XLA scan path on the
@@ -242,6 +245,32 @@ def _bench_tti():
             "tti_gradient_cell_steps_per_s": 4.0 * nsrc * nt * cells / t}
 
 
+def _bench_3d():
+    """Config 5: 3-D acoustic multi-shot L2 gradient (layers preset, XLA
+    scan path — the Pallas segment kernels are 2-D-only, so this records
+    the honest 3-D throughput of the fallback path)."""
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu import AcquisitionGeometry
+
+    kw = dict(shape=(64, 64, 64), spacing=(15., 15., 15.), space_order=8,
+              nbl=16, dt=1.5)
+    model1 = demo_model("layers-isotropic", nlayers=3, **kw)
+    model0 = demo_model("layers-isotropic", nlayers=1, **kw)
+    nsrc, nrec = 4, 48
+    ext = model1.domain_size[0]
+    src = np.stack([np.linspace(0, ext, nsrc), np.full(nsrc, ext / 2),
+                    np.full(nsrc, 30.0)], 1)
+    rec = np.stack([np.linspace(0, ext, nrec), np.full(nrec, ext / 2),
+                    np.full(nrec, 30.0)], 1)
+    g1 = AcquisitionGeometry(model1, rec, src, 0.0, 500.0, f0=0.012,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(model0, rec, src, 0.0, 500.0, f0=0.012,
+                             src_type="Ricker")
+    t_grad, _, v, _ = _grad_throughput(g0, g1, n_iters=1, n_repeats=4)
+    return {"acoustic3d_gradient_s": t_grad,
+            "acoustic3d_gradient_cell_steps_per_s": v}
+
+
 def main():
     if "--cpu-denominator" in sys.argv:
         cpu_denominator_main()
@@ -281,6 +310,11 @@ def main():
         configs.update({k: float(v) for k, v in _bench_tti().items()})
     except Exception as e:  # pragma: no cover
         errors["tti"] = repr(e)[:120]
+    # config 5: 3-D acoustic gradient (XLA path — Pallas is 2-D-only)
+    try:
+        configs.update({k: float(v) for k, v in _bench_3d().items()})
+    except Exception as e:  # pragma: no cover
+        errors["acoustic3d"] = repr(e)[:120]
 
     cpu = _cpu_denominator()
 
