@@ -169,10 +169,12 @@ def _bench_circle():
 
     model1 = demo_model("circle-isotropic", vp_circle=3.0,
                         vp_background=2.5, origin=(0., 0.),
-                        shape=(201, 201), spacing=(10., 10.), nbl=40)
+                        shape=(201, 201), spacing=(10., 10.), nbl=40,
+                        dt=1.0)
     model0 = demo_model("circle-isotropic", vp_circle=2.5,
                         vp_background=2.5, origin=(0., 0.),
-                        shape=(201, 201), spacing=(10., 10.), nbl=40)
+                        shape=(201, 201), spacing=(10., 10.), nbl=40,
+                        dt=1.0)
     nsrc, nrec = 11, 101
     src = np.empty((nsrc, 2))
     src[:, 0] = np.linspace(0, model1.domain_size[0], nsrc)
@@ -184,6 +186,9 @@ def _bench_circle():
                              src_type="Ricker")
     g0 = AcquisitionGeometry(model0, rec, src, 0.0, 1000.0, f0=0.010,
                              src_type="Ricker")
+    # one shared dt=1.0 time axis via the model dt override, like the
+    # driver (drivers/circle_fwi.py:76-116) — the two models' critical
+    # dts differ
     t_grad, t_obj, _, _ = _grad_throughput(g0, g1, n_iters=2, n_repeats=5)
     return {"circle_fwi_iter_s": t_grad + 2 * t_obj,
             "circle_gradient_s": t_grad}

@@ -1,0 +1,234 @@
+"""Decompose the W2-2d BFM cost on REAL Marmousi residual gathers.
+
+The earlier profiler (tools/profile_w2.py) timed the Legendre/pushforward
+components on synthetic inputs whose displacements fall outside the
+banded fast paths' certificates — so it reported the slow-path cost and
+the split did not add up to the real in-objective time. This one replays
+``bfm_jax_batch``'s own loop to iteration 5 on the actual 29-shot
+residuals (obs - dw vs syn - dw, linear transform), captures the live
+(phi, dual, rho, sigma) state, and times each component ON THAT STATE —
+in-band exactly as production sees it.
+
+All timings per CLAUDE.md: chained data-dependently inside one jit,
+scalar fetch, best-of-N, one process.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "drivers"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from _marmousi_common import SMARMN, setup
+from devito_fwi_tpu.fwi import fm_multi, fwi_obj_multi
+from devito_fwi_tpu.misfit import least_square, qWasserstein
+from devito_fwi_tpu.misfit.w2 import transform_jax
+import importlib
+B = importlib.import_module("devito_fwi_tpu.misfit.bfm")
+
+_fetch = jax.jit(lambda x: jnp.asarray(x).ravel()[0])
+
+
+def sync(x):
+    return float(_fetch(x))
+
+
+def best_of(fn, n=3):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        sync(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts), out
+
+
+class Args:
+    bathy = 1
+    filter = 0
+    data_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "model_data")
+
+
+@partial(jax.jit, static_argnames=("k",))
+def run_to_iter(mu, nu, k, step_scale=1.0):
+    """Replay bfm_jax_batch's loop for k iterations; return the carry."""
+    dtype = mu.dtype
+    Bb, n2, n1 = mu.shape
+    pcount = n1 * n2
+    psum = lambda x: jnp.sum(x, axis=(-2, -1))
+    sum1 = psum(mu)[:, None, None] / pcount
+    sum2 = psum(nu)[:, None, None] / pcount
+    mu = jnp.where(sum1 > 0, mu / sum1, 0.0)
+    nu = jnp.where(sum2 > 0, nu / sum2, 0.0)
+    sigma0 = step_scale / jnp.maximum(jnp.max(mu, axis=(1, 2)),
+                                      jnp.max(nu, axis=(1, 2)))
+    xs = (jnp.arange(n1, dtype=dtype) + 0.5) / n1
+    ys = (jnp.arange(n2, dtype=dtype) + 0.5) / n2
+    quad = 0.5 * (xs[None, :] ** 2 + ys[:, None] ** 2)
+    quad_b = jnp.broadcast_to(quad, (Bb, n2, n1))
+    kx = 2.0 * n1 * n1 * (1 - jnp.cos(jnp.pi * jnp.arange(n1) / n1))
+    ky = 2.0 * n2 * n2 * (1 - jnp.cos(jnp.pi * jnp.arange(n2) / n2))
+    kernel = (kx[None, :] + ky[:, None]).at[0, 0].set(1.0).astype(dtype)
+
+    def _dctm(n):
+        kk = jnp.arange(n, dtype=dtype)[:, None]
+        i = jnp.arange(n, dtype=dtype)[None, :]
+        C = jnp.sqrt(2.0 / n) * jnp.cos(jnp.pi * (i + 0.5) * kk / n)
+        return C.at[0].mul(jnp.sqrt(0.5))
+    C1, C2 = _dctm(n1), _dctm(n2)
+    hp = jax.lax.Precision.HIGHEST
+    dct2 = lambda a: jnp.einsum("ij,bjk,lk->bil", C2, a, C1, precision=hp)
+    idct2 = lambda a: jnp.einsum("ji,bjk,kl->bil", C2, a, C1, precision=hp)
+
+    def upd(phi, rho, target, sigma):
+        r = rho - target
+        w = dct2(r) / kernel
+        w = w.at[:, 0, 0].set(0.0)
+        w = idct2(w)
+        return phi + sigma[:, None, None] * w
+
+    leg = lambda u: B._legendre_2d(u, xs, ys, 32_000_000)
+
+    def push(dens, potential):
+        xm, ym = jax.vmap(lambda p: B._pushforward_map(p, n1, n2))(potential)
+        return B._sampling_pushforward_batch(dens, xm, ym, n1, n2, 2, 127)
+
+    def body(carry, _):
+        phi, dual, rho, sigma = carry
+        phi = upd(phi, rho, nu, sigma)
+        dual = leg(phi)
+        phi = leg(dual)
+        rho = push(nu, phi)
+        dual = upd(dual, rho, mu, sigma)
+        phi = leg(dual)
+        dual = leg(phi)
+        rho = push(mu, dual)
+        return (phi, dual, rho, sigma), None
+
+    init = (quad_b, quad_b, mu, sigma0.astype(dtype))
+    carry, _ = jax.lax.scan(body, init, None, length=k)
+    return carry + (mu, nu, xs, ys)
+
+
+def main():
+    models, geoms, vps, bathy_mask = setup(SMARMN, Args(), 29)
+    geometry1, geometry0, geometry2 = geoms
+    print("modeling obs/syn/dw...")
+    obs = fm_multi(geometry1, save=False)
+    dw = fm_multi(geometry2, save=False)
+    syn = fm_multi(geometry0, save=False)
+    obs_b = jnp.stack([jnp.asarray(o.data) for o in obs])
+    dw_b = jnp.stack([jnp.asarray(o.data) for o in dw])
+    syn_b = jnp.stack([jnp.asarray(o.data) for o in syn])
+    f = syn_b - dw_b
+    g = obs_b - dw_b
+    mu, _ = jax.vmap(lambda a: transform_jax(a, 1.01, "linear"))(f)
+    nu, _ = jax.vmap(lambda a: transform_jax(a, 1.01, "linear"))(g)
+    Bb, n2, n1 = mu.shape
+    print(f"real residual gathers: B={Bb} n2={n2} n1={n1}")
+
+    # yardsticks
+    def l2_obj():
+        fv, _, _ = fwi_obj_multi(geometry0, obs, least_square, dw,
+                                 bathy_mask, True, calc_grad=True)
+        return jnp.float32(fv)
+    t0 = time.perf_counter(); l2_obj()
+    print(f"L2 obj compile+run: {time.perf_counter()-t0:.1f}s")
+    t_l2, _ = best_of(l2_obj, 3)
+    print(f"L2 objective (grad):         {t_l2:.3f} s")
+
+    w2q = qWasserstein(trans_type="linear", method="2d", num_steps=10,
+                      step_scale=SMARMN.w2_step_scale, bfm_backend="jax")
+    def w2_obj():
+        fv, _, _ = fwi_obj_multi(geometry0, obs, w2q, dw, bathy_mask, True,
+                                 calc_grad=True)
+        return jnp.float32(fv)
+    t0 = time.perf_counter(); w2_obj()
+    print(f"W2 obj compile+run: {time.perf_counter()-t0:.1f}s")
+    t_w2, _ = best_of(w2_obj, 2)
+    print(f"W2-2d objective (grad):      {t_w2:.3f} s   ({t_w2/t_l2:.1f}x L2)")
+
+    bfb = jax.jit(lambda a, b: jnp.sum(B.bfm_jax_batch(
+        a, b, num_steps=10, step_scale=1.0)[0]))
+    t0 = time.perf_counter(); sync(bfb(mu, nu))
+    print(f"bfm compile+run: {time.perf_counter()-t0:.1f}s")
+    t_bfm, _ = best_of(lambda: bfb(mu, nu), 3)
+    print(f"bfm_jax_batch (10 iters):    {t_bfm:.3f} s")
+
+    # live state at iteration 5
+    phi, dual, rho, sigma, mun, nun, xs, ys = jax.block_until_ready(
+        run_to_iter(mu, nu, 5))
+    print("captured live carry at iter 5")
+
+    # component: one legendre_2d on the live phi, x20 chained
+    @jax.jit
+    def leg20(u):
+        def body(c, _):
+            out = B._legendre_2d(c, xs, ys, 32_000_000)
+            return 0.5 * c + 0.5 * out, None   # keep it live & in-band
+        c, _ = jax.lax.scan(body, u, None, length=20)
+        return jnp.sum(c)
+    t, _ = best_of(lambda: leg20(phi), 3)
+    print(f"legendre_2d (live phi) x20:  {t:.3f} s  ({t/20*1e3:.1f} ms/call;"
+          f" 40 calls/bfm -> {2*t:.2f} s)")
+
+    # banded disabled, same input
+    @jax.jit
+    def leg20_full(u):
+        def body(c, _):
+            out = B._legendre_2d(c, xs, ys, 32_000_000, banded=False)
+            return 0.5 * c + 0.5 * out, None
+        c, _ = jax.lax.scan(body, u, None, length=20)
+        return jnp.sum(c)
+    t, _ = best_of(lambda: leg20_full(phi), 3)
+    print(f"  (banded disabled) x20:     {t:.3f} s  ({t/20*1e3:.1f} ms/call)")
+
+    # component: one pushforward on the live (nu, phi), x10 chained
+    @jax.jit
+    def push10(dens, pot):
+        def body(c, _):
+            xm, ym = jax.vmap(lambda p: B._pushforward_map(p, n1, n2))(c)
+            r = B._sampling_pushforward_batch(dens, xm, ym, n1, n2, 2, 127)
+            return c + 1e-7 * r, None
+        c, _ = jax.lax.scan(body, pot, None, length=10)
+        return jnp.sum(c)
+    t, _ = best_of(lambda: push10(nun, phi), 3)
+    print(f"pushforward (live) x10:      {t:.3f} s  ({t/10*1e3:.1f} ms/call;"
+          f" 20 calls/bfm -> {2*t:.2f} s)")
+
+    # component: one H^-1 update (DCT poisson), x20 chained
+    kx = 2.0 * n1 * n1 * (1 - jnp.cos(jnp.pi * jnp.arange(n1) / n1))
+    ky = 2.0 * n2 * n2 * (1 - jnp.cos(jnp.pi * jnp.arange(n2) / n2))
+    kern = (kx[None, :] + ky[:, None]).at[0, 0].set(1.0)
+
+    def _dctm(n):
+        kk = jnp.arange(n, dtype=jnp.float32)[:, None]
+        i = jnp.arange(n, dtype=jnp.float32)[None, :]
+        C = jnp.sqrt(2.0 / n) * jnp.cos(jnp.pi * (i + 0.5) * kk / n)
+        return C.at[0].mul(jnp.sqrt(0.5))
+    C1, C2 = _dctm(n1), _dctm(n2)
+    hp = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def upd20(r_b):
+        def body(c, _):
+            w = jnp.einsum("ij,bjk,lk->bil", C2, c, C1, precision=hp) / kern
+            w = w.at[:, 0, 0].set(0.0)
+            w = jnp.einsum("ji,bjk,kl->bil", C2, w, C1, precision=hp)
+            return c + 1e-7 * w, None
+        c, _ = jax.lax.scan(body, r_b, None, length=20)
+        return jnp.sum(c)
+    t, _ = best_of(lambda: upd20(rho), 3)
+    print(f"dct_poisson x20:             {t:.3f} s  ({t/20*1e3:.1f} ms/call;"
+          f" 20 calls/bfm -> {t:.2f} s)")
+
+
+if __name__ == "__main__":
+    main()
