@@ -76,8 +76,9 @@ def _legendre_last(u, s, max_tmp_elems=2_000_000):
 def _legendre_last_banded(u, s, W, K):
     """Diagonal-banded Legendre candidate + exactness certificate.
 
-    ``out_b[..., i] = max_{|d| <= W} (s[i] s[i+d] - u[..., i+d])`` via a
-    fused scan over the 2W+1 offsets (no gathers/scatters), plus a SOUND
+    ``out_b[..., i] = max_{|d| <= W} (s[i] s[i+d] - u[..., i+d])`` via an
+    unrolled maximum chain over the 2W+1 offsets (no gathers/scatters,
+    one fused kernel), plus a SOUND
     batch-wide certificate that the true global argmax lies inside the
     band for every output: f(i, j) = s_i s_j - u_j is totally monotone
     in (i, j) for increasing s (f(i2,j) - f(i2,j') - [f(i,j) - f(i,j')]
@@ -89,22 +90,32 @@ def _legendre_last_banded(u, s, W, K):
     last(i_{m+1})]. The certificate holds iff those brackets stay
     within the band, for ANY u (no convexity assumed).
 
-    Returns (out_b, ok). Cost ~ (2W+1 + n/K)/n of the full transform
-    (~14% at n=1357, W=48, K=16)."""
+    Returns (out_b, ok). Cost ~ (2W+1 + n/K)/n of the full transform's
+    compare-ops (~14% at n=1357, W=48, K=16). Both pieces are written to
+    stay inside single fused XLA kernels: the offset loop is UNROLLED
+    into one maximum chain of static slices (a lax.scan here re-reads
+    and re-writes the full-size accumulator through HBM every one of the
+    2W+1 steps — measured 82.7 ms/call vs 44.7 for the plain blocked
+    transform on the live Marmousi state, i.e. the scan form LOST to
+    what it was meant to beat), and the certificate scans the
+    sampled rows one at a time so each argmax fuses its own broadcast
+    (an all-samples broadcast materializes a multi-GB temp)."""
     n = s.shape[0]
     big = jnp.asarray(np.finfo(np.float32).max / 8, u.dtype)
     lead = [(0, 0)] * (u.ndim - 1)
     up = jnp.pad(u, lead + [(W, W)], constant_values=big)
     sp = jnp.pad(s, (W, W))
 
-    def off_body(acc, d):
-        sj = jax.lax.dynamic_slice_in_dim(sp, d, n)
-        uj = jax.lax.dynamic_slice_in_dim(up, d, n, axis=-1)
-        return jnp.maximum(acc, s * sj - uj), None
+    out_b = None
+    for d in range(2 * W + 1):
+        sj = jax.lax.slice_in_dim(sp, d, d + n)
+        uj = jax.lax.slice_in_dim(up, d, d + n, axis=-1)
+        t = s * sj - uj
+        out_b = t if out_b is None else jnp.maximum(out_b, t)
 
-    acc0 = jnp.full(u.shape, -big, u.dtype)
-    out_b, _ = jax.lax.scan(off_body, acc0, jnp.arange(2 * W + 1))
-
+    # certificate sampling stays a scan — one sampled row per step keeps
+    # the broadcast inside the argmax fusion (a single all-samples
+    # broadcast materializes an (M, ..., n) multi-GB temp and OOMs)
     samp = np.unique(np.r_[np.arange(0, n, K), n - 1]).astype(np.int32)
 
     def samp_body(carry, si):
@@ -139,12 +150,21 @@ def _legendre_last_fast(u, s, max_tmp_elems=2_000_000, W=None, K=None):
         lambda a: _legendre_last(a[1], s, max_tmp_elems), (out_b, u))
 
 
-def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=True):
+def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=False):
     """2-D Legendre transform, separable (fot2d.c:151-173):
     out[..., iy, ix] = max_{jx, jy} (x_ix x_jx + y_iy y_jy - u[..., jy, jx]).
     Batch-polymorphic over leading dims. ``banded=True`` routes each
-    1-D pass through the certified banded fast path (exact either
-    way)."""
+    1-D pass through the certified banded fast path (exact either way).
+
+    Negative result (measured on the live iteration-5 Marmousi batch on
+    chip, tools/profile_w2_components.py — do not re-attempt in XLA
+    without a new end-to-end number): the banded candidate LOSES to the
+    plain blocked transform in both XLA formulations — 82.7 ms/call as
+    a lax.scan over offsets (per-step accumulator HBM round trips) and
+    71.1 ms/call as an unrolled maximum chain (2W+1 shifted re-reads of
+    u), vs 44.7 ms for the full transform — so ``banded`` defaults to
+    False. The band structure pays only where the accumulator can stay
+    resident: see the Pallas kernel (ops/pallas_bfm.py)."""
     fn = _legendre_last_fast if banded else _legendre_last
     a = fn(u, sx, max_tmp_elems)                        # max over jx
     b = fn(-jnp.swapaxes(a, -1, -2), sy,
@@ -331,75 +351,6 @@ def _diag_fold(band):
     return jnp.moveaxis(a, 1, 2)                    # (B, R+G-1, n1)
 
 
-def _banded_pushforward_batch(subs, n1, n2, dmax, row_block=32):
-    """Banded batched-matmul pushforward over a shot batch.
-
-    The scatter formulation runs at ~130M updates/s on TPU and degrades
-    with vmap width (measured: 77M at B=29); this formulation recasts the
-    bilinear scatter as, per source row, a one-hot weight contraction on
-    the MXU: group the two row targets of every subsample by their
-    integer row displacement dy = yIndex - r into a band of
-    G = 2*dmax + 2 groups (dy in [-dmax, dmax+1]), build the per-row
-    one-hot operands W (S, G) over dy and X (S, n1) over target columns
-    (S = nsub^2 * n1 subsamples per row), contract band = W^T X as a
-    batched matmul, and fold the bands with a single skewed-reshape
-    overlap-add. Exact same additions as the scatter, in a different
-    order. Only valid when every massive subsample's displacement is in
-    band — callers guard with ``_inband_predicate`` and fall back to the
-    scatter via ``lax.cond``."""
-    xI, xO, xf, yI, yO, yf, mass = subs
-    B, Q, n2s, _ = mass.shape
-    G = 2 * dmax + 2
-    R = row_block
-    n2p = -(-n2s // R) * R
-    pad = ((0, 0), (0, 0), (0, n2p - n2s), (0, 0))
-
-    def prep(a):
-        # (B, Q, n2p, n1) -> (nblk, B, R, Q, n1) scan slices
-        a = jnp.pad(a, pad)
-        a = jnp.moveaxis(a, 1, 2)                   # (B, n2p, Q, n1)
-        a = a.reshape(B, n2p // R, R, Q, a.shape[-1])
-        return jnp.moveaxis(a, 1, 0)
-
-    r_glob = jnp.arange(n2p).reshape(n2p // R, 1, R, 1, 1)
-    dyI = prep(yI) - r_glob
-    dyO = prep(yO) - r_glob
-    xs = (prep(xI), prep(xO), prep(xf.astype(mass.dtype)), dyI, dyO,
-          prep(yf.astype(mass.dtype)), prep(mass))
-    gvals = jnp.arange(G, dtype=jnp.int32) - dmax
-    cols = jnp.arange(n1, dtype=jnp.int32)
-
-    def step(carry, xs_i):
-        rho_acc, r0 = carry
-        xIb, xOb, xfb, dyIb, dyOb, yfb, mb = xs_i
-
-        def flat(a):
-            return a.reshape(B, R, Q * n1)
-        # W: (B, R, S, G) one-hot over dy with the bilinear y weights
-        W = ((flat(dyIb)[..., None] == gvals) * (1 - flat(yfb))[..., None]
-             + (flat(dyOb)[..., None] == gvals) * flat(yfb)[..., None])
-        # X: (B, R, S, n1) one-hot over target column, mass folded in
-        X = ((flat(xIb)[..., None] == cols) * (1 - flat(xfb))[..., None]
-             + (flat(xOb)[..., None] == cols) * flat(xfb)[..., None]
-             ) * flat(mb)[..., None]
-        band = jax.lax.dot_general(
-            W, X, (((2,), (2,)), ((0, 1), (0, 1))),
-            precision=jax.lax.Precision.HIGHEST)    # (B, R, G, n1)
-        blk = _diag_fold(band)                      # (B, R+G-1, n1)
-        rho_acc = jax.lax.dynamic_update_slice(
-            rho_acc,
-            jax.lax.dynamic_slice(rho_acc, (0, r0, 0),
-                                  (B, R + G - 1, n1)) + blk,
-            (0, r0, 0))
-        return (rho_acc, r0 + R), None
-
-    rho0 = jnp.zeros((B, n2p + G - 1, n1), mass.dtype)
-    (rho_pad, _), _ = jax.lax.scan(step, (rho0, 0), xs)
-    # carry row (global target row + dmax); rows beyond n2 are only ever
-    # touched by zero-mass padding cells
-    return rho_pad[:, dmax:dmax + n2, :]
-
-
 def _col_fold(band, Cb, width):
     """Overlap-add of per-column-block windows into full rows:
     out[..., g, j*Cb + o] += band[..., j, g, o], window width Wd <= 2*Cb.
@@ -425,25 +376,28 @@ def _col_fold(band, Cb, width):
     return place(ev, 0) + place(od, Cb)
 
 
-def _blocked_banded_pushforward_batch(subs, n1, n2, dmax, dxmax,
-                                      row_block=32, col_block=64):
-    """Column-blocked variant of the banded-matmul pushforward.
+def _local_banded_pushforward_batch(subs, n1, n2, G_local=32, dxmax=7,
+                                    margin=128, row_block=32,
+                                    col_block=32):
+    """Local-base banded-matmul pushforward.
 
-    The full-column form one-hots target columns over all n1 of them,
-    although each subsample only ever hits 2 adjacent columns near its
-    source — ~n1/(2*dxmax+2) of the X operand's bytes and the matmul's
-    FLOPs are structural zeros. Blocking columns into tiles of
-    ``col_block`` and one-hotting only a local window of
-    Wd = col_block + 2*dxmax + 2 target columns cuts both by
-    ~n1/Wd while keeping the same MXU contraction; the per-block windows
-    are folded with an even/odd overlap-add (``_col_fold``) and rows with
-    the skewed-reshape fold (``_diag_fold``). Exact same additions as the
-    scatter. Valid only when every massive subsample's displacements fit
-    dy in [-dmax, dmax+1] AND dx in [-dxmax, dxmax+1]; callers guard with
-    the in-band predicates and fall back."""
+    The global-band form one-hots dy over a window wide enough for the
+    WORST displacement anywhere in the batch — on late-time gathers the
+    shift can reach tens of rows, blowing up both the W operand and the
+    matmul, and forcing the tiered-width dispatch. But the transport map
+    is smooth: over one 32-row block of one shot, dy varies by only a
+    few rows even when its absolute value is large. So: per (shot,
+    row-block), re-base dy at the block's runtime minimum and one-hot
+    only the LOCAL variation (``G_local`` wide, static); the absolute
+    base becomes a runtime row offset of the folded block, applied with
+    scalar ``dynamic_update_slice`` per shot. Arbitrary global shifts up
+    to ``margin`` rows ride the offset for free — no tiers, and the
+    exact-scatter fallback triggers only when the LOCAL variation
+    exceeds ``G_local`` (callers guard with ``_local_band_ok``).
+    Same additions as the scatter, in a different order."""
     xI, xO, xf, yI, yO, yf, mass = subs
     B, Q, n2s, n1s = mass.shape
-    G = 2 * dmax + 2
+    G = G_local
     R = row_block
     Cb = col_block
     Wd = Cb + 2 * dxmax + 2
@@ -458,59 +412,90 @@ def _blocked_banded_pushforward_batch(subs, n1, n2, dmax, dxmax,
         a = jnp.pad(a, pad)
         a = jnp.moveaxis(a, 1, 2)                   # (B, n2p, Q, n1p)
         a = a.reshape(B, n2p // R, R, Q, nbc, Cb)
-        a = jnp.moveaxis(a, 4, 3)                   # (B, nblk, R, nbc, Q, Cb)
+        a = jnp.moveaxis(a, 4, 3)
         a = a.reshape(B, n2p // R, R, nbc, Q * Cb)
         return jnp.moveaxis(a, 1, 0)
 
     r_glob = jnp.arange(n2p).reshape(n2p // R, 1, R, 1, 1)
-    base = (jnp.arange(nbc) * Cb).reshape(1, 1, 1, nbc, 1)
-    dyI = prep(yI) - r_glob
-    dyO = prep(yO) - r_glob
-    oI = prep(xI) - base + dxmax
-    oO = prep(xO) - base + dxmax
+    base_c = (jnp.arange(nbc) * Cb).reshape(1, 1, 1, nbc, 1)
+    mb = prep(mass)
+    act = mb > 0
+    dyI = jnp.where(act, prep(yI) - r_glob, margin)
+    dyO = jnp.where(act, prep(yO) - r_glob, margin)
+    # per-(block, shot) runtime base: min active dy, clipped to the
+    # fold margin (blocks with no active cells base at 0)
+    bases = jnp.min(jnp.minimum(dyI, margin).reshape(
+        n2p // R, B, -1), axis=-1)
+    bases = jnp.clip(jnp.where(bases == margin, 0, bases),
+                     -margin, margin - G)            # (nblk, B)
+    oI = prep(xI) - base_c + dxmax
+    oO = prep(xO) - base_c + dxmax
     xs = (oI, oO, prep(xf.astype(mass.dtype)), dyI, dyO,
-          prep(yf.astype(mass.dtype)), prep(mass))
-    gvals = jnp.arange(G, dtype=jnp.int32) - dmax
+          prep(yf.astype(mass.dtype)), mb, bases)
+    gvals = jnp.arange(G, dtype=jnp.int32)
     wvals = jnp.arange(Wd, dtype=jnp.int32)
     width = n1p + Wd
 
     def step(carry, xs_i):
         rho_acc, r0 = carry
-        oIb, oOb, xfb, dyIb, dyOb, yfb, mb = xs_i
-        # W: (B, R, nbc, S, G) one-hot over dy with the bilinear y weights
-        W = ((dyIb[..., None] == gvals) * (1 - yfb)[..., None]
-             + (dyOb[..., None] == gvals) * yfb[..., None])
+        oIb, oOb, xfb, dyIb, dyOb, yfb, mbb, base_b = xs_i
+        relI = dyIb - base_b[:, None, None, None]
+        relO = dyOb - base_b[:, None, None, None]
+        # W: (B, R, nbc, S, G) one-hot over LOCAL dy, bilinear y weights
+        W = ((relI[..., None] == gvals) * (1 - yfb)[..., None]
+             + (relO[..., None] == gvals) * yfb[..., None])
         # X: (B, R, nbc, S, Wd) one-hot over the local column window
         X = ((oIb[..., None] == wvals) * (1 - xfb)[..., None]
              + (oOb[..., None] == wvals) * xfb[..., None]
-             ) * mb[..., None]
+             ) * mbb[..., None]
         band = jax.lax.dot_general(
             W, X, (((3,), (3,)), ((0, 1, 2), (0, 1, 2))),
             precision=jax.lax.Precision.HIGHEST)    # (B, R, nbc, G, Wd)
         rows = _col_fold(band, Cb, width)           # (B, R, G, width)
         blk = _diag_fold(rows)                      # (B, R+G-1, width)
-        rho_acc = jax.lax.dynamic_update_slice(
-            rho_acc,
-            jax.lax.dynamic_slice(rho_acc, (0, r0, 0),
-                                  (B, R + G - 1, width)) + blk,
-            (0, r0, 0))
+
+        def place(b, acc):
+            off = r0 + base_b[b] + margin
+            cur = jax.lax.dynamic_slice(
+                acc, (b, off, 0), (1, R + G - 1, width))
+            return jax.lax.dynamic_update_slice(
+                acc, cur + blk[b][None], (b, off, 0))
+
+        rho_acc = jax.lax.fori_loop(0, B, place, rho_acc)
         return (rho_acc, r0 + R), None
 
-    rho0 = jnp.zeros((B, n2p + G - 1, width), mass.dtype)
+    rho0 = jnp.zeros((B, n2p + 2 * margin + G, width), mass.dtype)
     (rho_pad, _), _ = jax.lax.scan(step, (rho0, 0), xs)
-    return rho_pad[:, dmax:dmax + n2, dxmax:dxmax + n1]
+    return rho_pad[:, margin:margin + n2, dxmax:dxmax + n1]
 
 
-def _inband_predicate(subs, dmax):
-    """True iff every nonzero-mass subsample's row displacements fit the
-    [-dmax, dmax+1] band, across the whole batch."""
+def _local_band_ok(subs, G_local=32, dxmax=7, margin=128, row_block=32):
+    """True iff every (shot, row-block)'s ACTIVE dy values fit a window
+    of ``G_local`` rows above the block minimum, with the block base
+    within the fold margin — the validity condition of
+    ``_local_banded_pushforward_batch`` (dx checked separately)."""
     _, _, _, yI, yO, _, mass = subs
-    n2s = mass.shape[2]
-    r = jnp.arange(n2s).reshape(1, 1, n2s, 1)
+    B, Q, n2s, n1s = mass.shape
+    R = row_block
+    n2p = -(-n2s // R) * R
     act = mass > 0
-    dyI = jnp.where(act, yI - r, 0)
-    dyO = jnp.where(act, yO - r, 0)
-    return (jnp.min(dyI) >= -dmax) & (jnp.max(dyO) <= dmax + 1)
+    r = jnp.arange(n2s).reshape(1, 1, n2s, 1)
+    dyI = jnp.where(act, yI - r, margin)
+    dyO = jnp.where(act, yO - r, -margin)
+
+    def blocks(a, fill):
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, n2p - n2s), (0, 0)),
+                    constant_values=fill)
+        a = jnp.moveaxis(a, 1, 2).reshape(B, n2p // R, R, Q, n1s)
+        return a
+
+    lo = jnp.min(blocks(dyI, margin), axis=(2, 3, 4))    # (B, nblk)
+    hi = jnp.max(blocks(dyO, -margin), axis=(2, 3, 4))
+    empty = lo == margin
+    lo_c = jnp.where(empty, 0, lo)
+    ok_width = jnp.where(empty, True, hi - lo_c <= G_local - 1)
+    ok_base = (lo_c >= -margin) & (lo_c <= margin - G_local)
+    return jnp.all(ok_width & ok_base)
 
 
 def _dx_inband_predicate(subs, dxmax):
@@ -555,33 +540,23 @@ def _scatter_pushforward_batch(subs, n1, n2, chunk=8):
 
 
 def _dispatch_push(subs, n1, n2, dmax):
-    """Tiered pushforward dispatch, cheapest first: column-blocked banded
-    matmuls with progressively wider dy bands, then the exact scatter.
-    Every tier computes the exact same sums; the predicates only pick the
-    cheapest valid ordering. Measured displacement structure on
-    shifted-Ricker gathers (tests/test_bfm_oracle.py fixture, 10 BFM
-    iterations): |dx| <= 6 throughout (lateral transport is tiny —
-    dxmax=7 always holds in practice), while dy grows with the data's
-    time shifts (up to +-69 rows there) — hence narrow-dx always, tiered
-    dy. The real Marmousi W2 residuals stay within dy +-18 for all 10
-    BFM iterations (tools/diag_w2_bands.py), so the 15/23 tiers carry
-    the production load (on-chip: 23-band 290 ms/call vs 31-band 533)."""
+    """Pushforward dispatch: the local-base banded matmul when every
+    (shot, row-block)'s LOCAL dy variation fits the static window and
+    |dx| is narrow (both always hold on the measured FWI workloads:
+    |dx| <= 6 on the shifted-Ricker oracle fixtures AND the real
+    Marmousi residuals; the local dy window absorbs the fixtures'
+    +-69-row absolute shifts that used to force the exact scatter),
+    falling back to the exact scatter otherwise. Both branches compute
+    the exact same sums. ``dmax`` bounds the absolute row shift the
+    banded path's fold margin accommodates."""
     dxmax = 7
-    tiers = sorted({min(d, dmax) for d in (7, 15, 23, 31)} | {dmax})
-    dx_ok = _dx_inband_predicate(subs, dxmax)
-
-    def dispatch(ts):
-        d = ts[0]
-        fast = lambda u: _blocked_banded_pushforward_batch(u, n1, n2, d,
-                                                           dxmax)
-        if len(ts) == 1:
-            slow = lambda u: _scatter_pushforward_batch(u, n1, n2)
-        else:
-            slow = dispatch(ts[1:])
-        return lambda s: jax.lax.cond(
-            dx_ok & _inband_predicate(s, d), fast, slow, s)
-
-    return dispatch(tiers)(subs)
+    ok = _dx_inband_predicate(subs, dxmax) & \
+        _local_band_ok(subs, G_local=32, dxmax=dxmax, margin=dmax + 1)
+    return jax.lax.cond(
+        ok,
+        lambda s: _local_banded_pushforward_batch(
+            s, n1, n2, G_local=32, dxmax=dxmax, margin=dmax + 1),
+        lambda s: _scatter_pushforward_batch(s, n1, n2), subs)
 
 
 def _sampling_pushforward_batch(mu_b, xMap_b, yMap_b, n1, n2, nsub, dmax):
@@ -643,10 +618,12 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
     Batch-native rather than ``vmap`` of a per-shot solver so the
     pushforward can pick the banded-matmul path with a single batch-wide
     ``lax.cond`` (under vmap the cond would become a select and run the
-    slow scatter unconditionally). ``dmax`` is the row-displacement band
-    half-width of the widest banded tier (tiers {7, 31, dmax} are tried
-    cheapest-first per call); batches beyond it fall back to the exact
-    scatter. ``nsub=0`` selects two-level adaptive supersampling
+    slow scatter unconditionally). ``dmax`` bounds the ABSOLUTE row
+    displacement the local-base banded pushforward's fold margin
+    accommodates (the banded fast path needs only the per-row-block
+    LOCAL dy variation to be narrow — see
+    ``_local_banded_pushforward_batch``); batches beyond it fall back
+    to the exact scatter. ``nsub=0`` selects two-level adaptive supersampling
     (see ``_sampling_pushforward_batch``). ``max_tmp_elems`` bounds the
     Legendre transform's blocked intermediate (the old in-loop default
     of 2M was tuned when the scatter dominated; 32M is ~10x faster

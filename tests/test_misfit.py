@@ -104,9 +104,12 @@ def _gather_batch(B=3, nt=160, ntr=24, seed=2):
 
 
 def test_bfm_banded_pushforward_matches_scatter():
-    """The banded-matmul pushforward must reproduce the exact scatter
-    bit-for-same-additions when every displacement is in band, across
-    non-multiple-of-row_block heights and batched shots."""
+    """The local-base banded-matmul pushforward must reproduce the exact
+    scatter (same additions) across non-multiple-of-row_block heights,
+    batched shots, and LARGE absolute displacements (the local window
+    re-bases per row block, so a 40-row uniform shift must still take
+    the fast path); a local variation wider than the window must be
+    detected, not silently truncated."""
     import importlib
 
     import jax
@@ -125,27 +128,27 @@ def test_bfm_banded_pushforward_matches_scatter():
     pot = jnp.asarray(pot + quad)
 
     xMap, yMap = jax.vmap(lambda p: B._pushforward_map(p, n1, n2))(pot)
-    out = jax.vmap(lambda m, xm, ym: B._pushforward_subsamples(
-        m, xm, ym, n1, n2, nsub))(mu, xMap, yMap)
-    subs = out[:7]
-    rho_scat = B._scatter_pushforward_batch(subs, n1, n2)
-    for dmax in (4, 31):
-        assert bool(B._inband_predicate(subs, dmax))
-        rho_band = B._banded_pushforward_batch(subs, n1, n2, dmax)
-        np.testing.assert_allclose(np.asarray(rho_band),
-                                   np.asarray(rho_scat),
-                                   rtol=1e-12, atol=1e-12)
-        # column-blocked variant, incl. a col_block that does not divide n1
-        assert bool(B._dx_inband_predicate(subs, 7))
+    for shift in (0, 40):   # uniform extra y displacement, in rows
+        yM = yMap + shift / n2
+        out = jax.vmap(lambda m, xm, ym: B._pushforward_subsamples(
+            m, xm, ym, n1, n2, nsub))(mu, xMap, yM)
+        subs = out[:7]
+        rho_scat = B._scatter_pushforward_batch(subs, n1, n2)
+        assert bool(B._local_band_ok(subs, G_local=24, margin=128))
         for cb in (16, 32):
-            rho_blk = B._blocked_banded_pushforward_batch(
-                subs, n1, n2, dmax, 7, col_block=cb)
-            np.testing.assert_allclose(np.asarray(rho_blk),
+            rho_loc = B._local_banded_pushforward_batch(
+                subs, n1, n2, G_local=24, dxmax=7, margin=128,
+                col_block=cb)
+            np.testing.assert_allclose(np.asarray(rho_loc),
                                        np.asarray(rho_scat),
                                        rtol=1e-12, atol=1e-12)
-    # a too-small band must be detected, not silently truncated
-    assert not bool(B._inband_predicate(subs, 0))
-    assert not bool(B._dx_inband_predicate(subs, 0))
+    # local variation wider than the window: rough potential
+    rough = jnp.asarray(quad[None] + rng.normal(size=(Bb, n2, n1)) * 2e-3)
+    xM2, yM2 = jax.vmap(lambda p: B._pushforward_map(p, n1, n2))(rough)
+    out2 = jax.vmap(lambda m, xm, ym: B._pushforward_subsamples(
+        m, xm, ym, n1, n2, nsub))(mu, xM2, yM2)
+    assert not bool(B._local_band_ok(out2[:7], G_local=2, margin=128))
+    assert not bool(B._dx_inband_predicate(out2[:7], 0))
 
 
 def test_bfm_batch_matches_scatter_path_end_to_end():

@@ -129,8 +129,8 @@ def main():
     syn_b = jnp.stack([jnp.asarray(o.data) for o in syn])
     f = syn_b - dw_b
     g = obs_b - dw_b
-    mu, _ = jax.vmap(lambda a: transform_jax(a, 1.01, "linear"))(f)
-    nu, _ = jax.vmap(lambda a: transform_jax(a, 1.01, "linear"))(g)
+    mu, nu, _ = jax.vmap(lambda a, b: transform_jax(
+        a, b, "linear", 1.01))(f, g)
     Bb, n2, n1 = mu.shape
     print(f"real residual gathers: B={Bb} n2={n2} n1={n1}")
 
