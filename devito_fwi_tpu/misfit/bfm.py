@@ -73,98 +73,56 @@ def _legendre_last(u, s, max_tmp_elems=2_000_000):
     return out[..., :n]
 
 
-def _legendre_last_banded(u, s, W, K):
-    """Diagonal-banded Legendre candidate + exactness certificate.
-
-    ``out_b[..., i] = max_{|d| <= W} (s[i] s[i+d] - u[..., i+d])`` via an
-    unrolled maximum chain over the 2W+1 offsets (no gathers/scatters,
-    one fused kernel), plus a SOUND
-    batch-wide certificate that the true global argmax lies inside the
-    band for every output: f(i, j) = s_i s_j - u_j is totally monotone
-    in (i, j) for increasing s (f(i2,j) - f(i2,j') - [f(i,j) - f(i,j')]
-    = (s_i2 - s_i)(s_j - s_j') >= 0 for i2 > i, j > j'), so the argmax
-    is non-decreasing in i — no argmax below the first-argmax of a
-    smaller i, none above the last-argmax of a larger i. Sampling exact
-    full rows every K outputs therefore brackets every in-between
-    argmax: for i in [i_m, i_{m+1}], j*(i) in [first(i_m),
-    last(i_{m+1})]. The certificate holds iff those brackets stay
-    within the band, for ANY u (no convexity assumed).
-
-    Returns (out_b, ok). Cost ~ (2W+1 + n/K)/n of the full transform's
-    compare-ops (~14% at n=1357, W=48, K=16). Both pieces are written to
-    stay inside single fused XLA kernels: the offset loop is UNROLLED
-    into one maximum chain of static slices (a lax.scan here re-reads
-    and re-writes the full-size accumulator through HBM every one of the
-    2W+1 steps — measured 82.7 ms/call vs 44.7 for the plain blocked
-    transform on the live Marmousi state, i.e. the scan form LOST to
-    what it was meant to beat), and the certificate scans the
-    sampled rows one at a time so each argmax fuses its own broadcast
-    (an all-samples broadcast materializes a multi-GB temp)."""
-    n = s.shape[0]
-    big = jnp.asarray(np.finfo(np.float32).max / 8, u.dtype)
-    lead = [(0, 0)] * (u.ndim - 1)
-    up = jnp.pad(u, lead + [(W, W)], constant_values=big)
-    sp = jnp.pad(s, (W, W))
-
-    out_b = None
-    for d in range(2 * W + 1):
-        sj = jax.lax.slice_in_dim(sp, d, d + n)
-        uj = jax.lax.slice_in_dim(up, d, d + n, axis=-1)
-        t = s * sj - uj
-        out_b = t if out_b is None else jnp.maximum(out_b, t)
-
-    # certificate sampling stays a scan — one sampled row per step keeps
-    # the broadcast inside the argmax fusion (a single all-samples
-    # broadcast materializes an (M, ..., n) multi-GB temp and OOMs)
-    samp = np.unique(np.r_[np.arange(0, n, K), n - 1]).astype(np.int32)
-
-    def samp_body(carry, si):
-        v = jnp.take(s, si) * s - u                      # (..., n)
-        first = jnp.argmax(v, axis=-1)
-        last = n - 1 - jnp.argmax(v[..., ::-1], axis=-1)
-        return carry, (first, last)
-
-    _, (firsts, lasts) = jax.lax.scan(samp_body, None, jnp.asarray(samp))
-    i_m = samp.reshape((-1,) + (1,) * (u.ndim - 1))
-    ok = jnp.all(lasts[1:] - i_m[:-1] <= W) & \
-        jnp.all(i_m[1:] - firsts[:-1] <= W)
-    return out_b, ok
-
-
 def _legendre_last_fast(u, s, max_tmp_elems=2_000_000, W=None, K=None):
-    """Exact Legendre transform along the last axis: certified banded
-    fast path (see ``_legendre_last_banded``) with the full blocked
-    transform as the lax.cond fallback. On the Marmousi W2 workload the
-    transport displacement stays within ~18 rows, so the default bands
-    hold throughout; the oracle's +-69-row shifted-Ricker fixtures
-    fail the certificate and take the exact full path. The certificate
-    needs W >= K + max displacement."""
+    """Exact Legendre transform along the last axis: the Pallas banded
+    kernel (VMEM-resident accumulator + in-kernel certificate,
+    ``ops/pallas_bfm.legendre_banded``) with the full blocked transform
+    as the lax.cond fallback. On the Marmousi W2 workload the transport
+    displacement stays within ~18 rows, so the default bands hold
+    throughout; inputs whose argmax leaves the band fail the
+    certificate and take the exact full path. The certificate needs
+    W >= K + max displacement. Requires ``s_i = (i + 0.5)/n`` — the
+    BFM's own grid coordinates, which the kernel recomputes to build
+    its constant tables."""
+    from ..ops import pallas_bfm as _pb
+
     n = s.shape[0]
     if W is None:
         W, K = (48, 16) if n >= 512 else (24, 8)
-    if n <= 2 * W + 1 + n // K:
+    if n <= 2 * W + 1 + n // K or u.dtype != jnp.float32 \
+            or not _pb.available():
         return _legendre_last(u, s, max_tmp_elems)
-    out_b, ok = _legendre_last_banded(u, s, W, K)
+    out_b, ok = _pb.legendre_banded(u.reshape(-1, n), W, K,
+                                    interpret=_pb.env_interpret())
+    out_b = out_b.reshape(u.shape)
     return jax.lax.cond(
         ok, lambda a: a[0],
         lambda a: _legendre_last(a[1], s, max_tmp_elems), (out_b, u))
 
 
-def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=False):
+def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=None):
     """2-D Legendre transform, separable (fot2d.c:151-173):
     out[..., iy, ix] = max_{jx, jy} (x_ix x_jx + y_iy y_jy - u[..., jy, jx]).
-    Batch-polymorphic over leading dims. ``banded=True`` routes each
-    1-D pass through the certified banded fast path (exact either way).
+    Batch-polymorphic over leading dims. ``banded=True`` routes each 1-D
+    pass through the certificate-guarded Pallas banded kernel
+    (``ops/pallas_bfm.legendre_banded``; exact either way, falls back to
+    the full transform off-TPU or when the certificate fails).
 
     Negative result (measured on the live iteration-5 Marmousi batch on
-    chip, tools/profile_w2_components.py — do not re-attempt in XLA
-    without a new end-to-end number): the banded candidate LOSES to the
-    plain blocked transform in both XLA formulations — 82.7 ms/call as
-    a lax.scan over offsets (per-step accumulator HBM round trips) and
-    71.1 ms/call as an unrolled maximum chain (2W+1 shifted re-reads of
-    u), vs 44.7 ms for the full transform — so ``banded`` defaults to
-    False. The band structure pays only where the accumulator can stay
-    resident: see the Pallas kernel (ops/pallas_bfm.py)."""
+    chip — do not re-attempt in XLA without a new end-to-end number):
+    the banded candidate in XLA LOSES to the plain blocked transform in
+    both formulations tried — 82.7 ms/call as a lax.scan over offsets
+    (per-step accumulator HBM round trips) and 71.1 ms/call as an
+    unrolled maximum chain (2W+1 shifted re-reads of u), vs 44.7 ms for
+    the full transform. The Pallas kernel's first cut also does not pay
+    yet (~40 ms/pass incl. certificate vs 44.7 ms for BOTH passes of
+    the full transform) — route through it with
+    DEVITO_FWI_TPU_BFM_LEGENDRE=banded while it is being tuned; the
+    default stays the full transform."""
+    if banded is None:
+        import os
+        banded = os.environ.get("DEVITO_FWI_TPU_BFM_LEGENDRE",
+                                "full") == "banded"
     fn = _legendre_last_fast if banded else _legendre_last
     a = fn(u, sx, max_tmp_elems)                        # max over jx
     b = fn(-jnp.swapaxes(a, -1, -2), sy,
@@ -539,24 +497,113 @@ def _scatter_pushforward_batch(subs, n1, n2, chunk=8):
     return rho.reshape(nb * chunk, n2, n1)[:B]
 
 
+def _pallas_push(subs, n1, n2, G, dxmax, margin, R):
+    """Pushforward through the Pallas slab kernel
+    (``ops/pallas_bfm.pushforward_slabs``): preprocess the subsample
+    planes into block-rebased (rel dy, dx, weight) form, run the kernel
+    over a (B, nblk) grid, and overlap-add the slabs at their runtime
+    base offsets. Exact same additions as the scatter; valid when
+    ``_local_band_ok(subs, G, row_block=R)`` and the dx predicate hold
+    (caller guards)."""
+    from ..ops import pallas_bfm as _pb
+
+    xI, xO, xf, yI, yO, yf, mass = subs
+    B, Q, n2s, n1s = mass.shape
+    lanes = -(-n1s // 128) * 128
+    nblk = -(-n2s // R)
+    n2p = nblk * R
+    dtype = mass.dtype
+    pad = ((0, 0), (0, 0), (0, n2p - n2s), (0, lanes - n1s))
+
+    r = jnp.arange(n2s).reshape(1, 1, n2s, 1)
+    c = jnp.arange(n1s).reshape(1, 1, 1, n1s)
+    act = mass > 0
+    dy = jnp.where(act, yI - r, margin)
+    # fold clipped targets (yO == yI / xO == xI at grid edges) into the
+    # base weight so the kernel's +1 placement stays uniform
+    yclip = yO == yI
+    wy0 = jnp.where(yclip, mass, (1 - yf) * mass)
+    wy1 = jnp.where(yclip, 0.0, yf * mass)
+    xclip = xO == xI
+    wx0 = jnp.where(xclip, jnp.ones((), dtype), (1 - xf))
+    wx1 = jnp.where(xclip, 0.0, xf)
+    dxr = jnp.clip(xI - c + dxmax, 0, 2 * dxmax + 1)
+
+    def prep(a, fill=0):
+        a = jnp.pad(a, pad, constant_values=fill)
+        a = jnp.moveaxis(a, 1, 2).reshape(B, nblk, R, Q, lanes)
+        return jnp.swapaxes(a, 2, 3)                # (B, nblk, Q, R, lanes)
+
+    dy_b = prep(dy, margin)
+    bases = jnp.min(dy_b.reshape(B, nblk, -1), axis=-1)
+    bases = jnp.clip(jnp.where(bases == margin, 0, bases),
+                     -margin, margin - G)            # (B, nblk)
+    rel = (dy_b - bases[:, :, None, None, None]).astype(jnp.int32)
+    slabs = _pb.pushforward_slabs(
+        rel, prep(dxr).astype(jnp.int32), prep(wy0).astype(dtype),
+        prep(wy1).astype(dtype), prep(wx0, 1).astype(dtype),
+        prep(wx1).astype(dtype), G=G, dxmax=dxmax, R=R,
+        interpret=_pb.env_interpret())               # (B, nblk, R+G, lanes)
+
+    rho0 = jnp.zeros((B, n2p + 2 * margin + G, lanes), dtype)
+
+    def place(k, acc):
+        b = k // nblk
+        j = k - b * nblk
+        off = j * R + bases[b, j] + margin
+        cur = jax.lax.dynamic_slice(acc, (b, off, 0),
+                                    (1, R + G, lanes))
+        return jax.lax.dynamic_update_slice(
+            acc, cur + jax.lax.dynamic_slice(
+                slabs, (b, j, 0, 0), (1, 1, R + G, lanes))[0],
+            (b, off, 0))
+
+    rho = jax.lax.fori_loop(0, B * nblk, place, rho0)
+    return rho[:, margin:margin + n2, dxmax:dxmax + n1]
+
+
 def _dispatch_push(subs, n1, n2, dmax):
-    """Pushforward dispatch: the local-base banded matmul when every
-    (shot, row-block)'s LOCAL dy variation fits the static window and
-    |dx| is narrow (both always hold on the measured FWI workloads:
-    |dx| <= 6 on the shifted-Ricker oracle fixtures AND the real
-    Marmousi residuals; the local dy window absorbs the fixtures'
-    +-69-row absolute shifts that used to force the exact scatter),
-    falling back to the exact scatter otherwise. Both branches compute
-    the exact same sums. ``dmax`` bounds the absolute row shift the
-    banded path's fold margin accommodates."""
+    """Pushforward dispatch, cheapest first:
+
+    1. Pallas slab kernel (``_pallas_push``) when every (shot,
+       16-row-block)'s LOCAL dy variation fits its G=24 window and |dx|
+       is narrow — both hold on the measured FWI workloads (|dx| <= 6
+       and mean local dy width ~3 on the live Marmousi state; the local
+       window absorbs the oracle fixtures' +-69-row ABSOLUTE shifts);
+    2. the XLA local-base banded matmul with a wider G=32 window over
+       32-row blocks;
+    3. the exact scatter.
+
+    All branches compute the exact same sums; the predicates only pick
+    the cheapest valid ordering. ``dmax`` bounds the absolute row shift
+    the banded paths' fold margins accommodate."""
+    from ..ops import pallas_bfm as _pb
+
     dxmax = 7
-    ok = _dx_inband_predicate(subs, dxmax) & \
-        _local_band_ok(subs, G_local=32, dxmax=dxmax, margin=dmax + 1)
+    dx_ok = _dx_inband_predicate(subs, dxmax)
+    margin = dmax + 1
+    xla_ok = dx_ok & _local_band_ok(subs, G_local=32, dxmax=dxmax,
+                                    margin=margin)
+
+    def xla_or_scatter(s):
+        return jax.lax.cond(
+            xla_ok,
+            lambda t: _local_banded_pushforward_batch(
+                t, n1, n2, G_local=32, dxmax=dxmax, margin=margin),
+            lambda t: _scatter_pushforward_batch(t, n1, n2), s)
+
+    import os
+    use_pallas = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "xla") == "pallas"
+    if not (use_pallas and _pb.available()
+            and subs[2].dtype == jnp.float32):
+        return xla_or_scatter(subs)
+    pallas_ok = dx_ok & _local_band_ok(subs, G_local=24, dxmax=dxmax,
+                                       margin=margin, row_block=16)
     return jax.lax.cond(
-        ok,
-        lambda s: _local_banded_pushforward_batch(
-            s, n1, n2, G_local=32, dxmax=dxmax, margin=dmax + 1),
-        lambda s: _scatter_pushforward_batch(s, n1, n2), subs)
+        pallas_ok,
+        lambda s: _pallas_push(s, n1, n2, G=24, dxmax=dxmax,
+                               margin=margin, R=16),
+        xla_or_scatter, subs)
 
 
 def _sampling_pushforward_batch(mu_b, xMap_b, yMap_b, n1, n2, nsub, dmax):

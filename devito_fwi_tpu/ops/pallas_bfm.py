@@ -1,0 +1,308 @@
+"""Pallas TPU kernels for the W2-2d BFM's two hot loops.
+
+The XLA formulations of both loops are HBM-bound, not compute-bound
+(measured on the live iteration-5 state of the 29-shot Marmousi batch,
+tools/profile_w2_components.py):
+
+* the banded Legendre transform re-reads/re-writes its full-size
+  accumulator (or re-reads ``u``) once per band offset — 71-83 ms/call
+  against 44.7 ms for the plain blocked transform, although it does 14x
+  fewer compare-ops;
+* the local-base banded pushforward materializes its one-hot matmul
+  operands to HBM every row-block — ~227 ms/call against a ~40 ms
+  traffic floor.
+
+Both kernels here keep the block state VMEM-resident so the band
+structure finally pays:
+
+* ``legendre_banded`` — ``out[r, i] = max_{|d|<=W} (s_i s_{i+d} -
+  u[r, i+d])`` as an unrolled register max over precomputed
+  ``P[d] = s_i * s_{i+d}`` row vectors, plus the total-monotonicity
+  certificate (argmax brackets at every K-th output, evaluated as
+  masked lane reductions) reduced to one ok-flag per row block. The
+  grid coordinates are the BFM's own ``s_i = (i + 0.5)/n``, computed
+  internally (they must be compile-time constants to precompute P).
+* ``pushforward_slabs`` — the bilinear supersample pushforward for one
+  (shot, row-block): contributions grouped by LOCAL dy offset g (static
+  unrolled loop, rebased per block on the host side) and lane-shifted
+  by their dx, summed into a (R+G, lanes) slab built from row-padded
+  value concatenates — no scatter, no one-hot operands, no HBM
+  intermediates. The caller computes the runtime block bases, runs the
+  kernel over a (B, nblk) grid, and overlap-adds the slabs at their
+  base offsets (see ``misfit/bfm._local_banded_pushforward_pallas``).
+
+Reference semantics: misfit/QW2D/src/fot2d.c:50-178 (c-transform) and
+fot2d.c:294-457 (pushforward); both kernels compute exactly the same
+sums as the XLA paths they accelerate and are parity-tested in
+interpreter mode (tests/test_pallas_bfm.py) plus driven on-chip by the
+W2 objective tests.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["available", "env_interpret", "legendre_banded",
+           "pushforward_slabs"]
+
+
+def available():
+    """True when the Mosaic TPU path (or forced interpreter) can run."""
+    if env_interpret():
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def env_interpret():
+    return os.environ.get("DEVITO_FWI_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def _rup(x, m):
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# banded Legendre transform with in-kernel certificate
+# ---------------------------------------------------------------------------
+
+def _legendre_kernel(u_ref, s_ref, sp_ref, out_ref, ok_ref, *, n, W, K,
+                     RB, npad):
+    """One row block: banded candidate + certificate.
+
+    u_ref: (RB, npad + pad2W) lane-padded block (+BIG fill, rows
+    edge-replicated). s_ref: (1, npad) grid coords (0 on pad lanes).
+    sp_ref: (1, npad + pad2W) the same coords at the band-padded lane
+    offsets (0 off-range — the +BIG u padding kills those entries).
+    out_ref: (RB, npad); ok_ref: (8, 128) int32 flag block.
+
+    Both loops are ``fori_loop``s over dynamically ROLLED copies of the
+    block (``pltpu.roll`` with a traced shift): a python-unrolled
+    maximum chain keeps every window temp live on the Mosaic vector
+    stack (measured 108 MB scoped-vmem OOM at W=48, RB=256 — ~75 live
+    (RB, npad) buffers), and dynamic LANE slices of refs fail to lower
+    ("cannot statically prove index is a multiple of 128").
+    """
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    C = 8                                          # offsets per roll
+    CM = 4                                         # samples per step
+    big = jnp.float32(np.finfo(np.float32).max / 8)
+    s_row = s_ref[0:1, :]                          # (1, npad)
+    u = u_ref[:]
+    sp = sp_ref[0:1, :]
+    nch = -(-(2 * W + 1) // C)
+
+    width = u.shape[1]
+
+    def dbody(ci, acc):
+        # one dynamic roll per chunk, static unaligned slices inside:
+        # per-offset rolls make the sequential fori overhead dominate
+        # (measured 36 ms/pass); offsets beyond 2W read the +BIG
+        # padding and lose every maximum. pltpu.roll requires a
+        # NON-NEGATIVE shift (a traced negative shift silently
+        # miscompiles): roll right by width-base == roll left by base.
+        base = ci * C
+        shift = jax.lax.rem(width - base, width)
+        zc = pltpu.roll(u, shift, axis=1)
+        spc = pltpu.roll(sp, shift, axis=1)
+        for dd in range(C):
+            acc = jnp.maximum(
+                acc, s_row * spc[0:1, dd:dd + npad] - zc[:, dd:dd + npad])
+        return acc
+
+    acc0 = jnp.full((RB, npad), -big, jnp.float32)
+    out_ref[:] = jax.lax.fori_loop(0, nch, dbody, acc0)
+
+    # certificate: first/last argmax of every K-th exact output row.
+    # Bracket property (total monotonicity of s_i s_j - u_j): for
+    # outputs i in [i_m, i_{m+1}], argmax j*(i) lies in
+    # [first(i_m), last(i_{m+1})]; all argmaxes are in band iff
+    # first(i_m) >= i_{m+1} - W and last(i_{m+1}) <= i_m + W for every
+    # consecutive sample pair. Sample positions are i_m = min(m*K, n-1)
+    # so the scalar s[i_m] = (i_m + 0.5)/n is computed arithmetically —
+    # no dynamic-sublane table reads.
+    uc = u[:, W:W + npad]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RB, npad), 1)
+    n_samp = -(-(n - 1) // K) + 1
+
+    def first_last(i_m):
+        s_im = (i_m.astype(jnp.float32) + 0.5) / n
+        v = s_im * s_row - uc
+        vmax = jnp.max(v, axis=1, keepdims=True)
+        hit = v >= vmax
+        first = jnp.min(jnp.where(hit, lane, n), axis=1, keepdims=True)
+        last = jnp.max(jnp.where(hit, lane, -1), axis=1, keepdims=True)
+        return first, last
+
+    f0, _ = first_last(jnp.int32(0))
+
+    def mchunk(ci, carry):
+        # CM samples per step (per-sample fori overhead dominates
+        # otherwise); steps beyond the sample count are no-ops
+        ok, prev_first = carry
+        for k in range(CM):
+            m = 1 + ci * CM + k
+            i_m = jnp.minimum(m * K, n - 1)
+            prev_i = jnp.minimum((m - 1) * K, n - 1)
+            first, last = first_last(i_m)
+            c = jnp.all(prev_first >= i_m - W) & \
+                jnp.all(last <= prev_i + W)
+            ok = ok & (c | (m >= n_samp))
+            prev_first = first
+        return ok, prev_first
+
+    nmch = -(-(n_samp - 1) // CM)
+    ok, _ = jax.lax.fori_loop(0, nmch, mchunk, (jnp.bool_(True), f0))
+    flag = jnp.where(ok, jnp.int32(1), jnp.int32(0))
+    ok_ref[:] = jnp.broadcast_to(flag, (8, 128))
+
+
+@partial(jax.jit, static_argnames=("W", "K", "interpret"))
+def legendre_banded(u, W, K, interpret=False):
+    """Banded Legendre transform along the last axis of ``u`` (rows, n)
+    against the BFM grid coordinates ``s_i = (i + 0.5)/n``: returns
+    ``(out, ok)`` with ``out == max_j (s_i s_j - u[., j])`` whenever
+    ``ok`` is True (f32; pass ``interpret=True`` off-TPU)."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    rows, n = u.shape
+    dtype = u.dtype
+    big = np.float32(np.finfo(np.float32).max / 8)
+    RB = 128
+    rows_p = _rup(rows, RB)
+    npad = _rup(n, 128)
+    # the kernel's chunked rolls read up to ceil((2W+1)/8)*8 - 1 + npad
+    # lanes; keep the band padding wide enough that no chunk wraps
+    pad2w = _rup(max(2 * W, -(-(2 * W + 1) // 8) * 8), 128)
+    # pad rows by EDGE replication (constant +big rows would produce
+    # degenerate certificate argmaxes), lanes by +big (loses every max)
+    u_p = jnp.pad(u, ((0, rows_p - rows), (0, 0)), mode="edge")
+    u_p = jnp.pad(u_p, ((0, 0), (0, npad - n)), constant_values=big)
+    u_p = jnp.pad(u_p, ((0, 0), (W, pad2w - W)), constant_values=big)
+
+    s_np = np.zeros((1, npad), np.float64)
+    s_np[0, :n] = (np.arange(n) + 0.5) / n
+    sp_np = np.zeros((1, npad + pad2w), np.float64)
+    sp_np[0, W:W + n] = s_np[0, :n]
+    s_j = jnp.asarray(s_np, dtype)
+    sp_j = jnp.asarray(sp_np, dtype)
+
+    grid = (rows_p // RB,)
+    out, okf = pl.pallas_call(
+        partial(_legendre_kernel, n=n, W=W, K=K, RB=RB, npad=npad),
+        grid=grid,
+        in_specs=(
+            pl.BlockSpec((RB, npad + pad2w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(s_j.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sp_j.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_p, npad), dtype),
+            jax.ShapeDtypeStruct((grid[0] * 8, 128), jnp.int32),
+        ),
+        out_specs=(
+            pl.BlockSpec((RB, npad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(u_p, s_j, sp_j)
+    return out[:rows, :n], jnp.all(okf[:, 0] == 1)
+
+
+# ---------------------------------------------------------------------------
+# local-base banded pushforward slabs
+# ---------------------------------------------------------------------------
+
+def _push_kernel(rel_ref, dxr_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
+                 slab_ref, *, Q, R, G, DX, lanes):
+    """One (shot, row-block): accumulate bilinear contributions into the
+    (R+G, lanes) slab. rel = dy - base in [0, G-2] for active cells
+    (inactive cells carry zero weights); dxr = xI - c + dxmax in
+    [0, DX-2]. The slab is assembled as a sum of row-padded value
+    concatenates — no sublane-offset read-modify-writes of refs."""
+    rel = rel_ref[0, 0]
+    dxr = dxr_ref[0, 0]
+    wy0 = wy0_ref[0, 0]
+    wy1 = wy1_ref[0, 0]
+    wx0 = wx0_ref[0, 0]
+    wx1 = wx1_ref[0, 0]
+    dtype = wy0.dtype
+
+    # x-selection planes, hoisted out of the g loop:
+    # xsel[q][e] = (dxr_q == e) * wx0_q + (dxr_q == e-1) * wx1_q
+    xsel = []
+    for q in range(Q):
+        row = []
+        for e in range(DX):
+            sel = jnp.where(dxr[q] == e, wx0[q], jnp.zeros((), dtype))
+            if e >= 1:
+                sel = sel + jnp.where(dxr[q] == e - 1, wx1[q],
+                                      jnp.zeros((), dtype))
+            row.append(sel)
+        xsel.append(row)
+
+    slab = None
+    for g in range(G):
+        m0 = [jnp.where(rel[q] == g, wy0[q], jnp.zeros((), dtype))
+              + jnp.where(rel[q] == g - 1, wy1[q], jnp.zeros((), dtype))
+              for q in range(Q)]
+        acc = None
+        for e in range(DX):
+            v = None
+            for q in range(Q):
+                t = xsel[q][e] * m0[q]
+                v = t if v is None else v + t
+            if e:
+                v = jnp.concatenate(
+                    [jnp.zeros((R, e), dtype), v[:, :lanes - e]], axis=1)
+            acc = v if acc is None else acc + v
+        # rows [g, g+R) of the slab (zero-size concat operands are
+        # rejected by Mosaic -> guard the g=0 piece; g <= G-1 so the
+        # tail piece is always non-empty)
+        parts = ([jnp.zeros((g, lanes), dtype)] if g else []) \
+            + [acc, jnp.zeros((G - g, lanes), dtype)]
+        padded = jnp.concatenate(parts, axis=0)
+        slab = padded if slab is None else slab + padded
+    slab_ref[0, 0] = slab
+
+
+@partial(jax.jit, static_argnames=("G", "dxmax", "R", "interpret"))
+def pushforward_slabs(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
+                      interpret=False):
+    """Run the slab kernel over a (B, nblk) grid. Inputs are
+    (B, nblk, Q, R, lanes) preprocessed planes; returns slabs
+    (B, nblk, R+G, lanes) whose row 0 is the block's base target row."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    B, nblk, Q, Rr, lanes = rel.shape
+    assert Rr == R
+    DX = 2 * dxmax + 2
+    ispec = pl.BlockSpec((1, 1, Q, R, lanes),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_push_kernel, Q=Q, R=R, G=G, DX=DX, lanes=lanes),
+        grid=(B, nblk),
+        in_specs=(ispec,) * 6,
+        out_shape=jax.ShapeDtypeStruct((B, nblk, R + G, lanes),
+                                       wy0.dtype),
+        out_specs=pl.BlockSpec((1, 1, R + G, lanes),
+                               lambda b, j: (b, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rel, dxr, wy0, wy1, wx0, wx1)
