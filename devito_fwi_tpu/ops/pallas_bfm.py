@@ -102,24 +102,23 @@ def _legendre_kernel(u_ref, s_ref, sp_ref, out_ref, ok_ref, *, n, W, K,
 
     width = u.shape[1]
 
-    def dbody(ci, acc):
-        # one dynamic roll per chunk, static unaligned slices inside:
-        # per-offset rolls make the sequential fori overhead dominate
-        # (measured 36 ms/pass); offsets beyond 2W read the +BIG
-        # padding and lose every maximum. pltpu.roll requires a
-        # NON-NEGATIVE shift (a traced negative shift silently
-        # miscompiles): roll right by width-base == roll left by base.
-        base = ci * C
-        shift = jax.lax.rem(width - base, width)
-        zc = pltpu.roll(u, shift, axis=1)
-        spc = pltpu.roll(sp, shift, axis=1)
+    def dbody(ci, carry):
+        # C offsets per step as static unaligned slices of a CARRIED
+        # window that advances by a CONSTANT roll of C lanes per step.
+        # Per-offset work keeps the sequential fori overhead amortized
+        # (one roll per C offsets), and the constant shift lowers to a
+        # cheap static rotate — pltpu.roll requires a NON-NEGATIVE
+        # shift, and a traced negative shift silently miscompiles.
+        acc, zc, spc = carry
         for dd in range(C):
             acc = jnp.maximum(
                 acc, s_row * spc[0:1, dd:dd + npad] - zc[:, dd:dd + npad])
-        return acc
+        zc = pltpu.roll(zc, width - C, axis=1)
+        spc = pltpu.roll(spc, width - C, axis=1)
+        return acc, zc, spc
 
     acc0 = jnp.full((RB, npad), -big, jnp.float32)
-    out_ref[:] = jax.lax.fori_loop(0, nch, dbody, acc0)
+    out_ref[:] = jax.lax.fori_loop(0, nch, dbody, (acc0, u, sp))[0]
 
     # certificate: first/last argmax of every K-th exact output row.
     # Bracket property (total monotonicity of s_i s_j - u_j): for
