@@ -44,7 +44,7 @@ jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 from devito_fwi_tpu.models.presets import demo_model
 from devito_fwi_tpu.models.geometry import AcquisitionGeometry
 from devito_fwi_tpu.fwi import (_batched_tables, _solver_dt,
-                                _pallas_operands, _traces_from_rows)
+                                _pallas_operands)
 from devito_fwi_tpu.ops import acoustic as ac
 from devito_fwi_tpu.ops import pallas_acoustic as pa
 from devito_fwi_tpu.ops.acoustic import _ckpt_layout

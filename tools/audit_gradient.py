@@ -36,7 +36,6 @@ from devito_fwi_tpu.fwi import (fm_multi, fwi_obj_multi, _batched_tables,
 from devito_fwi_tpu.misfit import least_square
 from devito_fwi_tpu.ops import pallas_acoustic as pa
 from devito_fwi_tpu.ops.acoustic import _ckpt_layout
-from devito_fwi_tpu.models.geometry import interp_table
 
 _fetch = jax.jit(lambda x: jnp.asarray(x).ravel()[0])
 
