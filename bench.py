@@ -14,7 +14,8 @@ Additional per-config figures (BASELINE.json configs):
     throughput;
   * config 3 — W2-2d optimal-transport objective on SMARMN: seconds per
     fused gradient evaluation and its ratio to the L2 one;
-  * config 4 — TTI multi-shot gradient (layers preset, XLA path);
+  * config 4 — TTI multi-shot gradient (layers preset, all shots
+    vmapped through the segment-checkpointed path);
   * config 5 — 3-D acoustic multi-shot gradient (layers preset, XLA
     path — the Pallas segment kernels are 2-D-only, so this is the
     honest throughput of the 3-D fallback).
@@ -210,11 +211,19 @@ def _bench_w2(geometry0, obs):
 
 
 def _bench_tti():
-    """Config 4: TTI multi-shot gradient (layers preset, XLA scan path;
-    the TTI wavesolver is single-shot, so shots loop on the host)."""
+    """Config 4: TTI multi-shot gradient — all shots vmapped into ONE
+    program through the segment-checkpointed path (forward_ckpt +
+    jacobian_adjoint_from_ckpt). The earlier save-the-full-history +
+    host-side shot loop measured 0.22 Gcs/s — the (nt, *grid) u0/v0 HBM
+    round trips are the documented ~100x-slower pattern
+    (docs/04_performance.md item 6)."""
+    import jax
+    import jax.numpy as jnp
     from devito_fwi_tpu.models.presets import demo_model
     from devito_fwi_tpu import AcquisitionGeometry
-    from devito_fwi_tpu.ops.tti_wavesolver import AnisotropicWaveSolver
+    from devito_fwi_tpu.ops import tti
+    from devito_fwi_tpu.ops.interp import interp_table
+    from devito_fwi_tpu.fwi import _solver_dt
 
     model = demo_model("layers-tti", shape=(120, 80), spacing=(10., 10.),
                        nbl=20, space_order=8)
@@ -225,29 +234,52 @@ def _bench_tti():
     rec = np.empty((nrec, 2))
     rec[:, 0] = np.linspace(0, model.domain_size[0], nrec)
     rec[:, 1] = 20.0
+    geometry = AcquisitionGeometry(model, rec, srcs, 0.0, 500.0,
+                                   f0=0.010, src_type="Ricker")
 
-    geoms = [AcquisitionGeometry(model, rec, srcs[i], 0.0, 500.0,
-                                 f0=0.010, src_type="Ricker")
-             for i in range(nsrc)]
-    solvers = [AnisotropicWaveSolver(model, g, space_order=8)
-               for g in geoms]
+    s_idx, s_w = interp_table(geometry.src_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    r_idx, r_w = interp_table(geometry.rec_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    s_idx, s_w = jnp.asarray(s_idx)[:, None], jnp.asarray(s_w)[:, None]
+    r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
+    args = (jnp.asarray(model.vp), jnp.asarray(model.damp),
+            jnp.asarray(model.epsilon), jnp.asarray(model.delta),
+            jnp.asarray(model.theta), None)
+    # per-shot wavelet column (the 4-source geometry's src data is
+    # (nt, nsrc); every shot uses the same Ricker)
+    wav = jnp.asarray(geometry.src.data[:, :1])
+    dt = float(_solver_dt(geometry))
+    nck = 16
+    kw = dict(nt=geometry.nt, spacing=model.spacing, space_order=8,
+              n_checkpoints=nck)
+
+    obs, _ = jax.vmap(lambda a, b: tti.forward_ckpt(
+        *args, wav, a, b, r_idx, r_w, dt, **kw))(s_idx, s_w)
+    obs = jax.block_until_ready(obs)
+
+    @jax.jit
+    def grad_all():
+        def per(a, b, ob):
+            rec0, starts = tti.forward_ckpt(*args, wav, a, b, r_idx,
+                                            r_w, dt, **kw)
+            g, _ = tti.jacobian_adjoint_from_ckpt(
+                *args, wav, a, b, starts, rec0 - 0.999 * ob, r_idx, r_w,
+                dt, **kw)
+            return g
+        return jnp.sum(jax.vmap(per)(s_idx, s_w, obs), axis=0)
 
     def one():
-        tot = 0.0
-        for s in solvers:
-            rec0, u0, v0, _ = s.forward(save=True)
-            g, _ = s.jacobian_adjoint(rec0, u0, v0)
-            tot += float(np.asarray(g).ravel()[0])
-        return tot
+        float(np.asarray(grad_all()).ravel()[0])
 
     one()
-    t = _time_best(one, n_iters=1, n_repeats=3)
-    nt = geoms[0].nt
+    t = _time_best(one, n_iters=1, n_repeats=4)
+    nt = geometry.nt
     cells = np.prod(model.padded_shape)
-    # forward(save) + adjoint accumulation ~ 2 coupled-field propagations
-    # of 2 fields each
+    # fwd + segment-recompute + adjoint = 3 propagations of 2 coupled
+    # fields each
     return {"tti_multishot_gradient_s": t,
-            "tti_gradient_cell_steps_per_s": 4.0 * nsrc * nt * cells / t}
+            "tti_gradient_cell_steps_per_s": 6.0 * nsrc * nt * cells / t}
 
 
 def _bench_3d():

@@ -38,7 +38,8 @@ import numpy as np
 from ..utils.fd import fd_weights, second_derivative_weights
 from .acoustic import _axis_d2, _scatter_add, _gather, _update
 
-__all__ = ["forward", "adjoint", "born", "jacobian_adjoint"]
+__all__ = ["forward", "adjoint", "born", "jacobian_adjoint",
+           "forward_ckpt", "jacobian_adjoint_from_ckpt"]
 
 
 def _d1(u, w1, axis, inv_h):
@@ -245,6 +246,151 @@ def jacobian_adjoint(vp, damp, epsilon, delta, theta, phi, u0_save, v0_save,
     (du_l, _, _, _, dm), _ = jax.lax.scan(
         step, (z, z, z, z, jnp.zeros_like(vp)), (ts, rec_r))
     return dm, du_l
+
+
+# ---------------------------------------------------------------------------
+# segment-checkpointed TTI gradient (the acoustic forward_ckpt /
+# gradient_from_ckpt machinery applied to the coupled (u, v) system).
+# The save=True + jacobian_adjoint pair stores BOTH full wavefield
+# histories in HBM — measured ~100x slower than checkpoint+recompute on
+# TPU for the acoustic system (docs/04_performance.md item 6), and twice
+# the buffers here. Exact same numerics as the saved path (verified to
+# f32/f64 roundoff in tests/test_tti.py).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "spacing",
+                                   "n_checkpoints"))
+def forward_ckpt(vp, damp, epsilon, delta, theta, phi, src_wav, src_idx,
+                 src_w, rec_idx, rec_w, dt, *, nt, spacing, space_order=4,
+                 n_checkpoints=16):
+    """TTI forward recording receivers and (u, u_prev, v, v_prev)
+    segment-start states for ``jacobian_adjoint_from_ckpt``. Returns
+    (rec (nt, nrec), seg_starts (nseg, 4, *grid))."""
+    from .acoustic import _ckpt_layout
+
+    gzz, gxx, m, ehat, dhat, s, s2, hd, inv_mhd = _prep_tti(
+        vp, damp, epsilon, delta, theta, phi, dt, spacing, space_order)
+    src_scale = src_w * s2 / _gather(m, src_idx)
+
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    total = nseg * seg
+    src_pad = jnp.zeros((total, src_wav.shape[1]), src_wav.dtype)
+    src_pad = src_pad.at[:nsteps].set(src_wav[1:nt - 1])
+
+    def fwd_step(carry, src_t):
+        u, u_prev, v, v_prev = carry
+        rec_t = jnp.sum(_gather(u + v, rec_idx) * rec_w, axis=-1)
+        Gxx_u = gxx(u)
+        Gzz_v = gzz(v)
+        unext = _update(u, u_prev, ehat * Gxx_u + dhat * Gzz_v, 0.0, m,
+                        hd, s2, inv_mhd)
+        vnext = _update(v, v_prev, dhat * Gxx_u + Gzz_v, 0.0, m, hd, s2,
+                        inv_mhd)
+        inj = src_t[:, None] * src_scale
+        unext = _scatter_add(unext, src_idx, inj)
+        vnext = _scatter_add(vnext, src_idx, inj)
+        return (unext, u, vnext, v), rec_t
+
+    def seg_fwd(carry, src_seg):
+        u, u_prev, v, v_prev = carry
+        out, rec_seg = jax.lax.scan(fwd_step, carry, src_seg)
+        return out, (jnp.stack([u, u_prev, v, v_prev]), rec_seg)
+
+    z = jnp.zeros_like(vp)
+    (_, _, _, _), (seg_starts, rec_segs) = jax.lax.scan(
+        seg_fwd, (z, z, z, z), src_pad.reshape(nseg, seg, -1))
+    rec = jnp.zeros((nt, rec_idx.shape[0]), dtype=vp.dtype)
+    rec = rec.at[1:nt - 1].set(rec_segs.reshape(total, -1)[:nsteps])
+    return rec, seg_starts
+
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "spacing",
+                                   "n_checkpoints"))
+def jacobian_adjoint_from_ckpt(vp, damp, epsilon, delta, theta, phi,
+                               src_wav, src_idx, src_w, seg_starts,
+                               rec_res, rec_idx, rec_w, dt, *, nt, spacing,
+                               space_order=4, n_checkpoints=16):
+    """Checkpointed TTI gradient: recompute each forward segment's (u, v)
+    histories from the stored start states, then step the coupled
+    adjoint (du, dv) backward through the segment accumulating the
+    unscaled ``(u0.dt2 du + v0.dt2 dv)`` (one final -1/s^2 scale, the
+    acoustic path's association). Matches ``jacobian_adjoint`` numerics;
+    reference semantics ``seismic/tti/operators.py:600-640``."""
+    from .acoustic import _ckpt_layout
+
+    gzz, gxx, m, ehat, dhat, s, s2, hd, inv_mhd = _prep_tti(
+        vp, damp, epsilon, delta, theta, phi, dt, spacing, space_order)
+    src_scale = src_w * s2 / _gather(m, src_idx)
+    rec_scale = rec_w * s2 / _gather(m, rec_idx)
+
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    total = nseg * seg
+    src_pad = jnp.zeros((total, src_wav.shape[1]), src_wav.dtype)
+    src_pad = src_pad.at[:nsteps].set(src_wav[1:nt - 1])
+    rec_pad = jnp.zeros((total, rec_res.shape[1]), rec_res.dtype)
+    rec_pad = rec_pad.at[:nsteps].set(rec_res[1:nt - 1])
+
+    def seg_rev(carry, xs):
+        du, dun, dv, dvn, grad = carry
+        seg_start, src_seg, rec_seg, seg_idx = xs
+
+        def refwd(c, src_t):
+            u, u_prev, v, v_prev = c
+            Gxx_u = gxx(u)
+            Gzz_v = gzz(v)
+            unext = _update(u, u_prev, ehat * Gxx_u + dhat * Gzz_v, 0.0,
+                            m, hd, s2, inv_mhd)
+            vnext = _update(v, v_prev, dhat * Gxx_u + Gzz_v, 0.0, m, hd,
+                            s2, inv_mhd)
+            inj = src_t[:, None] * src_scale
+            unext = _scatter_add(unext, src_idx, inj)
+            vnext = _scatter_add(vnext, src_idx, inj)
+            return (unext, u, vnext, v), (unext, vnext)
+
+        _, (u_new, v_new) = jax.lax.scan(
+            refwd, (seg_start[0], seg_start[1], seg_start[2],
+                    seg_start[3]), src_seg)
+        useg = jnp.concatenate([seg_start[1][None], seg_start[0][None],
+                                u_new])
+        vseg = jnp.concatenate([seg_start[3][None], seg_start[2][None],
+                                v_new])
+
+        def rev_step(c, xs_local):
+            du, dun, dv, dvn, grad, u_hi, u_mid, v_hi, v_mid = c
+            j, rec_t, valid = xs_local
+            u_lo = jax.lax.dynamic_index_in_dim(useg, j, keepdims=False)
+            v_lo = jax.lax.dynamic_index_in_dim(vseg, j, keepdims=False)
+            udt2s = u_hi - 2.0 * u_mid + u_lo
+            vdt2s = v_hi - 2.0 * v_mid + v_lo
+            grad = grad + jnp.where(valid, udt2s * du + vdt2s * dv, 0.0)
+            H0 = gxx(ehat * du + dhat * dv)
+            Hz = gzz(dhat * du + dv)
+            dup = _update(du, dun, H0, 0.0, m, hd, s2, inv_mhd)
+            dvp = _update(dv, dvn, Hz, 0.0, m, hd, s2, inv_mhd)
+            inj = rec_t[:, None] * rec_scale
+            dup = _scatter_add(dup, rec_idx, inj)
+            dvp = _scatter_add(dvp, rec_idx, inj)
+            new = [jnp.where(valid, a, b) for a, b in
+                   ((dup, du), (du, dun), (dvp, dv), (dv, dvn))]
+            return tuple(new) + (grad, u_mid, u_lo, v_mid, v_lo), None
+
+        base = seg_idx * seg
+        local = jnp.arange(seg - 1, -1, -1)
+        valid = (base + local) < nsteps
+        (du, dun, dv, dvn, grad, _, _, _, _), _ = jax.lax.scan(
+            rev_step,
+            (du, dun, dv, dvn, grad, useg[seg + 1], useg[seg],
+             vseg[seg + 1], vseg[seg]),
+            (local, rec_seg[::-1], valid))
+        return (du, dun, dv, dvn, grad), None
+
+    z = jnp.zeros_like(vp)
+    (du, _, _, _, grad), _ = jax.lax.scan(
+        seg_rev, (z, z, z, z, jnp.zeros_like(vp)),
+        (seg_starts[::-1], src_pad.reshape(nseg, seg, -1)[::-1],
+         rec_pad.reshape(nseg, seg, -1)[::-1],
+         jnp.arange(nseg - 1, -1, -1)))
+    return grad * (-(1.0 / s2)), du
 
 
 # ---------------------------------------------------------------------------

@@ -154,3 +154,36 @@ class AnisotropicWaveSolver:
         return result, summary
 
     gradient = jacobian_adjoint
+
+    def gradient_checkpointed(self, rec, src=None, n_checkpoints=16,
+                              dm=None, vp=None, epsilon=None, delta=None,
+                              theta=None, phi=None, **kwargs):
+        """TTI gradient via segment checkpoint + recompute — no saved
+        wavefield histories (the pyrevolve ``checkpointing=True`` analog
+        of the reference's gradient examples; same numerics as
+        ``jacobian_adjoint`` on ``forward(save=True)`` wavefields, to
+        f64 roundoff — ``tests/test_tti.py``). On TPU the saved-history
+        path's full (nt, *grid) u0/v0 HBM round trips are ~100x slower
+        than recompute (docs/04_performance.md item 6)."""
+        src = src or self.geometry.src
+        params = self._params(vp, epsilon, delta, theta, phi)
+        dt = kwargs.pop("dt", self.dt)
+        s_idx, s_w = self._tables(src.coordinates)
+        r_idx, r_w = self._tables(rec.coordinates)
+        tic = _time.perf_counter()
+        _, seg_starts = _tti.forward_ckpt(
+            *params, src.data, s_idx, s_w, r_idx, r_w, dt,
+            n_checkpoints=n_checkpoints, **self._static())
+        dm_out, _ = _tti.jacobian_adjoint_from_ckpt(
+            *params, src.data, s_idx, s_w, seg_starts, rec.data,
+            r_idx, r_w, dt, n_checkpoints=n_checkpoints, **self._static())
+        dm_out.block_until_ready()
+        toc = _time.perf_counter()
+        if dm is not None:
+            dm += np.asarray(dm_out)
+            result = dm
+        else:
+            result = np.asarray(dm_out)
+        summary = PerfSummary(toc - tic,
+                              12 * self.nt * np.prod(params[0].shape))
+        return result, summary

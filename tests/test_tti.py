@@ -119,3 +119,63 @@ def test_tti_staggered_forward_smoke():
     rec, _, _, _ = solver.forward(kernel="staggered")
     assert np.isfinite(rec.data).all()
     assert np.abs(rec.data).max() > 0
+
+
+def test_tti_ckpt_gradient_matches_saved():
+    """The segment-checkpointed TTI gradient must reproduce the
+    save-the-full-history jacobian_adjoint (f64, exact recompute)."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.ops import tti
+    from devito_fwi_tpu.fwi import _solver_dt
+    from devito_fwi_tpu.ops.interp import interp_table
+
+    solver = _dot_setup()
+    model = solver.model
+    geometry = solver.geometry
+    np.random.seed(1)
+    rec1 = geometry.new_rec()
+    rec1.data[:] = np.random.rand(*rec1.data.shape)
+
+    s_idx, s_w = interp_table(geometry.src_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    r_idx, r_w = interp_table(geometry.rec_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    kw = dict(nt=geometry.nt, spacing=model.spacing,
+              space_order=solver.space_order)
+    args = (jnp.asarray(model.vp), jnp.asarray(model.damp),
+            jnp.asarray(model.epsilon), jnp.asarray(model.delta),
+            jnp.asarray(model.theta),
+            jnp.asarray(model.phi) if model.dim == 3 else None)
+    wav = jnp.asarray(geometry.src.data)
+    dt = float(_solver_dt(geometry))
+
+    _, u0, v0 = tti.forward(*args, wav, jnp.asarray(s_idx),
+                            jnp.asarray(s_w), jnp.asarray(r_idx),
+                            jnp.asarray(r_w), dt, save=True, **kw)
+    g_ref, _ = tti.jacobian_adjoint(*args, u0, v0,
+                                    jnp.asarray(rec1.data),
+                                    jnp.asarray(r_idx), jnp.asarray(r_w),
+                                    dt, **kw)
+
+    for nck in (7, 16):
+        _, seg_starts = tti.forward_ckpt(
+            *args, wav, jnp.asarray(s_idx), jnp.asarray(s_w),
+            jnp.asarray(r_idx), jnp.asarray(r_w), dt,
+            n_checkpoints=nck, **kw)
+        g_ck, _ = tti.jacobian_adjoint_from_ckpt(
+            *args, wav, jnp.asarray(s_idx), jnp.asarray(s_w), seg_starts,
+            jnp.asarray(rec1.data), jnp.asarray(r_idx), jnp.asarray(r_w),
+            dt, n_checkpoints=nck, **kw)
+        scale = np.abs(np.asarray(g_ref)).max()
+        d = np.abs(np.asarray(g_ck) - np.asarray(g_ref)).max()
+        assert d < 1e-12 * scale, (nck, d / scale)
+
+    # and the checkpointed forward's receivers match the saved forward's
+    rec_ref, _, _ = tti.forward(*args, wav, jnp.asarray(s_idx),
+                                jnp.asarray(s_w), jnp.asarray(r_idx),
+                                jnp.asarray(r_w), dt, save=False, **kw)
+    rec_ck, _ = tti.forward_ckpt(
+        *args, wav, jnp.asarray(s_idx), jnp.asarray(s_w),
+        jnp.asarray(r_idx), jnp.asarray(r_w), dt, n_checkpoints=9, **kw)
+    np.testing.assert_allclose(np.asarray(rec_ck), np.asarray(rec_ref),
+                               rtol=0, atol=1e-12)
