@@ -308,9 +308,38 @@ def _bench_3d():
             "acoustic3d_gradient_cell_steps_per_s": v}
 
 
+def _probe_devices(timeout_s=120):
+    """Bounded device-discovery probe in a subprocess: when the axon
+    tunnel is down, ``jax.devices()`` HANGS forever (observed this
+    round: port 8113 refused, every jax process stuck) — a hung bench
+    is worse than an honest error line."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if out.returncode == 0:
+            return out.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        return None
+    except Exception:
+        pass
+    return None
+
+
 def main():
     if "--cpu-denominator" in sys.argv:
         cpu_denominator_main()
+        return
+
+    backend = _probe_devices()
+    if backend is None:
+        print(json.dumps({
+            "metric": "marmousi_fwi_gradient_cell_steps_per_sec_per_chip",
+            "value": 0.0, "unit": "grid-point time-steps/s/chip",
+            "vs_baseline": 0.0,
+            "error": "device backend unavailable (jax.devices() probe "
+                     "hung/failed — axon tunnel down?)"}))
         return
 
     # primary: SMARMN 29-shot L2 gradient (unchanged metric)
