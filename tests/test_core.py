@@ -219,3 +219,34 @@ def test_pickle_roundtrip():
                             100., f0=0.01, src_type="Ricker")
     g2 = pickle.loads(pickle.dumps(g))
     assert g2.nt == g.nt and np.allclose(g2.src.data, g.src.data)
+
+
+def test_stream_hist_dtype_env(monkeypatch):
+    """DEVITO_FWI_TPU_HIST selects the streamed-history element type;
+    default bf16 on TPU, f32 elsewhere (CI runs off-TPU)."""
+    from devito_fwi_tpu.ops.pallas_acoustic import stream_hist_dtype
+    monkeypatch.delenv("DEVITO_FWI_TPU_HIST", raising=False)
+    assert stream_hist_dtype() == "float32"        # off-TPU default
+    monkeypatch.setenv("DEVITO_FWI_TPU_HIST", "bf16")
+    assert stream_hist_dtype() == "bfloat16"
+    monkeypatch.setenv("DEVITO_FWI_TPU_HIST", "f32")
+    assert stream_hist_dtype() == "float32"
+
+
+def test_pallas_cliff_warning_fires_once(monkeypatch):
+    """TPU geometries that fall off the Pallas fast path warn once per
+    reason (the XLA fallback is ~4x slower)."""
+    import warnings
+    from devito_fwi_tpu import fwi as fwi_mod
+
+    fwi_mod._pallas_cliff_warn.seen.clear()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fwi_mod._pallas_cliff_warn("dim=3; need float32 2-D")
+        fwi_mod._pallas_cliff_warn("dim=3; need float32 2-D")
+        fwi_mod._pallas_cliff_warn("receivers not on <=2 z-planes")
+    msgs = [str(w.message) for w in rec]
+    assert len(msgs) == 2
+    assert any("dim=3" in m for m in msgs)
+    assert any("z-planes" in m for m in msgs)
+    fwi_mod._pallas_cliff_warn.seen.clear()
