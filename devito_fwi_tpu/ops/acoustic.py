@@ -143,6 +143,31 @@ def _update(u, u_prev, lap_u, q, m, hd, s2, inv_mhd):
     return (s2 * (lap_u + q) + (2.0 * m + hd) * u - m * u_prev) * inv_mhd
 
 
+def _make_step(m, hd, s2, inv_mhd, lap_fn, *, space_order, spacing, fs,
+               kernel, w_override=None):
+    """Leapfrog step closure ``step(u, u_prev) -> u_next`` (no source
+    term — callers scatter sources/residuals afterwards, as before).
+    Default: the XLA lap+update. For 3-D f32 OT2 grids without a free
+    surface, ``DEVITO_FWI_TPU_PALLAS3=1`` swaps in the x-blocked Pallas
+    per-step kernel (``ops/pallas_acoustic3.py``), which mirrors this
+    exact association — the hook is numerically invisible, so every
+    caller (forward, adjoint, checkpointed gradient) inherits it."""
+    if kernel == "OT2" and not fs and m.ndim == 3 \
+            and m.dtype == jnp.float32:
+        from . import pallas_acoustic3 as _p3
+        if _p3.enabled():
+            w_full = second_derivative_weights(space_order) \
+                if w_override is None else np.asarray(w_override)
+            wt = tuple(float(x) for x in w_full[len(w_full) // 2:])
+            XB = _p3.pick_xb(m.shape[0], len(wt) - 1)
+            if XB is not None:
+                ih = tuple(float(1.0 / (h * h)) for h in spacing)
+                return lambda u, up: _p3.step3(u, up, m, hd, s2, w=wt,
+                                               inv_h2=ih, XB=XB)
+    return lambda u, up: _update(u, up, lap_fn(u), 0.0, m, hd, s2,
+                                 inv_mhd)
+
+
 def _prep(vp, damp, dt, spacing, space_order, w_override=None):
     dtype = vp.dtype
     if w_override is None:
@@ -182,13 +207,16 @@ def forward(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order,
                                  w_override)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    step_fn = _make_step(m, hd, s2, inv_mhd, lap_fn,
+                         space_order=space_order, spacing=spacing, fs=fs,
+                         kernel=kernel, w_override=w_override)
     m_src = _gather(m, src_idx)
     src_scale = src_w * s2 / m_src          # (nsrcpt, 2**d)
 
     def step(carry, src_t):
         u, u_prev = carry
         rec_t = jnp.sum(_gather(u, rec_idx) * rec_w, axis=-1)
-        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2, inv_mhd)
+        unext = step_fn(u, u_prev)
         unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
         return (unext, u), (rec_t, unext if save else None)
 
@@ -216,13 +244,16 @@ def adjoint(vp, damp, rec_data, rec_idx, rec_w, src_idx, src_w, dt, *,
     (srca (nt, nsrcpt), v final slices)."""
     w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    step_fn = _make_step(m, hd, s2, inv_mhd, lap_fn,
+                         space_order=space_order, spacing=spacing, fs=fs,
+                         kernel=kernel)
     m_rec = _gather(m, rec_idx)
     rec_scale = rec_w * s2 / m_rec
 
     def step(carry, rec_t):
         v, v_next = carry
         srca_t = jnp.sum(_gather(v, src_idx) * src_w, axis=-1)
-        vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2, inv_mhd)
+        vprev = step_fn(v, v_next)
         vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
         return (vprev, v), srca_t
 
@@ -249,6 +280,9 @@ def gradient(vp, damp, u_save, rec_res, rec_idx, rec_w, dt, *,
     grid."""
     w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    step_fn = _make_step(m, hd, s2, inv_mhd, lap_fn,
+                         space_order=space_order, spacing=spacing, fs=fs,
+                         kernel=kernel)
     m_rec = _gather(m, rec_idx)
     rec_scale = rec_w * s2 / m_rec
     if kernel == "OT4":
@@ -267,7 +301,7 @@ def gradient(vp, damp, u_save, rec_res, rec_idx, rec_w, dt, *,
             udt2 = udt2 + (s2 / 12.0) * laplacian_parts(lap_u * m2inv, w,
                                                         inv_h2, fs)
         grad = grad - udt2 * v
-        vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2, inv_mhd)
+        vprev = step_fn(v, v_next)
         vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
         return (vprev, v, grad, u_t, u_tm1), None
 
@@ -309,6 +343,9 @@ def forward_ckpt(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     (rec (nt, nrec), seg_starts (nseg, 2, *grid), illum (*grid))."""
     w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    step_fn = _make_step(m, hd, s2, inv_mhd, lap_fn,
+                         space_order=space_order, spacing=spacing, fs=fs,
+                         kernel=kernel)
     m_src = _gather(m, src_idx)
     src_scale = src_w * s2 / m_src
 
@@ -322,7 +359,7 @@ def forward_ckpt(vp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
         u, u_prev, illum = carry
         src_t, valid_t = xs
         rec_t = jnp.sum(_gather(u, rec_idx) * rec_w, axis=-1)
-        unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2, inv_mhd)
+        unext = step_fn(u, u_prev)
         unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
         illum = illum + jnp.where(valid_t, unext * unext, 0.0)
         return (unext, u, illum), rec_t
@@ -352,6 +389,9 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
     with residual injection, accumulate ``-u.dt2[t] * v[t]``."""
     w, inv_h2, m, s2, hd, inv_mhd = _prep(vp, damp, dt, spacing, space_order)
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
+    step_fn = _make_step(m, hd, s2, inv_mhd, lap_fn,
+                         space_order=space_order, spacing=spacing, fs=fs,
+                         kernel=kernel)
     m_src = _gather(m, src_idx)
     src_scale = src_w * s2 / m_src
     m_rec = _gather(m, rec_idx)
@@ -370,7 +410,7 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
 
         def refwd(c, s):
             u, u_prev = c
-            unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2, inv_mhd)
+            unext = step_fn(u, u_prev)
             unext = _scatter_add(unext, src_idx, s[:, None] * src_scale)
             return (unext, u), unext
 
@@ -393,7 +433,7 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
             # association
             udt2s = u_hi - 2.0 * u_mid + u_lo
             grad = grad + jnp.where(valid, udt2s * v, 0.0)
-            vprev = _update(v, v_next, lap_fn(v), 0.0, m, hd, s2, inv_mhd)
+            vprev = step_fn(v, v_next)
             vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
             new_v = jnp.where(valid, vprev, v)
             new_vn = jnp.where(valid, v, v_next)
