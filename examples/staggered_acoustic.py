@@ -32,6 +32,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # some environments pre-register a TPU platform via sitecustomize,
+    # overriding the env var (CLAUDE.md) — honor an explicit cpu request
+    jax.config.update("jax_platforms", "cpu")
+
 from devito_fwi_tpu.models.sources import dgauss_wavelet
 
 
