@@ -1,0 +1,48 @@
+#!/bin/bash
+# Round-3 on-chip measurement roundup — run when the TPU tunnel is back.
+# Each step is bounded and logs to /tmp/roundup/; safe to re-run.
+set -u
+mkdir -p /tmp/roundup
+cd "$(dirname "$0")/.."
+
+probe() {
+    timeout 90 python -u -c "import jax; print(jax.default_backend())" \
+        2>/dev/null | tail -1
+}
+
+echo "== probe =="
+B=$(probe)
+echo "backend: ${B:-none}"
+if [ "${B}" != "tpu" ] && [ "${B}" != "axon" ]; then
+    echo "tunnel still down; aborting"
+    exit 1
+fi
+
+echo "== 1. W2 backend variants (picks BFM defaults) =="
+timeout 2400 python tools/bench_w2_variants.py 2>&1 | tee /tmp/roundup/w2_variants.log | tail -8
+
+echo "== 2. gradient roofline audit =="
+timeout 1800 python tools/audit_gradient.py 2>&1 | tee /tmp/roundup/audit.log | tail -14
+
+echo "== 3. 3-D Pallas step A/B =="
+timeout 1800 python - <<'EOF' 2>&1 | tee /tmp/roundup/pallas3.log | tail -6
+import os, time, sys
+sys.path.insert(0, ".")
+import numpy as np, jax, jax.numpy as jnp
+import bench
+_fetch = jax.jit(lambda x: jnp.asarray(x).ravel()[0])
+for env in ("0", "1"):
+    os.environ["DEVITO_FWI_TPU_PALLAS3"] = env
+    jax.clear_caches()
+    out = bench._bench_3d()
+    print(f"PALLAS3={env}: {out}")
+os.environ.pop("DEVITO_FWI_TPU_PALLAS3", None)
+EOF
+
+echo "== 4. on-chip parity suite =="
+timeout 3600 python tools/run_onchip.py ONCHIP_r03.json 2>&1 | tail -3
+
+echo "== 5. full bench =="
+timeout 3600 python bench.py 2>&1 | tee /tmp/roundup/bench.log | tail -2
+
+echo "== done; logs in /tmp/roundup =="
