@@ -33,7 +33,8 @@ from ..utils.fd import fd_weights
 from .self_adjoint import staggered_weights
 from .pallas_acoustic import env_interpret
 
-__all__ = ["elastic_forward_pallas", "elastic_supported", "seg_layout"]
+__all__ = ["elastic_forward_pallas", "elastic_supported", "seg_layout",
+           "visco_sls2_forward_pallas", "visco_sls2_supported"]
 
 
 def seg_layout(nsteps, target=32):
@@ -271,3 +272,181 @@ def _stag_assemble(rows, r_idx, r_w, *, z0, nt, nsteps, nx):
                         precision=jax.lax.Precision.HIGHEST)
         out.append(jnp.zeros((nt, nrec), jnp.float32).at[0:nsteps].set(tr))
     return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# viscoacoustic SLS 2nd-order forward (the reference's default kernel,
+# operators.py:120-182) as a segment-grid VMEM kernel: carries p, p_prev
+# and the memory variable r in scratch; the self-adjoint spatial
+# operator sum_d D-_d(b D+_d(p)) uses the same shifted-derivative
+# association as ops.self_adjoint.laplacian_sa.
+# ---------------------------------------------------------------------------
+
+def _visco_sls2_kernel(wav_ref, damp_ref, b_ref, A_ref, B_ref, C_ref,
+                       D_ref, inj_ref, rec_ref, p_ref, pp_ref, r_ref, *,
+                       seg, nx, nz, wp, op, wm, om, ihx, ihz, z0):
+    """One time-segment grid step of the SLS 2nd-order viscoacoustic
+    leapfrog (transposed (nz, nx) fields):
+
+        L  = sum_d D-_d(b D+_d(p))
+        rn = damp (r + A L - B r)         A = s (tt/t_s) rho, B = s/t_s
+        pn = damp (2 p - damp pp + C L - D rn) + wav inj
+                                          C = s^2 bm (1+tt), D = s^2 vp^2
+
+    Mirrors ``viscoacoustic.forward``'s sls/2 step; the A-D parameter
+    fields are precombined on the host with the XLA expression's own
+    left-to-right association so the two paths round identically."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(0)
+    base = j * seg
+    damp = damp_ref[:]
+    b = b_ref[:]
+    A = A_ref[:]
+    B = B_ref[:]
+    C = C_ref[:]
+    D = D_ref[:]
+    inj = inj_ref[:]
+    sd = _make_sd(nx, nz)
+
+    def lsa(p):
+        gx = sd(p, wp, op, 0, ihx)
+        out = sd(b * gx, wm, om, 0, ihx)
+        gz = sd(p, wp, op, 1, ihz)
+        return out + sd(b * gz, wm, om, 1, ihz)
+
+    @pl.when(j == 0)
+    def _():
+        for ref in (p_ref, pp_ref, r_ref):
+            ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    def body(i, _):
+        p = p_ref[:]
+        pp = pp_ref[:]
+        r = r_ref[:]
+        rec_ref[i] = p[z0:z0 + 2, :]
+        L = lsa(p)
+        rn = damp * (r + A * L - B * r)
+        pn = damp * (2.0 * p - damp * pp + C * L - D * rn)
+        p_ref[:] = pn + wav_ref[base + i] * inj
+        pp_ref[:] = p
+        r_ref[:] = rn
+        return 0
+
+    jax.lax.fori_loop(0, seg, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "dt", "interpret"))
+def _visco_sls2_segments(damp_t, b_t, A_t, B_t, C_t, D_t, inj_t, wav_pad,
+                         dt, *, nt, nx, nz, space_order, spacing, z0,
+                         interpret=False):
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    dtype = np.float32
+    w_p, off_p, w_m, off_m = staggered_weights(space_order)
+    wp = tuple(float(v) for v in np.asarray(w_p, dtype))
+    wm = tuple(float(v) for v in np.asarray(w_m, dtype))
+    ihx = float(dtype(1.0 / spacing[0]))
+    ihz = float(dtype(1.0 / spacing[1]))
+    nsteps = nt - 2
+    seg, nseg = seg_layout(nsteps)
+
+    kern = partial(_visco_sls2_kernel, seg=seg, nx=nx, nz=nz,
+                   wp=wp, op=tuple(int(o) for o in off_p),
+                   wm=wm, om=tuple(int(o) for o in off_m),
+                   ihx=ihx, ihz=ihz, z0=z0)
+    return pl.pallas_call(
+        kern,
+        grid=(nseg,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec((None, seg, 2, nx),
+                               lambda j: (j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nseg, seg, 2, nx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32)] * 3,
+        interpret=env_interpret(interpret),
+    )(wav_pad, damp_t, b_t, A_t, B_t, C_t, D_t, inj_t)
+
+
+def visco_sls2_supported(model, kernel, time_order, src_idx, rec_idx):
+    """True when the viscoacoustic Pallas fast path applies: SLS
+    2nd-order, 2-D f32, one source point, receivers on <= 2 z-planes."""
+    if (kernel, time_order) != ("sls", 2):
+        return False
+    return elastic_supported(model, src_idx, rec_idx)
+
+
+def visco_sls2_forward_pallas(vp, b, qp, damp, src_wav, src_idx, src_w,
+                              rec_idx, rec_w, dt, f0, *, nt, spacing,
+                              space_order=4, interpret=False):
+    """Drop-in twin of ``viscoacoustic.forward`` (sls, time_order=2,
+    save=False) on the Pallas segment kernel (gate with
+    ``visco_sls2_supported``). Returns rec traces (nt, nrec)."""
+    dtype = np.float32
+    vp_a = np.asarray(vp, dtype)
+    nx, nz = vp_a.shape
+
+    def field(x):
+        x = np.asarray(x, dtype)
+        return np.full((nx, nz), x, dtype) if x.ndim == 0 else x
+
+    b_a, qp_a, damp_a = field(b), field(qp), field(damp)
+    s = dtype(dt)
+    f0f = dtype(f0)
+    rho = dtype(1.0) / b_a
+    bm = rho * vp_a * vp_a
+    t_s = (np.sqrt(dtype(1.0) + dtype(1.0) / qp_a ** 2,
+                   dtype=dtype) - dtype(1.0) / qp_a) / f0f
+    t_ep = dtype(1.0) / (f0f ** 2 * t_s)
+    tt = t_ep / t_s - dtype(1.0)
+    # precombined with the XLA expression's left-to-right association
+    A = s * (tt / t_s) * rho
+    B = s / t_s
+    C = s * s * bm * (dtype(1.0) + tt)
+    D = s * s * vp_a * vp_a
+
+    s_idx_n = np.asarray(src_idx)
+    s_w_n = np.asarray(src_w, dtype)
+    inj = np.zeros((nx, nz), dtype)
+    vp2 = vp_a * vp_a
+    for c in range(s_idx_n.shape[1]):
+        xi, zi = s_idx_n[0, c]
+        # src_scale = src_w * dt^2 * vp^2 at the corner (operators.py:28)
+        inj[xi, zi] += s_w_n[0, c] * s * s * vp2[xi, zi]
+
+    r_idx_n = np.asarray(rec_idx)
+    z0 = int(r_idx_n[..., 1].min())
+    nsteps = nt - 2
+    seg, nseg = seg_layout(nsteps)
+    wav_pad = np.zeros((nseg * seg,), dtype)
+    wav_pad[:nsteps] = np.asarray(src_wav, dtype)[1:nt - 1, 0]
+
+    rows = _visco_sls2_segments(
+        jnp.asarray(damp_a.T), jnp.asarray(b_a.T), jnp.asarray(A.T),
+        jnp.asarray(B.T), jnp.asarray(C.T), jnp.asarray(D.T),
+        jnp.asarray(inj.T), jnp.asarray(wav_pad), float(dt), nt=nt,
+        nx=nx, nz=nz, space_order=space_order, spacing=spacing, z0=z0,
+        interpret=interpret)
+    return _visco_assemble(rows, jnp.asarray(rec_idx), jnp.asarray(rec_w),
+                           z0=z0, nt=nt, nsteps=nsteps, nx=nx)
+
+
+@partial(jax.jit, static_argnames=("z0", "nt", "nsteps", "nx"))
+def _visco_assemble(rows, r_idx, r_w, *, z0, nt, nsteps, nx):
+    """Receiver p-rows -> traces; the 2nd-order loop records
+    t = 1..nt-2. MXU contraction at HIGHEST precision (the DEFAULT
+    matmul precision truncates to bf16)."""
+    nrec = r_idx.shape[0]
+    rxi = r_idx[:, :, 0]
+    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
+    W = jnp.zeros((2 * nx, nrec), jnp.float32).at[
+        rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
+        r_w.astype(jnp.float32))
+    flat = rows.reshape(-1, 2 * nx)[:nsteps]
+    tr = jnp.einsum("tq,qr->tr", flat, W,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.zeros((nt, nrec), jnp.float32).at[1:nsteps + 1].set(tr)

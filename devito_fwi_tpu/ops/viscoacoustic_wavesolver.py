@@ -3,6 +3,7 @@
 six kernel variants {sls, ren, deng_mcmechan} x {1st, 2nd order}."""
 from __future__ import annotations
 
+import os
 import time as _time
 
 import numpy as np
@@ -10,6 +11,21 @@ import numpy as np
 from . import viscoacoustic as _va
 from .interp import interp_table
 from .wavesolver import Wavefield, PerfSummary
+
+
+def _visco_pallas_ok(model, kernel, time_order, s_idx, r_idx):
+    """Gate for the Pallas viscoacoustic fast path (mirrors the elastic
+    gate in elastic_wavesolver)."""
+    if os.environ.get("DEVITO_FWI_TPU_PALLAS", "1") == "0":
+        return False
+    import jax
+    from .pallas_acoustic import env_interpret
+    if jax.default_backend() != "tpu" and not env_interpret():
+        return False
+    if jax.config.jax_enable_x64 and not env_interpret():
+        return False
+    from .pallas_staggered import visco_sls2_supported
+    return visco_sls2_supported(model, kernel, time_order, s_idx, r_idx)
 
 __all__ = ["ViscoacousticWaveSolver"]
 
@@ -68,14 +84,24 @@ class ViscoacousticWaveSolver:
         s_idx, s_w = self._tables(src.coordinates)
         r_idx, r_w = self._tables(rec.coordinates)
         tic = _time.perf_counter()
-        rec_data, p_out = _va.forward(vp_, b_, qp_, damp, src.data, s_idx,
-                                      s_w, r_idx, r_w, dt, self.geometry.f0,
-                                      save=bool(save), **self._static())
+        if not save and _visco_pallas_ok(self.model, self.kernel,
+                                         self.time_order, s_idx, r_idx):
+            from .pallas_staggered import visco_sls2_forward_pallas
+            rec_data = visco_sls2_forward_pallas(
+                vp_, b_, qp_, damp, src.data, s_idx, s_w, r_idx, r_w, dt,
+                self.geometry.f0, nt=self.nt, spacing=self.model.spacing,
+                space_order=self.space_order)
+            p_out = None
+        else:
+            rec_data, p_out = _va.forward(
+                vp_, b_, qp_, damp, src.data, s_idx, s_w, r_idx, r_w, dt,
+                self.geometry.f0, save=bool(save), **self._static())
         rec_data.block_until_ready()
         toc = _time.perf_counter()
         rec.data[:] = np.asarray(rec_data)
         summary = PerfSummary(toc - tic, self.nt * np.prod(vp_.shape))
-        return rec, Wavefield(p_out), None, summary
+        return rec, Wavefield(p_out) if p_out is not None else None, \
+            None, summary
 
     def adjoint(self, rec, srca=None, va=None, pa=None, vp=None, qp=None,
                 b=None, r=None, **kwargs):

@@ -50,3 +50,51 @@ def test_elastic_pallas_matches_xla_interpret():
         a = np.asarray(a)
         scale = max(np.abs(a).max(), 1e-12)
         assert np.abs(np.asarray(b_) - a).max() < 1e-5 * scale
+
+
+@pytest.mark.skipif(not pa.available(), reason="pallas unavailable")
+def test_visco_sls2_pallas_matches_xla_interpret():
+    """Viscoacoustic SLS 2nd-order Pallas segment kernel == the XLA scan
+    (ops.viscoacoustic.forward, the reference's default kernel)."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.ops import viscoacoustic as va
+    from devito_fwi_tpu.ops import pallas_staggered as ps
+    from devito_fwi_tpu.ops.interp import interp_table
+
+    shape = (57, 49)
+    vp = np.full(shape, 2.0, np.float32)
+    vp[:, 24:] = 2.7
+    qp = np.full(shape, 60.0, np.float32)
+    rho = 0.31 * (1e3 * vp) ** 0.25
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.), shape=shape,
+                         space_order=4, vp=vp, qp=qp, b=1.0 / rho, nbl=10,
+                         bcs="mask", dtype=np.float32)
+    src = np.array([[280.0, 20.0]])
+    rec = np.stack([np.linspace(0., 560., 29), np.full(29, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 280., f0=0.012,
+                               src_type="Ricker")
+    b = np.asarray(model.b, np.float32)
+    qp_f = np.asarray(model.qp, np.float32)
+    damp = np.asarray(model.damp, np.float32)
+    vp_f = np.asarray(model.vp, np.float32)
+    dt = model.critical_dt
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    wav = geom.src.data
+    assert ps.visco_sls2_supported(model, "sls", 2, s_idx, r_idx)
+
+    rec_x, _ = va.forward(
+        jnp.asarray(vp_f), jnp.asarray(b), jnp.asarray(qp_f),
+        jnp.asarray(damp), jnp.asarray(wav), jnp.asarray(s_idx),
+        jnp.asarray(s_w), jnp.asarray(r_idx), jnp.asarray(r_w), float(dt),
+        geom.f0, kernel="sls", time_order=2, nt=geom.nt,
+        spacing=model.spacing, space_order=4)
+    rec_p = ps.visco_sls2_forward_pallas(
+        vp_f, b, qp_f, damp, wav, s_idx, s_w, r_idx, r_w, float(dt),
+        geom.f0, nt=geom.nt, spacing=model.spacing, space_order=4,
+        interpret=True)
+    a = np.asarray(rec_x)
+    scale = max(np.abs(a).max(), 1e-12)
+    assert np.abs(np.asarray(rec_p) - a).max() < 1e-5 * scale
