@@ -258,16 +258,26 @@ def _bench_tti():
         *args, wav, a, b, r_idx, r_w, dt, **kw))(s_idx, s_w)
     obs = jax.block_until_ready(obs)
 
-    @jax.jit
-    def grad_all():
-        def per(a, b, ob):
-            rec0, starts = tti.forward_ckpt(*args, wav, a, b, r_idx,
-                                            r_w, dt, **kw)
-            g, _ = tti.jacobian_adjoint_from_ckpt(
-                *args, wav, a, b, starts, rec0 - 0.999 * ob, r_idx, r_w,
-                dt, **kw)
-            return g
-        return jnp.sum(jax.vmap(per)(s_idx, s_w, obs), axis=0)
+    from devito_fwi_tpu.ops import pallas_tti as pt
+    if pt.enabled() and pt.tti_supported(model, r_idx):
+        # Pallas segment-kernel twin (DEVITO_FWI_TPU_PALLAS_TTI=1): same
+        # ckpt forward + reverse gradient, residual = rec - 0.999*obs.
+        @jax.jit
+        def grad_all():
+            return jnp.sum(pt.tti_gradient_batched_pallas(
+                args[0], args[1], args[2], args[3], args[4], wav, s_idx,
+                s_w, r_idx, r_w, 0.999 * obs, dt, **kw), axis=0)
+    else:
+        @jax.jit
+        def grad_all():
+            def per(a, b, ob):
+                rec0, starts = tti.forward_ckpt(*args, wav, a, b, r_idx,
+                                                r_w, dt, **kw)
+                g, _ = tti.jacobian_adjoint_from_ckpt(
+                    *args, wav, a, b, starts, rec0 - 0.999 * ob, r_idx,
+                    r_w, dt, **kw)
+                return g
+            return jnp.sum(jax.vmap(per)(s_idx, s_w, obs), axis=0)
 
     def one():
         float(np.asarray(grad_all()).ravel()[0])

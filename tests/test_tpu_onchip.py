@@ -90,6 +90,58 @@ def test_pallas_matches_xla_objective_on_chip(workload):
     assert np.isclose(f_x, f_p, rtol=1e-4)
 
 
+def test_tti_pallas_matches_xla_on_chip():
+    """Mosaic TTI segment kernels vs the XLA ckpt pair on the real
+    chip (the interpreter twin is tests/test_pallas_tti.py)."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu.models.geometry import AcquisitionGeometry
+    from devito_fwi_tpu.ops.interp import interp_table
+    from devito_fwi_tpu.ops import tti
+    from devito_fwi_tpu.ops import pallas_tti as pt
+
+    model = demo_model("layers-tti", shape=(120, 80), spacing=(10., 10.),
+                       nbl=20, space_order=8, dtype=np.float32)
+    nsrc, nrec = 2, 80
+    srcs = np.stack([np.linspace(100, 900, nsrc), np.full(nsrc, 20.0)], 1)
+    rec = np.stack([np.linspace(0, model.domain_size[0], nrec),
+                    np.full(nrec, 20.0)], 1)
+    geom = AcquisitionGeometry(model, rec, srcs, 0.0, 400.0, f0=0.010,
+                               src_type="Ricker")
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    assert pt.tti_supported(model, r_idx)
+    s_idx_b, s_w_b = jnp.asarray(s_idx)[:, None], jnp.asarray(s_w)[:, None]
+    r_idx_j, r_w_j = jnp.asarray(r_idx), jnp.asarray(r_w)
+    args = (jnp.asarray(model.vp), jnp.asarray(model.damp),
+            jnp.asarray(model.epsilon), jnp.asarray(model.delta),
+            jnp.asarray(model.theta), None)
+    wav = jnp.asarray(geom.src.data[:, :1])
+    dt = float(model.critical_dt)
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=8,
+              n_checkpoints=12)
+
+    def per(a, b):
+        rec0, starts = tti.forward_ckpt(*args, wav, a, b, r_idx_j, r_w_j,
+                                        dt, **kw)
+        g, _ = tti.jacobian_adjoint_from_ckpt(
+            *args, wav, a, b, starts, rec0 * 0.3, r_idx_j, r_w_j, dt, **kw)
+        return g, rec0
+
+    g_ref, rec_ref = jax.vmap(per)(s_idx_b, s_w_b)
+    g_p = pt.tti_gradient_batched_pallas(
+        args[0], args[1], args[2], args[3], args[4], wav, s_idx_b, s_w_b,
+        r_idx_j, r_w_j, rec_ref * 0.7, dt, **kw)
+    ref = np.asarray(jax.block_until_ready(g_ref))
+    got = np.asarray(jax.block_until_ready(g_p))
+    scale = np.abs(ref).max()
+    # f32 near-source cancellation dominates across differently-fused
+    # paths (CLAUDE.md); compare interior cells at a loose tolerance
+    assert np.abs(got - ref)[:, 8:-8, 8:-8].max() < 1e-3 * scale
+
+
 def test_host_misfit_matches_fused_on_chip(workload):
     from devito_fwi_tpu.misfit import least_square
     g0, obs = workload

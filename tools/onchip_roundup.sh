@@ -39,6 +39,20 @@ for env in ("0", "1"):
 os.environ.pop("DEVITO_FWI_TPU_PALLAS3", None)
 EOF
 
+echo "== 3b. TTI Pallas segment-kernel A/B =="
+timeout 1800 python - <<'EOF' 2>&1 | tee /tmp/roundup/pallas_tti.log | tail -6
+import os, sys
+sys.path.insert(0, ".")
+import jax
+import bench
+for env in ("0", "1"):
+    os.environ["DEVITO_FWI_TPU_PALLAS_TTI"] = env
+    jax.clear_caches()
+    out = bench._bench_tti()
+    print(f"PALLAS_TTI={env}: {out}")
+os.environ.pop("DEVITO_FWI_TPU_PALLAS_TTI", None)
+EOF
+
 echo "== 4. on-chip parity suite =="
 timeout 3600 python tools/run_onchip.py ONCHIP_r03.json 2>&1 | tail -3
 
