@@ -396,6 +396,8 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
     src_scale = src_w * s2 / m_src
     m_rec = _gather(m, rec_idx)
     rec_scale = rec_w * s2 / m_rec
+    if kernel == "OT4":
+        m2inv = 1.0 / (m * m)
 
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
     total = nseg * seg
@@ -432,6 +434,14 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
             # saved, and the Pallas reverse kernels share this exact
             # association
             udt2s = u_hi - 2.0 * u_mid + u_lo
+            if kernel == "OT4":
+                # the saved-path gradient adds (s^2/12)*lap(lap(u_t)/m^2)
+                # to u.dt2 (operators.py:219); this accumulator is the
+                # UNSCALED udt2 (final scale -1/s^2), so the term enters
+                # multiplied by s^2
+                lap_u = laplacian_parts(u_mid, w, inv_h2, fs)
+                udt2s = udt2s + (s2 * s2 / 12.0) * laplacian_parts(
+                    lap_u * m2inv, w, inv_h2, fs)
             grad = grad + jnp.where(valid, udt2s * v, 0.0)
             vprev = step_fn(v, v_next)
             vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)

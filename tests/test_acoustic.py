@@ -223,6 +223,41 @@ def test_ot4_runs_and_differs():
     assert not np.allclose(rec2.data, rec4.data)
 
 
+@pytest.mark.parametrize('fs', [False, True])
+def test_ot4_checkpointed_gradient_matches_saved(fs):
+    """The checkpointed reverse sweep must include the OT4 biharmonic
+    accumulation term (reference operators.py:219) — regression for a
+    bug where only the saved-path gradient added it (60% rel error)."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu.models.geometry import setup_geometry
+    from devito_fwi_tpu.ops.interp import interp_table
+    from devito_fwi_tpu.ops import acoustic as ac
+
+    model = demo_model('layers-isotropic', shape=(41, 41), nbl=10,
+                       space_order=4, spacing=(10., 10.), fs=fs,
+                       dtype=np.float64)
+    geom = setup_geometry(model, 400.)
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=np.float64)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=np.float64)
+    wav = jnp.asarray(geom.src.data)
+    dt = float(model.critical_dt)
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=4,
+              kernel="OT4", fs=fs)
+    vp, damp = jnp.asarray(model.vp), jnp.asarray(model.damp)
+    rec, u = ac.forward(vp, damp, wav, s_idx, s_w, r_idx, r_w, dt,
+                        save=True, **kw)
+    res = rec * 0.3
+    g_saved, _ = ac.gradient(vp, damp, u, res, r_idx, r_w, dt, **kw)
+    g_ck, _ = ac.gradient_checkpointed(vp, damp, wav, s_idx, s_w, res,
+                                       r_idx, r_w, dt, n_checkpoints=9,
+                                       **kw)
+    scale = np.abs(np.asarray(g_saved)).max()
+    assert np.abs(np.asarray(g_ck) - np.asarray(g_saved)).max() < 1e-12 * scale
+
+
 def test_ot4_free_surface_stability():
     """OT4 with a free surface: antisymmetric mirror applied in both the
     laplacian and the biharmonic correction (reference operators.py:38-56
