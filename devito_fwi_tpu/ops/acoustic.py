@@ -25,8 +25,17 @@ Discretization parity notes (all checked against the reference):
   plane zeroed in mirrored accesses (reference ``operators.py:8-35``). Only
   rows 0..r (r = space_order//2) actually differ from the interior stencil.
 * OT4 kernel adds ``s^2/12 * lap(1/m * lap(u))``
-  (reference ``operators.py:38-56``); gradient OT4 adds the matching
-  biharmonic term (``operators.py:219``).
+  (reference ``operators.py:38-56``). **Documented divergence** for the
+  OT4 Born/gradient pair: the reference's BornOperator injects only
+  ``q = -dm*u.dt2`` (``operators.py:255``), omitting the Frechet term of
+  the OT4 correction — its OT4 linearization converges at O(h), not
+  O(h^2), and is 3.4% inconsistent with its own GradientOperator term
+  ``s^2/12 * u.biharmonic(m^-2)`` (``operators.py:219``) under the dot
+  test. Here ``born`` adds the true derivative term
+  ``-(s^2/12)*lap(m^-2 * dm * lap(u))`` and the gradient accumulates its
+  exact discrete transpose ``(s^2/12)*m^-2*lap(u)*lap(v)``: the pair is
+  an exact transpose (dot test 1e-15, like OT2) and the linearization is
+  second order (tests/test_acoustic.py).
 * gradient accumulates ``-u.dt2[t] * v[t]`` over t = nt-2 .. 1 while
   stepping v backward with receiver-residual injection into v[t-1]
   (reference ``operators.py:183-225``).
@@ -295,12 +304,13 @@ def gradient(vp, damp, u_save, rec_res, rec_idx, rec_w, dt, *,
         t, rec_t = xs
         u_tm1 = jax.lax.dynamic_index_in_dim(u_save, t - 1, keepdims=False)
         udt2 = (u_tp1 - 2.0 * u_t + u_tm1) / s2
-        if kernel == "OT4":
-            # - (u.dt2 + s^2/12 * u.biharmonic(m^-2)) * v   (operators.py:219)
-            lap_u = laplacian_parts(u_t, w, inv_h2, fs)
-            udt2 = udt2 + (s2 / 12.0) * laplacian_parts(lap_u * m2inv, w,
-                                                        inv_h2, fs)
         grad = grad - udt2 * v
+        if kernel == "OT4":
+            # exact transpose of born's OT4 Frechet term (module
+            # docstring; diverges from reference operators.py:219)
+            lap_u = laplacian_parts(u_t, w, inv_h2, fs)
+            lap_v = laplacian_parts(v, w, inv_h2, fs)
+            grad = grad - (s2 / 12.0) * m2inv * lap_u * lap_v
         vprev = step_fn(v, v_next)
         vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
         return (vprev, v, grad, u_t, u_tm1), None
@@ -433,16 +443,16 @@ def gradient_from_ckpt(vp, damp, src_wav, src_idx, src_w, seg_starts,
             # defer the -1/s^2 to one final scale: one multiply per step
             # saved, and the Pallas reverse kernels share this exact
             # association
-            udt2s = u_hi - 2.0 * u_mid + u_lo
+            acc = (u_hi - 2.0 * u_mid + u_lo) * v
             if kernel == "OT4":
-                # the saved-path gradient adds (s^2/12)*lap(lap(u_t)/m^2)
-                # to u.dt2 (operators.py:219); this accumulator is the
-                # UNSCALED udt2 (final scale -1/s^2), so the term enters
-                # multiplied by s^2
+                # the saved-path OT4 gradient adds
+                # (s^2/12)*m^-2*lap(u_t)*lap(v_t) (module docstring);
+                # this accumulator is the UNSCALED udt2*v (final scale
+                # -1/s^2), so the term enters multiplied by s^2
                 lap_u = laplacian_parts(u_mid, w, inv_h2, fs)
-                udt2s = udt2s + (s2 * s2 / 12.0) * laplacian_parts(
-                    lap_u * m2inv, w, inv_h2, fs)
-            grad = grad + jnp.where(valid, udt2s * v, 0.0)
+                lap_v = laplacian_parts(v, w, inv_h2, fs)
+                acc = acc + (s2 * s2 / 12.0) * m2inv * lap_u * lap_v
+            grad = grad + jnp.where(valid, acc, 0.0)
             vprev = step_fn(v, v_next)
             vprev = _scatter_add(vprev, rec_idx, rec_t[:, None] * rec_scale)
             new_v = jnp.where(valid, vprev, v)
@@ -511,6 +521,8 @@ def born(vp, damp, dm, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
     lap_fn = _make_lap(m, w, inv_h2, fs, kernel, s2)
     m_src = _gather(m, src_idx)
     src_scale = src_w * s2 / m_src
+    if kernel == "OT4":
+        m2inv = 1.0 / (m * m)
 
     def step(carry, src_t):
         u, u_prev, U, U_prev = carry
@@ -518,7 +530,14 @@ def born(vp, damp, dm, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
         unext = _update(u, u_prev, lap_fn(u), 0.0, m, hd, s2, inv_mhd)
         unext = _scatter_add(unext, src_idx, src_t[:, None] * src_scale)
         udt2 = (unext - 2.0 * u + u_prev) / s2
-        Unext = _update(U, U_prev, lap_fn(U), -dm * udt2, m, hd, s2, inv_mhd)
+        q = -dm * udt2
+        if kernel == "OT4":
+            # Frechet derivative of the OT4 correction w.r.t. m (module
+            # docstring; the reference's BornOperator omits this term)
+            lap_u = laplacian_parts(u, w, inv_h2, fs)
+            q = q - (s2 / 12.0) * laplacian_parts(m2inv * dm * lap_u, w,
+                                                  inv_h2, fs)
+        Unext = _update(U, U_prev, lap_fn(U), q, m, hd, s2, inv_mhd)
         return (unext, u, Unext, U), rec_t
 
     z = jnp.zeros_like(vp)

@@ -76,9 +76,12 @@ def test_forward_adjoint_dot():
     assert abs(term1 - term2) / abs(term1) < 1e-11
 
 
-def test_born_gradient_dot():
-    # <J dm, r> == <dm, J^T r>  (exact discrete transpose, see ops.acoustic)
-    solver = make_solver(shape=(41, 41), tn=300.)
+@pytest.mark.parametrize('kernel', ['OT2', 'OT4'])
+def test_born_gradient_dot(kernel):
+    # <J dm, r> == <dm, J^T r>  (exact discrete transpose, see ops.acoustic;
+    # for OT4 the gradient's biharmonic accumulation term is exactly what
+    # transposes the Born operator's OT4 laplacian)
+    solver = make_solver(shape=(41, 41), tn=300., kernel=kernel)
     model = solver.model
     rng = np.random.default_rng(1)
     dm = rng.normal(size=model.padded_shape)
@@ -99,11 +102,14 @@ def test_born_gradient_dot():
     assert abs(term1 - term2) / abs(term1) < 1e-11
 
 
-def test_born_linearization():
+@pytest.mark.parametrize('kernel', ['OT2', 'OT4'])
+def test_born_linearization(kernel):
     # || F(m0 + h dm) - F(m0) - h J dm || -> O(h^2)
-    # (reference test_wavesolver_iso.py:97-168)
+    # (reference test_wavesolver_iso.py:97-168; for OT4 the h^2 slope
+    # requires the Frechet term the reference's BornOperator omits —
+    # see ops/acoustic.py module docstring)
     solver = make_solver(shape=(41, 41), tn=300., preset='constant-isotropic',
-                         vp=2.0)
+                         vp=2.0, kernel=kernel)
     model = solver.model
     vp0 = np.asarray(model.vp, dtype=np.float64)
     m0 = 1.0 / vp0 ** 2
