@@ -61,9 +61,12 @@ def test_forward_linearity():
     assert diff / np.linalg.norm(rec2.data) < 1e-12
 
 
-def test_forward_adjoint_dot():
-    # <F s, r> == <s, F^T r> to near machine precision in f64.
-    solver = make_solver(shape=(41, 41), tn=300.)
+@pytest.mark.parametrize('kernel', ['OT2', 'OT4'])
+def test_forward_adjoint_dot(kernel):
+    # <F s, r> == <s, F^T r> to near machine precision in f64 (the OT4
+    # correction lap(m^-1 lap(.)) is discretely symmetric, so the same
+    # adjoint structure holds for both kernels).
+    solver = make_solver(shape=(41, 41), tn=300., kernel=kernel)
     src = solver.geometry.src
     rec, _, _ = solver.forward(src=src)
     # random adjoint data
