@@ -39,6 +39,9 @@ for env in ("0", "1"):
 os.environ.pop("DEVITO_FWI_TPU_PALLAS3", None)
 EOF
 
+echo "== 3a. 3-D gradient path variants (ckpt/saved x PALLAS3) =="
+timeout 1800 python tools/bench_3d_variants.py 2>&1 | tee /tmp/roundup/bench3d.log | tail -6
+
 echo "== 3b. TTI Pallas segment-kernel A/B =="
 timeout 1800 python - <<'EOF' 2>&1 | tee /tmp/roundup/pallas_tti.log | tail -6
 import os, sys
@@ -58,5 +61,11 @@ timeout 3600 python tools/run_onchip.py ONCHIP_r03.json 2>&1 | tail -3
 
 echo "== 5. full bench =="
 timeout 3600 python bench.py 2>&1 | tee /tmp/roundup/bench.log | tail -2
+
+echo "== 6. W2-2d Marmousi demo re-run (round-3 BFM) =="
+timeout 1800 python drivers/marmousi_fwi.py --misfit 2 --maxiter 10 \
+    2>&1 | tee /tmp/roundup/w2_demo.log | tail -4
+timeout 600 python drivers/marmousi_fwi.py --misfit 0 --maxiter 10 \
+    2>&1 | tee /tmp/roundup/l2_demo.log | tail -4
 
 echo "== done; logs in /tmp/roundup =="
