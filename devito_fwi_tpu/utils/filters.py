@@ -22,13 +22,13 @@ def bandpass(data, freqmin, freqmax, df, corners=4, zerophase=False, axis=-1):
     low = freqmin / fe
     high = freqmax / fe
     if high - 1.0 > -1e-6:
-        warnings.warn("Selected high corner frequency (%s) of bandpass is at "
-                      "or above Nyquist (%s). Applying a high-pass instead."
+        warnings.warn("bandpass: upper corner %s Hz >= Nyquist %s Hz — "
+                      "falling back to a high-pass at the lower corner."
                       % (freqmax, fe))
         return highpass(data, freq=freqmin, df=df, corners=corners,
                         zerophase=zerophase, axis=axis)
     if low > 1:
-        raise ValueError("Selected low corner frequency is above Nyquist.")
+        raise ValueError("bandpass: lower corner exceeds Nyquist.")
     z, p, k = iirfilter(corners, [low, high], btype="band", ftype="butter",
                         output="zpk")
     sos = zpk2sos(z, p, k)
@@ -45,10 +45,10 @@ def bandstop(data, freqmin, freqmax, df, corners=4, zerophase=False, axis=-1):
     high = freqmax / fe
     if high > 1:
         high = 1.0
-        warnings.warn("Selected high corner frequency is above Nyquist. "
-                      "Setting Nyquist as high corner.")
+        warnings.warn("bandstop: upper corner exceeds Nyquist — clamping "
+                      "it to Nyquist.")
     if low > 1:
-        raise ValueError("Selected low corner frequency is above Nyquist.")
+        raise ValueError("bandstop: lower corner exceeds Nyquist.")
     z, p, k = iirfilter(corners, [low, high], btype="bandstop",
                         ftype="butter", output="zpk")
     sos = zpk2sos(z, p, k)
@@ -64,8 +64,8 @@ def lowpass(data, freq, df, corners=4, zerophase=False, axis=-1):
     f = freq / fe
     if f > 1:
         f = 1.0
-        warnings.warn("Selected corner frequency is above Nyquist. Setting "
-                      "Nyquist as high corner.")
+        warnings.warn("lowpass: corner exceeds Nyquist — clamping it to "
+                      "Nyquist.")
     z, p, k = iirfilter(corners, f, btype="lowpass", ftype="butter",
                         output="zpk")
     sos = zpk2sos(z, p, k)
@@ -80,7 +80,7 @@ def highpass(data, freq, df, corners=4, zerophase=False, axis=-1):
     fe = 0.5 * df
     f = freq / fe
     if f > 1:
-        raise ValueError("Selected corner frequency is above Nyquist.")
+        raise ValueError("highpass: corner exceeds Nyquist.")
     z, p, k = iirfilter(corners, f, btype="highpass", ftype="butter",
                         output="zpk")
     sos = zpk2sos(z, p, k)
@@ -139,8 +139,8 @@ def lowpass_cheby_2(data, freq, df, maxorder=12, ba=False,
     wp = ws
     if ws > 1:
         ws = 1.0
-        warnings.warn("Selected corner frequency is above Nyquist. "
-                      "Setting Nyquist as high corner.")
+        warnings.warn("lowpass_cheby_2: corner exceeds Nyquist — clamping "
+                      "it to Nyquist.")
     wn = ws
     while True:
         if order <= maxorder:
