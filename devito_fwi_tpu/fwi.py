@@ -1056,6 +1056,15 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
                     dt, pads=_pads(model), shape=model.shape, **statics)
             grad += np.asarray(g, dtype=np.float64)
             illum += np.asarray(il, dtype=np.float64)
+        # keep at most ONE streamed dt2 history alive (CLAUDE.md): drop
+        # this chunk's device buffers NOW — rebinding at the next
+        # iteration's forward call would only release them after that
+        # forward has already allocated the next history (two ~8 GB
+        # histories OOM the 16 GB chip)
+        if z0 is not None:
+            recs = hist = illum_t = None
+        else:
+            recs = seg_starts = illum_pad = None
     return fval, grad, illum, residuals
 
 

@@ -449,7 +449,10 @@ def _local_band_ok(subs, G_local=32, dxmax=7, margin=128, row_block=32):
 
     lo = jnp.min(blocks(dyI, margin), axis=(2, 3, 4))    # (B, nblk)
     hi = jnp.max(blocks(dyO, -margin), axis=(2, 3, 4))
-    empty = lo == margin
+    # emptiness from the activity mask itself — an active cell whose dy
+    # equals the inactive-cell fill value (+-margin) must NOT read as
+    # empty, or the banded path would silently drop its mass
+    empty = ~jnp.any(blocks(act, False), axis=(2, 3, 4))
     lo_c = jnp.where(empty, 0, lo)
     ok_width = jnp.where(empty, True, hi - lo_c <= G_local - 1)
     ok_base = (lo_c >= -margin) & (lo_c <= margin - G_local)
@@ -509,7 +512,12 @@ def _pallas_push(subs, n1, n2, G, dxmax, margin, R):
 
     xI, xO, xf, yI, yO, yf, mass = subs
     B, Q, n2s, n1s = mass.shape
-    lanes = -(-n1s // 128) * 128
+    # the kernel writes source column c at output column c + dx + dxmax
+    # (targets up to n1-1+dxmax after the +dxmax rebase), and the final
+    # crop reads [dxmax : dxmax+n1] — lanes must cover n1s + dxmax, not
+    # just n1s, or right-edge mass truncates (and the crop under-sizes
+    # whenever n1 % 128 is 0 or > 128 - dxmax)
+    lanes = -(-(n1s + dxmax) // 128) * 128
     nblk = -(-n2s // R)
     n2p = nblk * R
     dtype = mass.dtype

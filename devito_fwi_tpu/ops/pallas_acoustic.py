@@ -724,8 +724,15 @@ def stream_hist_dtype():
     with the recompute path, and is the default off-TPU (interpret-mode
     CI asserts exact streamed==recompute parity there)."""
     default = "bf16" if jax.default_backend() == "tpu" else "f32"
-    return {"f32": "float32", "float32": "float32"}.get(
-        os.environ.get("DEVITO_FWI_TPU_HIST", default).lower(), "bfloat16")
+    val = os.environ.get("DEVITO_FWI_TPU_HIST", default).strip().lower()
+    table = {"f32": "float32", "float32": "float32",
+             "bf16": "bfloat16", "bfloat16": "bfloat16"}
+    if val not in table:
+        # a typo must not silently halve the precision the user asked for
+        raise ValueError(
+            f"DEVITO_FWI_TPU_HIST={val!r}: expected one of "
+            f"{sorted(table)}")
+    return table[val]
 
 
 def pick_stream_checkpoints(nt, nx, nz, hist_dtype="float32"):

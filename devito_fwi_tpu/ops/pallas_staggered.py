@@ -283,8 +283,9 @@ def _stag_assemble(rows, r_idx, r_w, *, z0, nt, nsteps, nx):
 # ---------------------------------------------------------------------------
 
 def _visco_sls2_kernel(wav_ref, damp_ref, b_ref, A_ref, B_ref, C_ref,
-                       D_ref, inj_ref, rec_ref, p_ref, pp_ref, r_ref, *,
-                       seg, nx, nz, wp, op, wm, om, ihx, ihz, z0):
+                       D_ref, inj_ref, rec_ref, pout_ref, p_ref, pp_ref,
+                       r_ref, *, seg, nsteps, nx, nz, wp, op, wm, om,
+                       ihx, ihz, z0):
     """One time-segment grid step of the SLS 2nd-order viscoacoustic
     leapfrog (transposed (nz, nx) fields):
 
@@ -317,7 +318,7 @@ def _visco_sls2_kernel(wav_ref, damp_ref, b_ref, A_ref, B_ref, C_ref,
 
     @pl.when(j == 0)
     def _():
-        for ref in (p_ref, pp_ref, r_ref):
+        for ref in (p_ref, pp_ref, r_ref, pout_ref):
             ref[:] = jnp.zeros((nz, nx), jnp.float32)
 
     def body(i, _):
@@ -325,6 +326,13 @@ def _visco_sls2_kernel(wav_ref, damp_ref, b_ref, A_ref, B_ref, C_ref,
         pp = pp_ref[:]
         r = r_ref[:]
         rec_ref[i] = p[z0:z0 + 2, :]
+        # at iteration start p holds the state after (base + i) updates;
+        # capture the final field here when the real steps end inside a
+        # padded segment (the padded tail keeps stepping with wav = 0,
+        # which the XLA scan never does)
+        @pl.when(base + i == nsteps)
+        def _():
+            pout_ref[:] = p
         L = lsa(p)
         rn = damp * (r + A * L - B * r)
         pn = damp * (2.0 * p - damp * pp + C * L - D * rn)
@@ -334,6 +342,14 @@ def _visco_sls2_kernel(wav_ref, damp_ref, b_ref, A_ref, B_ref, C_ref,
         return 0
 
     jax.lax.fori_loop(0, seg, body, 0)
+
+    nseg = pl.num_programs(0)
+    if nsteps == seg * (nsteps // seg):
+        # no padded tail: the final state exists only after the last
+        # segment's loop
+        @pl.when(j == nseg - 1)
+        def _():
+            pout_ref[:] = p_ref[:]
 
 
 @partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
@@ -353,8 +369,8 @@ def _visco_sls2_segments(damp_t, b_t, A_t, B_t, C_t, D_t, inj_t, wav_pad,
     nsteps = nt - 2
     seg, nseg = seg_layout(nsteps)
 
-    kern = partial(_visco_sls2_kernel, seg=seg, nx=nx, nz=nz,
-                   wp=wp, op=tuple(int(o) for o in off_p),
+    kern = partial(_visco_sls2_kernel, seg=seg, nsteps=nsteps, nx=nx,
+                   nz=nz, wp=wp, op=tuple(int(o) for o in off_p),
                    wm=wm, om=tuple(int(o) for o in off_m),
                    ihx=ihx, ihz=ihz, z0=z0)
     return pl.pallas_call(
@@ -362,10 +378,13 @@ def _visco_sls2_segments(damp_t, b_t, A_t, B_t, C_t, D_t, inj_t, wav_pad,
         grid=(nseg,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=pl.BlockSpec((None, seg, 2, nx),
-                               lambda j: (j, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nseg, seg, 2, nx), jnp.float32),
+        out_specs=(pl.BlockSpec((None, seg, 2, nx),
+                                lambda j: (j, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nz, nx), lambda j: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nseg, seg, 2, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((nz, nx), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32)] * 3,
         interpret=env_interpret(interpret),
     )(wav_pad, damp_t, b_t, A_t, B_t, C_t, D_t, inj_t)
@@ -384,7 +403,8 @@ def visco_sls2_forward_pallas(vp, b, qp, damp, src_wav, src_idx, src_w,
                               space_order=4, interpret=False):
     """Drop-in twin of ``viscoacoustic.forward`` (sls, time_order=2,
     save=False) on the Pallas segment kernel (gate with
-    ``visco_sls2_supported``). Returns rec traces (nt, nrec)."""
+    ``visco_sls2_supported``). Returns (rec traces (nt, nrec),
+    final p field (nx, nz)) — the same contract as the XLA path."""
     dtype = np.float32
     vp_a = np.asarray(vp, dtype)
     nx, nz = vp_a.shape
@@ -424,14 +444,15 @@ def visco_sls2_forward_pallas(vp, b, qp, damp, src_wav, src_idx, src_w,
     wav_pad = np.zeros((nseg * seg,), dtype)
     wav_pad[:nsteps] = np.asarray(src_wav, dtype)[1:nt - 1, 0]
 
-    rows = _visco_sls2_segments(
+    rows, p_final_t = _visco_sls2_segments(
         jnp.asarray(damp_a.T), jnp.asarray(b_a.T), jnp.asarray(A.T),
         jnp.asarray(B.T), jnp.asarray(C.T), jnp.asarray(D.T),
         jnp.asarray(inj.T), jnp.asarray(wav_pad), float(dt), nt=nt,
         nx=nx, nz=nz, space_order=space_order, spacing=spacing, z0=z0,
         interpret=interpret)
-    return _visco_assemble(rows, jnp.asarray(rec_idx), jnp.asarray(rec_w),
-                           z0=z0, nt=nt, nsteps=nsteps, nx=nx)
+    rec = _visco_assemble(rows, jnp.asarray(rec_idx), jnp.asarray(rec_w),
+                          z0=z0, nt=nt, nsteps=nsteps, nx=nx)
+    return rec, p_final_t.T
 
 
 @partial(jax.jit, static_argnames=("z0", "nt", "nsteps", "nx"))

@@ -143,7 +143,9 @@ def _fwd_kernel(wav_ref, m_ref, hd_ref, eh_ref, dh_ref, st_ref, ct_ref,
         up = up_ref[:]
         v = v_ref[:]
         vp = vp_ref[:]
-        rec_ref[i] = (u + v)[z0:z0 + 2, :]
+        # slice before adding: the receivers need two rows, not a
+        # full-grid u + v every step
+        rec_ref[i] = u[z0:z0 + 2, :] + v[z0:z0 + 2, :]
         Gxx_u = gxx(u)
         Gzz_v = gzz(v)
         H0 = eh * Gxx_u + dh * Gzz_v

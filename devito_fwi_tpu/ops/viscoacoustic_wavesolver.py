@@ -87,11 +87,10 @@ class ViscoacousticWaveSolver:
         if not save and _visco_pallas_ok(self.model, self.kernel,
                                          self.time_order, s_idx, r_idx):
             from .pallas_staggered import visco_sls2_forward_pallas
-            rec_data = visco_sls2_forward_pallas(
+            rec_data, p_out = visco_sls2_forward_pallas(
                 vp_, b_, qp_, damp, src.data, s_idx, s_w, r_idx, r_w, dt,
                 self.geometry.f0, nt=self.nt, spacing=self.model.spacing,
                 space_order=self.space_order)
-            p_out = None
         else:
             rec_data, p_out = _va.forward(
                 vp_, b_, qp_, damp, src.data, s_idx, s_w, r_idx, r_w, dt,

@@ -519,6 +519,10 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
             g, il = run_grad(si_p, sw_p, hist_p, res_stack, illum_p, sp_p)
             grad += np.asarray(g, dtype=np.float64)
             illum += np.asarray(il, dtype=np.float64)
+        # keep at most ONE streamed dt2 history alive per device
+        # (CLAUDE.md): drop this chunk's buffers before the next chunk's
+        # run_fwd allocates the next one
+        recs = hist_p = illum_p = None
     if calc_grad:
         if precond:
             grad /= np.sqrt(illum + 1e-30)

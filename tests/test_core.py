@@ -231,6 +231,11 @@ def test_stream_hist_dtype_env(monkeypatch):
     assert stream_hist_dtype() == "bfloat16"
     monkeypatch.setenv("DEVITO_FWI_TPU_HIST", "f32")
     assert stream_hist_dtype() == "float32"
+    monkeypatch.setenv("DEVITO_FWI_TPU_HIST", " F32 ")   # whitespace/case
+    assert stream_hist_dtype() == "float32"
+    monkeypatch.setenv("DEVITO_FWI_TPU_HIST", "fp32")    # typo must raise,
+    with pytest.raises(ValueError):                      # not silently bf16
+        stream_hist_dtype()
 
 
 def test_pallas_cliff_warning_fires_once(monkeypatch):

@@ -111,3 +111,57 @@ def test_bfm_batch_pallas_matches_scatter_end_to_end(monkeypatch):
                        rtol=1e-4, atol=1e-8)
     d = np.abs(np.asarray(g_fast) - np.asarray(g_slow)).max()
     assert d < 1e-4 * max(np.abs(np.asarray(g_slow)).max(), 1e-30)
+
+
+def test_local_band_ok_rejects_active_dy_at_margin():
+    """Regression: a block whose only active cell has dy == margin (the
+    inactive-cell fill value) must NOT classify as empty — the banded
+    path would compute base 0 and silently drop its mass. Emptiness now
+    derives from the activity mask itself."""
+    Bb, Q, n2s, n1s = 1, 1, 140, 8
+    margin = 128
+    z = jnp.zeros((Bb, Q, n2s, n1s), jnp.float32)
+    zi = jnp.zeros((Bb, Q, n2s, n1s), jnp.int32)
+    mass = z.at[0, 0, 0, 0].set(1.0)
+    yI = zi.at[0, 0, 0, 0].set(margin)       # dy = yI - row = 128
+    yO = yI + 1
+    c = jnp.broadcast_to(jnp.arange(n1s, dtype=jnp.int32),
+                         (Bb, Q, n2s, n1s))
+    subs = (c, c, z, yI, yO, z, mass)
+    assert not bool(B._local_band_ok(subs, G_local=32, margin=margin,
+                                     row_block=32))
+    # sanity: the same block with zero mass is genuinely empty -> ok
+    subs0 = (c, c, z, yI, yO, z, z)
+    assert bool(B._local_band_ok(subs0, G_local=32, margin=margin,
+                                 row_block=32))
+
+
+def test_pallas_push_lane_multiple_of_128(monkeypatch):
+    """Regression: with n1 % 128 == 0 the slab lanes must still cover
+    the +dxmax-shifted targets — the crop used to clamp short (121
+    columns instead of 128) and right-edge mass fell off the slab."""
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(7)
+    Bb, Q, n2s, n1s = 2, 1, 40, 128
+    mass = jnp.asarray(rng.uniform(0.1, 1.0, (Bb, Q, n2s, n1s)),
+                       jnp.float32)
+    c = jnp.broadcast_to(jnp.arange(n1s, dtype=jnp.int32),
+                         (Bb, Q, n2s, n1s))
+    r = jnp.broadcast_to(jnp.arange(n2s, dtype=jnp.int32)[:, None],
+                         (Bb, Q, n2s, n1s))
+    xI = jnp.minimum(c + 3, n1s - 1)          # right-edge targets
+    xO = jnp.minimum(xI + 1, n1s - 1)
+    yI = jnp.minimum(r + 2, n2s - 1)
+    yO = jnp.minimum(yI + 1, n2s - 1)
+    xf = jnp.full(mass.shape, 0.3, jnp.float32)
+    yf = jnp.full(mass.shape, 0.4, jnp.float32)
+    subs = (xI, xO, xf, yI, yO, yf, mass)
+    assert bool(B._dx_inband_predicate(subs, 7))
+    assert bool(B._local_band_ok(subs, G_local=24, margin=128,
+                                 row_block=16))
+    rho_scat = B._scatter_pushforward_batch(subs, n1s, n2s)
+    rho_pal = B._pallas_push(subs, n1s, n2s, G=24, dxmax=7, margin=128,
+                             R=16)
+    assert rho_pal.shape == (Bb, n2s, n1s)
+    np.testing.assert_allclose(np.asarray(rho_pal), np.asarray(rho_scat),
+                               rtol=1e-5, atol=1e-6)

@@ -85,16 +85,21 @@ def test_visco_sls2_pallas_matches_xla_interpret():
     wav = geom.src.data
     assert ps.visco_sls2_supported(model, "sls", 2, s_idx, r_idx)
 
-    rec_x, _ = va.forward(
+    rec_x, p_x = va.forward(
         jnp.asarray(vp_f), jnp.asarray(b), jnp.asarray(qp_f),
         jnp.asarray(damp), jnp.asarray(wav), jnp.asarray(s_idx),
         jnp.asarray(s_w), jnp.asarray(r_idx), jnp.asarray(r_w), float(dt),
         geom.f0, kernel="sls", time_order=2, nt=geom.nt,
         spacing=model.spacing, space_order=4)
-    rec_p = ps.visco_sls2_forward_pallas(
+    rec_p, p_p = ps.visco_sls2_forward_pallas(
         vp_f, b, qp_f, damp, wav, s_idx, s_w, r_idx, r_w, float(dt),
         geom.f0, nt=geom.nt, spacing=model.spacing, space_order=4,
         interpret=True)
     a = np.asarray(rec_x)
     scale = max(np.abs(a).max(), 1e-12)
     assert np.abs(np.asarray(rec_p) - a).max() < 1e-5 * scale
+    # final-p contract parity (the wavesolver returns it as the
+    # wavefield on both paths)
+    pa = np.asarray(p_x)
+    pscale = max(np.abs(pa).max(), 1e-12)
+    assert np.abs(np.asarray(p_p) - pa).max() < 1e-5 * pscale

@@ -96,6 +96,10 @@ def main():
     z0 = _pallas_z0(geometry0)
     hist_dtype = pa.stream_hist_dtype()
     nck = pa.pick_stream_checkpoints(nt, nx_p, nz_p, hist_dtype=hist_dtype)
+    if nck is None:
+        print("streamed path does not apply at this grid size "
+              "(pick_stream_checkpoints returned None); nothing to audit")
+        return
     nck = max(nck, _default_checkpoints(nt))
     nsteps, seg, nseg = _ckpt_layout(nt, nck)
     m, mT, hdT, injT, wav_pad = jax.block_until_ready(_pallas_operands(
