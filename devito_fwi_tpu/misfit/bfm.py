@@ -81,9 +81,12 @@ def _legendre_last_fast(u, s, max_tmp_elems=2_000_000, W=None, K=None):
     displacement stays within ~18 rows, so the default bands hold
     throughout; inputs whose argmax leaves the band fail the
     certificate and take the exact full path. The certificate needs
-    W >= K + max displacement. Requires ``s_i = (i + 0.5)/n`` — the
-    BFM's own grid coordinates, which the kernel recomputes to build
-    its constant tables."""
+    W >= K + max displacement. The kernel honors only
+    ``s_i = (i + 0.5)/n`` — the BFM's own grid coordinates, which it
+    recomputes internally — so a non-grid ``s`` is checked at runtime
+    (endpoint equality in the caller's own f32 arithmetic) and folded
+    into the certificate: wrong slopes fall back to the exact path,
+    which does honor ``s``."""
     from ..ops import pallas_bfm as _pb
 
     n = s.shape[0]
@@ -94,9 +97,11 @@ def _legendre_last_fast(u, s, max_tmp_elems=2_000_000, W=None, K=None):
         return _legendre_last(u, s, max_tmp_elems)
     out_b, ok = _pb.legendre_banded(u.reshape(-1, n), W, K,
                                     interpret=_pb.env_interpret())
+    s_ok = (s[0] == jnp.float32(0.5) / n) & \
+           (s[-1] == (jnp.float32(n - 1) + 0.5) / n)
     out_b = out_b.reshape(u.shape)
     return jax.lax.cond(
-        ok, lambda a: a[0],
+        ok & s_ok, lambda a: a[0],
         lambda a: _legendre_last(a[1], s, max_tmp_elems), (out_b, u))
 
 
@@ -130,24 +135,6 @@ def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=None):
     return jnp.swapaxes(b, -1, -2)
 
 
-def _interp_c(f, X, Y, n1, n2):
-    """Bilinear interpolation with the C code's clamped-extrapolation
-    convention (fot2d.c:268-292). X, Y in map coordinates [0, 1]."""
-    xi = jnp.clip(X * n1 - 0.5, 0, n1 - 1)
-    yi = jnp.clip(Y * n2 - 0.5, 0, n2 - 1)
-    xIndex = jnp.floor(xi).astype(jnp.int32)
-    yIndex = jnp.floor(yi).astype(jnp.int32)
-    xfrac = X * n1 - xIndex - 0.5
-    yfrac = Y * n2 - yIndex - 0.5
-    xOther = jnp.clip(xIndex + jnp.sign(xfrac).astype(jnp.int32), 0, n1 - 1)
-    yOther = jnp.clip(yIndex + jnp.sign(yfrac).astype(jnp.int32), 0, n2 - 1)
-    ax, ay = jnp.abs(xfrac), jnp.abs(yfrac)
-    return ((1 - ax) * (1 - ay) * f[yIndex, xIndex] +
-            ax * (1 - ay) * f[yIndex, xOther] +
-            (1 - ax) * ay * f[yOther, xIndex] +
-            ax * ay * f[yOther, xOther])
-
-
 def _pushforward_map(dual, n1, n2):
     """Corner-grid map = central-difference gradient of the potential
     (fot2d.c:294-325).
@@ -171,6 +158,19 @@ def _pushforward_map(dual, n1, n2):
     return xMap, yMap
 
 
+def _cell_corners_and_stretch(xMap, yMap):
+    """Per-cell corner values of the pushforward map and the per-axis
+    stretch (max corner-to-corner displacement within the cell) — shared
+    by the sampling pass and the adaptive hi mask so the cutoff
+    rejection and the hi/lo classification can never drift apart
+    (fot2d.c:419-423)."""
+    cx = (xMap[:-1, :-1], xMap[:-1, 1:], xMap[1:, :-1], xMap[1:, 1:])
+    cy = (yMap[:-1, :-1], yMap[:-1, 1:], yMap[1:, :-1], yMap[1:, 1:])
+    xStretch = jnp.maximum(jnp.abs(cx[1] - cx[0]), jnp.abs(cx[3] - cx[2]))
+    yStretch = jnp.maximum(jnp.abs(cy[2] - cy[0]), jnp.abs(cy[3] - cy[1]))
+    return cx, cy, xStretch, yStretch
+
+
 def _pushforward_subsamples(mu, xMap, yMap, n1, n2, nsub, level_mask=None):
     """Per-subsample factored pushforward quantities, each stacked
     (nsub^2, n2, n1): target column pair ``xI``/``xO`` with x fraction
@@ -184,13 +184,8 @@ def _pushforward_subsamples(mu, xMap, yMap, n1, n2, nsub, level_mask=None):
     ``level_mask`` (bool, cell grid) restricts the contribution to a
     subset of cells — the building block of the two-level adaptive mode,
     which splits cells between a coarse and a fine sampling pass."""
-    # per-cell corner values
-    c00x, c01x = xMap[:-1, :-1], xMap[:-1, 1:]
-    c10x, c11x = xMap[1:, :-1], xMap[1:, 1:]
-    c00y, c01y = yMap[:-1, :-1], yMap[:-1, 1:]
-    c10y, c11y = yMap[1:, :-1], yMap[1:, 1:]
-    xStretch = jnp.maximum(jnp.abs(c01x - c00x), jnp.abs(c11x - c10x))
-    yStretch = jnp.maximum(jnp.abs(c10y - c00y), jnp.abs(c11y - c01y))
+    (c00x, c01x, c10x, c11x), (c00y, c01y, c10y, c11y), xStretch, \
+        yStretch = _cell_corners_and_stretch(xMap, yMap)
     xCut = (1.0 / n1) ** (1.0 / 3)
     yCut = (1.0 / n2) ** (1.0 / 3)
     keep = (mu > 0) & (xStretch < xCut) & (yStretch < yCut)
@@ -233,12 +228,7 @@ def _adaptive_hi_mask(xMap, yMap, n1, n2):
     counts do not jit; measured effect of full adaptivity vs fixed
     nsub=2 on the oracle fixtures is 1.69e-4 -> 1.53e-4 grad parity, so
     two levels capture nearly all of it)."""
-    c00x, c01x = xMap[:-1, :-1], xMap[:-1, 1:]
-    c10x, c11x = xMap[1:, :-1], xMap[1:, 1:]
-    c00y, c01y = yMap[:-1, :-1], yMap[:-1, 1:]
-    c10y, c11y = yMap[1:, :-1], yMap[1:, 1:]
-    xStretch = jnp.maximum(jnp.abs(c01x - c00x), jnp.abs(c11x - c10x))
-    yStretch = jnp.maximum(jnp.abs(c10y - c00y), jnp.abs(c11y - c01y))
+    _, _, xStretch, yStretch = _cell_corners_and_stretch(xMap, yMap)
     return (2.0 * n1 * xStretch >= 3.0) | (2.0 * n2 * yStretch >= 3.0)
 
 
@@ -570,7 +560,7 @@ def _pallas_push(subs, n1, n2, G, dxmax, margin, R):
     return rho[:, margin:margin + n2, dxmax:dxmax + n1]
 
 
-def _dispatch_push(subs, n1, n2, dmax):
+def _dispatch_push(subs, n1, n2, dmax, push_backend=None):
     """Pushforward dispatch, cheapest first:
 
     1. Pallas slab kernel (``_pallas_push``) when every (shot,
@@ -600,10 +590,15 @@ def _dispatch_push(subs, n1, n2, dmax):
                 t, n1, n2, G_local=32, dxmax=dxmax, margin=margin),
             lambda t: _scatter_pushforward_batch(t, n1, n2), s)
 
-    import os
-    use_pallas = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "xla") == "pallas"
-    if not (use_pallas and _pb.available()
-            and subs[2].dtype == jnp.float32):
+    if push_backend is None:
+        import os
+        push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "xla")
+    # Q <= 8: the slab kernel python-unrolls a G*DX*Q multiply-add chain
+    # with Q*DX hoisted xsel buffers — at the adaptive hi pass's Q = 16
+    # that is ~256 live (R, lanes) temps, the exact scoped-vmem OOM
+    # pattern CLAUDE.md documents; route wide-Q batches to the XLA paths
+    if not (push_backend == "pallas" and _pb.available()
+            and subs[2].dtype == jnp.float32 and subs[2].shape[1] <= 8):
         return xla_or_scatter(subs)
     pallas_ok = dx_ok & _local_band_ok(subs, G_local=24, dxmax=dxmax,
                                        margin=margin, row_block=16)
@@ -614,7 +609,8 @@ def _dispatch_push(subs, n1, n2, dmax):
         xla_or_scatter, subs)
 
 
-def _sampling_pushforward_batch(mu_b, xMap_b, yMap_b, n1, n2, nsub, dmax):
+def _sampling_pushforward_batch(mu_b, xMap_b, yMap_b, n1, n2, nsub, dmax,
+                                push_backend=None):
     """Batch pushforward: banded matmul when every displacement is in
     band (the common FWI case), exact scatter fallback otherwise. The
     predicate is batch-wide so ``lax.cond`` stays a real branch — under a
@@ -633,7 +629,7 @@ def _sampling_pushforward_batch(mu_b, xMap_b, yMap_b, n1, n2, nsub, dmax):
         lo_out = jax.vmap(lambda m, xm, ym, h: _pushforward_subsamples(
             m, xm, ym, n1, n2, 2, level_mask=~h))(
             mu_b, xMap_b, yMap_b, hi)
-        rho = _dispatch_push(lo_out[:7], n1, n2, dmax)
+        rho = _dispatch_push(lo_out[:7], n1, n2, dmax, push_backend)
 
         # the 4x4 pass covers only high-stretch cells — usually none
         # (its 16 subsample planes would quadruple the banded-matmul
@@ -642,7 +638,7 @@ def _sampling_pushforward_batch(mu_b, xMap_b, yMap_b, n1, n2, nsub, dmax):
             mu, xm, ym, h = args
             hi_out = jax.vmap(lambda m, x, y, hh: _pushforward_subsamples(
                 m, x, y, n1, n2, 4, level_mask=hh))(mu, xm, ym, h)
-            return _dispatch_push(hi_out[:7], n1, n2, dmax)
+            return _dispatch_push(hi_out[:7], n1, n2, dmax, push_backend)
 
         rho = rho + jax.lax.cond(
             jnp.any(hi), hi_pass,
@@ -652,15 +648,14 @@ def _sampling_pushforward_batch(mu_b, xMap_b, yMap_b, n1, n2, nsub, dmax):
         return rho / jnp.where(total > 0, total, 1.0).astype(dtype)
     out = jax.vmap(lambda m, xm, ym: _pushforward_subsamples(
         m, xm, ym, n1, n2, nsub))(mu_b, xMap_b, yMap_b)
-    rho = _dispatch_push(out[:7], n1, n2, dmax)
+    rho = _dispatch_push(out[:7], n1, n2, dmax, push_backend)
     total = jnp.sum(rho, axis=(1, 2), keepdims=True) / pcount
     return rho / jnp.where(total > 0, total, 1.0).astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("num_steps", "nsub", "dmax",
-                                   "max_tmp_elems"))
 def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
-                  dmax=127, max_tmp_elems=32_000_000):
+                  dmax=127, max_tmp_elems=32_000_000, push_backend=None,
+                  legendre_banded=None):
     """Batched quadratic-Wasserstein distance and gradient d W2 / d f of
     two (B, n2, n1) stacks of 2-D densities (rows = time/y, cols =
     traces/x). Returns per-shot ``(losses (B,), grads (B, n2, n1))``.
@@ -682,7 +677,32 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
     (see ``_sampling_pushforward_batch``). ``max_tmp_elems`` bounds the
     Legendre transform's blocked intermediate (the old in-loop default
     of 2M was tuned when the scatter dominated; 32M is ~10x faster
-    standalone)."""
+    standalone).
+
+    ``push_backend`` ("xla"/"pallas") and ``legendre_banded`` select the
+    pushforward / Legendre implementations; None reads
+    DEVITO_FWI_TPU_BFM_PUSH / DEVITO_FWI_TPU_BFM_LEGENDRE **here, at
+    call time, outside jit** — they are static arguments of the jitted
+    core, so toggling the env vars between calls retraces instead of
+    silently hitting the stale compiled variant (the footgun that would
+    otherwise invalidate same-process A/B timings)."""
+    import os
+    if push_backend is None:
+        push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "xla")
+    if legendre_banded is None:
+        legendre_banded = os.environ.get(
+            "DEVITO_FWI_TPU_BFM_LEGENDRE", "full") == "banded"
+    return _bfm_jax_batch_core(f_b, g_b, num_steps, step_scale, nsub,
+                               dmax, max_tmp_elems, push_backend,
+                               bool(legendre_banded))
+
+
+@partial(jax.jit, static_argnames=("num_steps", "nsub", "dmax",
+                                   "max_tmp_elems", "push_backend",
+                                   "legendre_banded"))
+def _bfm_jax_batch_core(f_b, g_b, num_steps, step_scale, nsub, dmax,
+                        max_tmp_elems, push_backend, legendre_banded):
+    """Jitted body of ``bfm_jax_batch`` (see its docstring)."""
     dtype = f_b.dtype
     B, n2, n1 = f_b.shape
     pcount = n1 * n2
@@ -695,8 +715,13 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
     mu = jnp.where(sum1 > 0, f_b / sum1, 0.0)
     nu = jnp.where(sum2 > 0, g_b / sum2, 0.0)
 
-    sigma0 = step_scale / jnp.maximum(jnp.max(mu, axis=(1, 2)),
-                                      jnp.max(nu, axis=(1, 2)))
+    # a muted/dead shot (all-zero gather) must not poison the batch:
+    # unguarded, sigma0 = step_scale/0 = inf and that shot's loss is NaN
+    # through the summed objective (the gradient was already guarded by
+    # the sum1 > 0 select below)
+    maxd = jnp.maximum(jnp.max(mu, axis=(1, 2)), jnp.max(nu, axis=(1, 2)))
+    live = maxd > 0
+    sigma0 = jnp.where(live, step_scale / jnp.where(live, maxd, 1.0), 1.0)
 
     xs = (jnp.arange(n1, dtype=dtype) + 0.5) / n1
     ys = (jnp.arange(n2, dtype=dtype) + 0.5) / n2
@@ -747,13 +772,15 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
         return jnp.where(up, sigma / 0.8, jnp.where(dn, sigma * 0.8, sigma))
 
     def legendre(u):
-        return _legendre_2d(u, xs, ys, max_tmp_elems)
+        return _legendre_2d(u, xs, ys, max_tmp_elems,
+                            banded=legendre_banded)
 
     def pushforward(dens, potential):
         xMap, yMap = jax.vmap(
             lambda p: _pushforward_map(p, n1, n2))(potential)
         return _sampling_pushforward_batch(dens, xMap, yMap, n1, n2,
-                                           nsub, dmax)
+                                           nsub, dmax,
+                                           push_backend=push_backend)
 
     def body(carry, _):
         phi, dual, rho, sigma, old = carry
@@ -783,7 +810,7 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
     dual_f = quad_b - dual
     term = psum(mu * dual_f)[:, None, None] / pcount
     grad = jnp.where(sum1 > 0, (dual_f - term) / sum1, 0.0)
-    return wd, grad
+    return jnp.where(live, wd, 0.0), grad
 
 
 @partial(jax.jit, static_argnames=("num_steps", "nsub"))

@@ -29,7 +29,7 @@ structure finally pays:
   value concatenates — no scatter, no one-hot operands, no HBM
   intermediates. The caller computes the runtime block bases, runs the
   kernel over a (B, nblk) grid, and overlap-adds the slabs at their
-  base offsets (see ``misfit/bfm._local_banded_pushforward_pallas``).
+  base offsets (see ``misfit/bfm._pallas_push``).
 
 Reference semantics: misfit/QW2D/src/fot2d.c:50-178 (c-transform) and
 fot2d.c:294-457 (pushforward); both kernels compute exactly the same
@@ -38,6 +38,11 @@ interpreter mode (tests/test_pallas_bfm.py) plus driven on-chip by the
 W2 objective tests.
 """
 from __future__ import annotations
+
+# offsets consumed per roll of the Legendre kernel's carried window; the
+# host wrapper's band padding must cover ceil((2W+1)/_LEG_CHUNK) *
+# _LEG_CHUNK - 1 extra lanes, so both read the SAME constant
+_LEG_CHUNK = 8
 
 import os
 from functools import partial
@@ -92,7 +97,7 @@ def _legendre_kernel(u_ref, s_ref, sp_ref, out_ref, ok_ref, *, n, W, K,
     import jax.experimental.pallas as pl
     import jax.experimental.pallas.tpu as pltpu
 
-    C = 8                                          # offsets per roll
+    C = _LEG_CHUNK                                 # offsets per roll
     CM = 4                                         # samples per step
     big = jnp.float32(np.finfo(np.float32).max / 8)
     s_row = s_ref[0:1, :]                          # (1, npad)
@@ -175,22 +180,33 @@ def legendre_banded(u, W, K, interpret=False):
 
     rows, n = u.shape
     dtype = u.dtype
+    # the kernel hardcodes f32 accumulators/constants and the host
+    # tables below replicate f32 arithmetic — reject other dtypes
+    # loudly rather than mis-lowering or silently promoting
+    assert dtype == jnp.float32, f"legendre_banded needs float32, got {dtype}"
     big = np.float32(np.finfo(np.float32).max / 8)
     RB = 128
     rows_p = _rup(rows, RB)
     npad = _rup(n, 128)
-    # the kernel's chunked rolls read up to ceil((2W+1)/8)*8 - 1 + npad
-    # lanes; keep the band padding wide enough that no chunk wraps
-    pad2w = _rup(max(2 * W, -(-(2 * W + 1) // 8) * 8), 128)
+    # the kernel's chunked rolls read up to
+    # ceil((2W+1)/_LEG_CHUNK)*_LEG_CHUNK - 1 + npad lanes; keep the band
+    # padding wide enough that no chunk wraps
+    pad2w = _rup(max(2 * W, -(-(2 * W + 1) // _LEG_CHUNK) * _LEG_CHUNK),
+                 128)
     # pad rows by EDGE replication (constant +big rows would produce
     # degenerate certificate argmaxes), lanes by +big (loses every max)
     u_p = jnp.pad(u, ((0, rows_p - rows), (0, 0)), mode="edge")
     u_p = jnp.pad(u_p, ((0, 0), (0, npad - n)), constant_values=big)
     u_p = jnp.pad(u_p, ((0, 0), (W, pad2w - W)), constant_values=big)
 
-    s_np = np.zeros((1, npad), np.float64)
-    s_np[0, :n] = (np.arange(n) + 0.5) / n
-    sp_np = np.zeros((1, npad + pad2w), np.float64)
+    # build the tables with the SAME f32 arithmetic the kernel's
+    # certificate uses for its sample slopes ((i + 0.5)/n evaluated in
+    # f32) — an f64-then-cast table double-rounds and can sit 1 ulp off
+    # the certificate's slope at a tie point
+    s_np = np.zeros((1, npad), np.float32)
+    s_np[0, :n] = (np.arange(n, dtype=np.float32)
+                   + np.float32(0.5)) / np.float32(n)
+    sp_np = np.zeros((1, npad + pad2w), np.float32)
     sp_np[0, W:W + n] = s_np[0, :n]
     s_j = jnp.asarray(s_np, dtype)
     sp_j = jnp.asarray(sp_np, dtype)

@@ -279,3 +279,50 @@ def test_host_misfit_path_matches_fused():
         scale = np.abs(grad_j).max()
         assert np.abs(grad_n - grad_j).max() < 1e-2 * scale
 
+
+
+def test_bfm_batch_dead_shot_no_nan():
+    """A muted (all-zero) gather in the batch must yield loss 0 / grad 0
+    for that shot and leave the live shots' results untouched —
+    regression for sigma0 = step_scale/0 = inf poisoning the summed
+    objective with NaN."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.misfit.bfm import bfm_jax_batch
+    rng = np.random.RandomState(3)
+    n1, n2 = 16, 60
+    f = rng.rand(2, n2, n1).astype(np.float32) + 0.1
+    g = rng.rand(2, n2, n1).astype(np.float32) + 0.1
+    f[1] = 0.0
+    g[1] = 0.0
+    losses, grads = bfm_jax_batch(jnp.asarray(f), jnp.asarray(g),
+                                  num_steps=5)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert float(losses[1]) == 0.0
+    assert np.all(np.asarray(grads[1]) == 0.0)
+    l_solo, g_solo = bfm_jax_batch(jnp.asarray(f[:1]), jnp.asarray(g[:1]),
+                                   num_steps=5)
+    assert np.allclose(float(losses[0]), float(l_solo[0]), rtol=1e-6)
+    # batch composition changes which (exact) pushforward branch the
+    # batch-wide cond picks -> f32 association noise only
+    assert np.allclose(np.asarray(grads[0]), np.asarray(g_solo[0]),
+                       rtol=1e-4, atol=1e-6)
+
+
+def test_bfm_batch_explicit_backend_args():
+    """push_backend/legendre_banded are call-time static args: explicit
+    values must select the variants without env vars (and thus retrace
+    rather than reuse a stale cache entry)."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.misfit.bfm import bfm_jax_batch
+    rng = np.random.RandomState(4)
+    n1, n2 = 20, 72
+    f = rng.rand(1, n2, n1).astype(np.float32) + 0.1
+    g = np.roll(f, 4, axis=1)
+    base = bfm_jax_batch(jnp.asarray(f), jnp.asarray(g), num_steps=4,
+                         push_backend="xla", legendre_banded=False)
+    # banded legendre is exact (certificate-guarded)
+    alt = bfm_jax_batch(jnp.asarray(f), jnp.asarray(g), num_steps=4,
+                        push_backend="xla", legendre_banded=True)
+    assert np.allclose(np.asarray(base[0]), np.asarray(alt[0]), rtol=1e-5)
+    assert np.allclose(np.asarray(base[1]), np.asarray(alt[1]),
+                       rtol=1e-4, atol=1e-6)
