@@ -43,7 +43,8 @@ __all__ = ["seismic_filter", "Filter", "resample", "fm_single", "fm_multi",
 
 def seismic_filter(data, filter_type, freqmin=None, freqmax=None, df=None,
                    corners=16, zerophase=False, axis=-1):
-    assert filter_type.lower() in ("bandpass", "lowpass", "highpass")
+    filter_type = filter_type.lower()
+    assert filter_type in ("bandpass", "lowpass", "highpass")
     if filter_type == "bandpass":
         if freqmin and freqmax and df:
             return bandpass(data, freqmin, freqmax, df, corners, zerophase,
@@ -171,18 +172,16 @@ def fm_multi(geometry, save=False):
         else model.dtype(0.0)
     vp = jnp.asarray(model.vp)
     dt = _solver_dt(geometry)
-    z0 = _pallas_z0(geometry)
+    z0, nck, _, _, _ = _pallas_route(
+        geometry, _default_checkpoints(geometry.nt), "OT2",
+        calc_grad=False)
     if z0 is not None:
-        from .ops.pallas_acoustic import pick_n_checkpoints
-        nck = pick_n_checkpoints(geometry.nt, *model.padded_shape)
-    if z0 is not None and nck is not None:
         rec_all = np.asarray(_fm_batch_pallas(
             vp, jnp.asarray(damp), jnp.asarray(src_wav),
             jnp.asarray(s_idx), jnp.asarray(s_w), jnp.asarray(r_idx),
             jnp.asarray(r_w), float(dt), nt=geometry.nt,
             spacing=model.spacing, space_order=model.space_order,
-            n_checkpoints=max(nck, _default_checkpoints(geometry.nt)),
-            z0=z0, fs=model.fs))
+            n_checkpoints=nck, z0=z0, fs=model.fs))
     else:
         rec_all = np.asarray(_fm_batch(
             vp, damp, jnp.asarray(src_wav), jnp.asarray(s_idx),
@@ -406,11 +405,13 @@ def _pallas_z0(geometry):
         # DEVITO_FWI_TPU_PALLAS_INTERPRET=1 opens the fast path on CPU in
         # interpreter mode (multi-device validation on the virtual mesh)
         return None
+    on_tpu = jax.default_backend() == "tpu"
     if jax.config.jax_enable_x64 and not env_interpret():
         # x64 promotion inside the f32 kernels breaks Mosaic tracing
         # (harmless in interpreter mode — no Mosaic involved)
+        if on_tpu:
+            _pallas_cliff_warn("jax_enable_x64 is on")
         return None
-    on_tpu = jax.default_backend() == "tpu"
     model = geometry.model
     if model.dtype != np.float32 or model.dim != 2:
         if on_tpu:
@@ -427,6 +428,45 @@ def _pallas_z0(geometry):
     return int(np.asarray(r_idx)[..., 1].min())
 
 
+def _pallas_route(geometry, n_checkpoints, kernel, calc_grad):
+    """Shared Pallas fast-path gating for fm_multi and the objective
+    paths (this block used to be copy-pasted per call site and had
+    started to drift). Returns ``(z0, nck, stream, hist_dtype,
+    chunk_cap)``: ``z0 is None`` keeps the geometry on the XLA path;
+    ``stream`` selects the streamed-history gradient kernels;
+    ``chunk_cap`` (None = unbounded) bounds the shot chunk by the
+    streamed history's HBM budget."""
+    stream = False
+    hist_dtype = "float32"
+    chunk_cap = None
+    z0 = _pallas_z0(geometry) if kernel == "OT2" else None
+    nck = None
+    if z0 is not None:
+        from .ops.pallas_acoustic import (pick_n_checkpoints,
+                                          pick_stream_checkpoints,
+                                          stream_max_shots,
+                                          stream_hist_dtype)
+        nx_p, nz_p = geometry.model.padded_shape
+        nck = pick_n_checkpoints(geometry.nt, nx_p, nz_p)
+        nck = max(nck, n_checkpoints) if nck is not None else None
+        if nck is None:
+            z0 = None
+        elif calc_grad and \
+                os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
+            # streamed-history gradient: 2 stencil sweeps/step instead
+            # of 3; the HBM-resident d2u/dt2 history bounds the chunk
+            hd = stream_hist_dtype()
+            snck = pick_stream_checkpoints(geometry.nt, nx_p, nz_p,
+                                           hist_dtype=hd)
+            if snck is not None:
+                stream = True
+                hist_dtype = hd
+                nck = max(snck, n_checkpoints)
+                chunk_cap = stream_max_shots(geometry.nt, nx_p, nz_p,
+                                             hist_dtype=hd)
+    return z0, nck, stream, hist_dtype, chunk_cap
+
+
 def _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps, dtype):
     """Receiver rows -> traces: rec[1+g] = sum_c w_c * row[g, plane_c,
     x_c]; rows beyond nsteps are layout padding.
@@ -439,10 +479,16 @@ def _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps, dtype):
     nrec = r_idx.shape[0]
     rows = rec_rows.reshape(B, -1, 2 * nx)[:, :nsteps]
     rxi = r_idx[:, :, 0]
-    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
+    zc = r_idx[:, :, 1]
+    rplane = (zc != z0).astype(jnp.int32)
+    # drop OOB corners like the XLA gather's mode='fill' does: an x
+    # corner at nx would otherwise alias plane 1, x 0 through the
+    # plane*nx fold (interp.py contract: device code drops OOB corners)
+    valid = (rxi >= 0) & (rxi < nx) & ((zc == z0) | (zc == z0 + 1))
+    rxi = jnp.clip(rxi, 0, nx - 1)
     W = jnp.zeros((2 * nx, nrec), jnp.float32)
     W = W.at[rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
-        r_w.astype(jnp.float32))
+        jnp.where(valid, r_w, 0.0).astype(jnp.float32))
     # HIGHEST: the DEFAULT matmul precision truncates inputs to bf16 on
     # TPU (and on this stack's CPU lowering) — a 0.4% trace error that a
     # reverberant model amplifies to 3e-3; measured harmless to speed
@@ -673,41 +719,21 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
 
     # Pallas VMEM-resident fast path (default-on on TPU for supported
     # geometries: 2-D f32 OT2, receivers on two z-planes; fs supported)
-    z0 = pallas_nck = None
-    stream = False
-    if statics["kernel"] == "OT2":
-        z0 = _pallas_z0(geometry)
-        if z0 is not None:
-            from .ops.pallas_acoustic import (pick_n_checkpoints,
-                                              pick_stream_checkpoints,
-                                              stream_max_shots)
-            nx_p, nz_p = model.padded_shape
-            pallas_nck = pick_n_checkpoints(geometry.nt, nx_p, nz_p)
-            pallas_nck = max(pallas_nck or 0, statics["n_checkpoints"]) \
-                if pallas_nck is not None else None
-            if pallas_nck is None:
-                z0 = None
-
+    z0, pallas_nck, stream, hist_dtype, cap = _pallas_route(
+        geometry, statics["n_checkpoints"], statics["kernel"], calc_grad)
+    nx_p, nz_p = model.padded_shape
     chunk = min(nsrc, shot_chunk or nsrc)
-    hist_dtype = "float32"
-    if z0 is not None and calc_grad and \
-            os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
-        # streamed-history gradient: 2 stencil sweeps/step instead of 3;
-        # the HBM-resident d2u/dt2 history bounds the shot chunk
-        from .ops.pallas_acoustic import stream_hist_dtype
-        hist_dtype = stream_hist_dtype()
-        snck = pick_stream_checkpoints(geometry.nt, nx_p, nz_p,
-                                       hist_dtype=hist_dtype)
-        if snck is not None:
-            stream = True
-            pallas_nck = max(snck, statics["n_checkpoints"])
-            chunk = min(chunk, stream_max_shots(geometry.nt, nx_p, nz_p,
-                                                hist_dtype=hist_dtype))
-    if misfit_batch is not None and calc_grad and z0 is not None:
+    if cap is not None:
+        chunk = min(chunk, cap)
+    if misfit_batch is not None:
         # the batch-native BFM's HLO temporaries (blocked Legendre
         # scratch + subsample stacks) cost ~400 MB/shot at Marmousi
         # gather size (measured from OOM allocation dumps) and are live
-        # while the dt2 history sits in HBM — budget both together
+        # while the dt2 history sits in HBM — budget both together.
+        # The misfit runs in objective-only (line-search) calls and on
+        # the XLA fallback path too, so the cap must not be gated on
+        # calc_grad or the Pallas route (hist_ps is 0 when no history
+        # streams)
         from .ops.pallas_acoustic import _padded_field_bytes
         import jax.numpy as _jnp
         nrec = geometry.rec_positions.shape[0]
@@ -837,8 +863,11 @@ def _geom_device(geometry):
         if isinstance(model.damp, np.ndarray) else model.dtype(0.0),
         src_pos=jnp.asarray(geometry.src_positions),
         rec_pos=jnp.asarray(geometry.rec_positions))
-    if len(_GEOM_DEVICE_CACHE) > 8:
-        _GEOM_DEVICE_CACHE.clear()
+    while len(_GEOM_DEVICE_CACHE) >= 8:
+        # evict the oldest entry only — clearing everything would force
+        # a full re-upload (~8 x 50 ms tunnel round trips) of every hot
+        # geometry in workflows cycling among many of them
+        del _GEOM_DEVICE_CACHE[next(iter(_GEOM_DEVICE_CACHE))]
     _GEOM_DEVICE_CACHE[key] = (geometry, fp, cached)
     return cached
 
@@ -856,8 +885,8 @@ def _device_stack(objs):
     if entry is not None and all(a is b for a, b in zip(entry[0], objs)):
         return entry[1]
     st = jnp.stack([jnp.asarray(o.data) for o in objs])
-    if len(_DEVICE_STACK_CACHE) > 8:
-        _DEVICE_STACK_CACHE.clear()
+    while len(_DEVICE_STACK_CACHE) >= 8:
+        del _DEVICE_STACK_CACHE[next(iter(_DEVICE_STACK_CACHE))]
     _DEVICE_STACK_CACHE[key] = (tuple(objs), st)
     return st
 
@@ -982,32 +1011,10 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
     # Pallas fast path (same gating as _shot_objective_batched): the
     # propagation sweeps run in the VMEM segment kernels; only the
     # gathers/residuals cross the host boundary for the misfit
-    z0 = pallas_nck = None
-    stream = False
-    if statics["kernel"] == "OT2":
-        z0 = _pallas_z0(geometry)
-        if z0 is not None:
-            from .ops.pallas_acoustic import (pick_n_checkpoints,
-                                              pick_stream_checkpoints,
-                                              stream_max_shots)
-            nx_p, nz_p = model.padded_shape
-            pallas_nck = pick_n_checkpoints(geometry.nt, nx_p, nz_p)
-            pallas_nck = max(pallas_nck or 0, statics["n_checkpoints"]) \
-                if pallas_nck is not None else None
-            if pallas_nck is None:
-                z0 = None
-    hist_dtype = "float32"
-    if z0 is not None and calc_grad and \
-            os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
-        from .ops.pallas_acoustic import stream_hist_dtype
-        hist_dtype = stream_hist_dtype()
-        snck = pick_stream_checkpoints(geometry.nt, nx_p, nz_p,
-                                       hist_dtype=hist_dtype)
-        if snck is not None:
-            stream = True
-            pallas_nck = max(snck, statics["n_checkpoints"])
-            chunk = min(chunk, stream_max_shots(geometry.nt, nx_p, nz_p,
-                                                hist_dtype=hist_dtype))
+    z0, pallas_nck, stream, hist_dtype, cap = _pallas_route(
+        geometry, statics["n_checkpoints"], statics["kernel"], calc_grad)
+    if cap is not None:
+        chunk = min(chunk, cap)
 
     pallas_statics = dict(nt=statics["nt"], spacing=statics["spacing"],
                           space_order=statics["space_order"],

@@ -159,7 +159,14 @@ def residual_rows(res_stack, r_idx, r_w, m, s2, z0, nsteps, seg, nseg):
     xi = r_idx[:, :, 0]
     zi = r_idx[:, :, 1]
     plane = (zi != z0).astype(jnp.int32)
-    scale = (r_w * s2 / m[xi, zi]).astype(jnp.float32)
+    # drop OOB corners like the XLA scatter's mode='drop' does: an x
+    # corner at nx would otherwise alias plane 1, x 0 through the
+    # plane*nx fold (interp.py contract: device code drops OOB corners)
+    valid = (xi >= 0) & (xi < nx) & ((zi == z0) | (zi == z0 + 1))
+    xi = jnp.clip(xi, 0, nx - 1)
+    scale = jnp.where(valid, r_w * s2 / m[xi, jnp.clip(zi, 0,
+                                                       m.shape[1] - 1)],
+                      0.0).astype(jnp.float32)
     # V[r, p*nx + x] = sum over this receiver's corners with plane p, x
     V = jnp.zeros((nrec, 2 * nx), jnp.float32)
     V = V.at[jnp.arange(nrec)[:, None], plane * nx + xi].add(scale)
@@ -779,8 +786,10 @@ def gradient_from_ckpt_pallas(vp, damp, src_wav, s_idx, s_w, seg_starts,
     dt = float(dt)
     nx, nz = vp.shape
     m_pad = 1.0 / (np.asarray(vp, np.float32) ** 2)
-    hd = (dt * np.asarray(damp, np.float32)) if np.ndim(damp) else \
-        np.zeros((nx, nz), np.float32)
+    # broadcast a scalar damp like the XLA gradient_from_ckpt does — a
+    # nonzero scalar must not silently become zeros
+    hd = dt * np.broadcast_to(np.asarray(damp, np.float32),
+                              (nx, nz)).copy()
     s2 = dt * dt
     nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
 
@@ -838,5 +847,14 @@ def geometry_supported(geometry):
     r_idx, _ = interp_table(geometry.rec_positions, model.origin_pml,
                             model.spacing, dtype=model.dtype)
     zplanes = np.unique(np.asarray(r_idx)[..., 1])
-    return len(zplanes) <= 2
+    if len(zplanes) > 2:
+        return False
+    # the kernels read/write u[z0:z0+2, :] as a static 2-row slice; a
+    # receiver whose bilinear corners touch the padded-grid z edge
+    # (z0 < 0 or z0 + 2 > nz) would clamp that slice to one row and
+    # crash the trace — such edge geometries stay on the XLA path,
+    # whose drop/fill scatter semantics handle them
+    nz = model.padded_shape[1]
+    z0 = int(zplanes.min())
+    return 0 <= z0 and z0 + 2 <= nz
 

@@ -193,7 +193,12 @@ def elastic_supported(model, src_idx, rec_idx):
     if np.asarray(src_idx).shape[0] != 1:
         return False
     zplanes = np.unique(np.asarray(rec_idx)[..., 1])
-    return len(zplanes) <= 2
+    if len(zplanes) > 2:
+        return False
+    # the kernels' static 2-row receiver slice must fit the grid (a
+    # z-edge geometry would clamp it to one row and crash the trace)
+    z0 = int(zplanes.min())
+    return 0 <= z0 and z0 + 2 <= model.padded_shape[1]
 
 
 def elastic_forward_pallas(lam, mu, b, damp, src_wav, src_idx, src_w,

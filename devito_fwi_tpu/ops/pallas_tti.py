@@ -57,7 +57,12 @@ def tti_supported(model, rec_idx):
     if model.dim != 2 or model.dtype != np.float32:
         return False
     zplanes = np.unique(np.asarray(rec_idx)[..., 1])
-    return len(zplanes) <= 2
+    if len(zplanes) > 2:
+        return False
+    # the kernels' static 2-row receiver slice must fit the grid (a
+    # z-edge geometry would clamp it to one row and crash the trace)
+    z0 = int(zplanes.min())
+    return 0 <= z0 and z0 + 2 <= model.padded_shape[1]
 
 
 def _make_ops_t(w1, r1, w2, ihx, ihz, nx, nz):

@@ -53,7 +53,7 @@ def fm_multi_sharded(geometry, save=False, mesh=None):
     """All-shot forward modeling sharded over the device mesh. Returns a
     list of PointSource shot records (like ``fwi.fm_multi``). Supported
     geometries run each shard through the Pallas segment kernel."""
-    from ..fwi import _batched_tables, _solver_dt, _pallas_z0
+    from ..fwi import _batched_tables, _solver_dt
     from ..models.sources import PointSource
 
     model = geometry.model
@@ -67,16 +67,16 @@ def fm_multi_sharded(geometry, save=False, mesh=None):
     (s_idx_p, s_w_p), valid = _pad_shots(
         [jnp.asarray(s_idx), jnp.asarray(s_w)], geometry.nsrc, ndev, model.dtype)
 
-    z0 = _pallas_z0(geometry)
+    from ..fwi import _default_checkpoints, _pallas_route
+    z0, nck, _, _, _ = _pallas_route(
+        geometry, _default_checkpoints(geometry.nt), "OT2",
+        calc_grad=False)
     if z0 is not None:
-        from ..fwi import (_pallas_operands, _traces_from_rows,
-                           _default_checkpoints)
+        from ..fwi import _pallas_operands, _traces_from_rows
         from ..ops import pallas_acoustic as _pa
         from ..ops.acoustic import _ckpt_layout
         nx, nz = model.padded_shape
-        nck = _pa.pick_n_checkpoints(geometry.nt, nx, nz)
         if nck is not None:
-            nck = max(nck, _default_checkpoints(geometry.nt))
             nsteps, seg, nseg = _ckpt_layout(geometry.nt, nck)
             r_idx_j, r_w_j = jnp.asarray(r_idx), jnp.asarray(r_w)
             src_wav_j = jnp.asarray(src_wav)

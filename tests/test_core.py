@@ -255,3 +255,65 @@ def test_pallas_cliff_warning_fires_once(monkeypatch):
     assert any("dim=3" in m for m in msgs)
     assert any("z-planes" in m for m in msgs)
     fwi_mod._pallas_cliff_warn.seen.clear()
+
+
+def test_seismic_filter_case_insensitive():
+    """'Bandpass' must filter, not silently return None (the assert
+    normalized case but the branches compared the raw string)."""
+    from devito_fwi_tpu.fwi import seismic_filter
+    rng = np.random.default_rng(0)
+    sig = rng.normal(size=(400,)).astype(np.float64)
+    out = seismic_filter(sig, "Bandpass", freqmin=5, freqmax=40, df=250)
+    assert out is not None and np.isfinite(out).all()
+
+
+def test_pallas_geometry_rejects_z_edge_receivers():
+    """Receivers whose bilinear corners touch the padded-grid z edge
+    must stay on the XLA path — the Pallas kernels' static 2-row slice
+    would clamp to one row and crash the trace."""
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu.models.geometry import AcquisitionGeometry
+    from devito_fwi_tpu.ops.pallas_acoustic import geometry_supported
+
+    model = demo_model('layers-isotropic', shape=(31, 31), nbl=10,
+                       space_order=4, spacing=(10., 10.),
+                       dtype=np.float32)
+    nz_pad = model.padded_shape[1]
+    # z at the LAST padded row: corners {nz-1, nz}
+    z_edge = model.origin_pml[1] + (nz_pad - 1) * model.spacing[1]
+    rec = np.array([[100.0, z_edge], [150.0, z_edge]])
+    src = np.array([[150.0, 20.0]])
+    geom = AcquisitionGeometry(model, rec, src, 0.0, 100.0, f0=0.015,
+                               src_type="Ricker")
+    assert not geometry_supported(geom)
+    # interior receivers still pass
+    rec_ok = np.array([[100.0, 20.0], [150.0, 20.0]])
+    geom_ok = AcquisitionGeometry(model, rec_ok, src, 0.0, 100.0,
+                                  f0=0.015, src_type="Ricker")
+    assert geometry_supported(geom_ok)
+
+
+def test_residual_rows_drops_oob_corners():
+    """An x corner at nx (out of grid) must contribute nothing — it
+    used to alias plane 1, x 0 through the plane*nx fold."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.ops.pallas_acoustic import residual_rows
+
+    nx, nz, nrec, nt = 8, 6, 2, 6
+    z0 = 2
+    m = jnp.ones((nx, nz), jnp.float32)
+    # receiver 0: in-grid corners; receiver 1: one corner at x == nx
+    r_idx = jnp.asarray([[[3, z0], [4, z0], [3, z0 + 1], [4, z0 + 1]],
+                         [[nx - 1, z0], [nx, z0],
+                          [nx - 1, z0 + 1], [nx, z0 + 1]]], jnp.int32)
+    r_w = jnp.full((nrec, 4), 0.25, jnp.float32)
+    res = jnp.ones((1, nt, nrec), jnp.float32)
+    nsteps, seg, nseg = nt - 2, 2, 2
+    rows = residual_rows(res, r_idx, r_w, m, 1.0, z0, nsteps, seg, nseg)
+    flat = np.asarray(rows).reshape(1, nseg * seg, 2, nx)
+    # plane 1 (z0+1), x = 0 must be exactly zero — no aliased mass
+    assert np.all(flat[:, :nsteps, 1, 0] == 0.0)
+    # the OOB corners' weight is dropped: receiver 1 contributes only
+    # its two in-grid corners (0.25 each on x = nx-1 of both planes)
+    assert np.allclose(flat[0, 0, 0, nx - 1], 0.25)
+    assert np.allclose(flat[0, 0, 1, nx - 1], 0.25)
