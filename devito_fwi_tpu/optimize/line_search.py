@@ -43,13 +43,14 @@ class Writer:
     """`optim_info` ITER/STEPLEN/MISFIT table writer
     (reference ``optimize/line_search/base.py:104-148``)."""
 
-    def __init__(self, path="."):
+    def __init__(self, path=".", preserve=False):
         self.iter = 0
         os.makedirs(path, exist_ok=True)
         self.filename = os.path.join(path, "optim_info")
-        if os.path.exists(self.filename):
+        if os.path.exists(self.filename) and not preserve:
             os.remove(self.filename)
-        self.write_header()
+        if not (preserve and os.path.exists(self.filename)):
+            self.write_header()
 
     def __call__(self, steplen=None, funcval=None):
         with open(self.filename, "a") as fileobj:
@@ -82,10 +83,11 @@ class Base:
     Status codes: >0 finished, ==0 not finished, <0 failed.
     """
 
-    def __init__(self, step_count_max=10, step_len_max=np.inf, path="."):
+    def __init__(self, step_count_max=10, step_len_max=np.inf, path=".",
+                 preserve_log=False):
         self.step_count_max = step_count_max
         self.step_len_max = step_len_max
-        self.writer = Writer(path)
+        self.writer = Writer(path, preserve=preserve_log)
         self.func_vals = []
         self.step_lens = []
         self.gtg = []

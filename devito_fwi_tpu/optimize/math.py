@@ -118,29 +118,9 @@ def tv(V, h=None, eps=1e-6):
     return np.sqrt(gx ** 2 + gz ** 2 + eps)
 
 
-def dot(x, y):
-    return np.dot(np.asarray(x).ravel(), np.asarray(y).ravel())
-
-
-def angle(x, y):
-    xy = dot(x, y)
-    return np.arccos(xy / (dot(x, x) * dot(y, y)) ** 0.5)
-
-
-def backtrack2(f0, g0, x1, f1, b1=0.1, b2=0.5):
-    """Safeguarded parabolic backtrack (reference ``math.py:31-48``)."""
-    x2 = -g0 * x1 ** 2 / (2 * (f1 - f0 - g0 * x1))
-    if x2 > b2 * x1:
-        x2 = b2 * x1
-    elif x2 < b1 * x1:
-        x2 = b1 * x1
-    return x2
-
-
-def polyfit2(x, f):
-    """Parabola vertex through 3 points (reference ``math.py:51-70``)."""
-    i = np.argsort(x)
-    p = np.polyfit(x[i], f[i], 2)
-    if p[0] > 0:
-        return -p[1] / (2 * p[0])
-    raise ValueError("polyfit2: parabola is not convex")
+# single source of truth: the line search and optimizer modules own
+# the canonical implementations (a private sorted-fit polyfit2 variant
+# here used to silently diverge from the 3-point-window one the line
+# search actually uses — reference optimize/math.py:51-60)
+from .line_search import backtrack2, polyfit2  # noqa: E402,F401
+from .optimizers import dot, angle             # noqa: E402,F401

@@ -47,8 +47,11 @@ class minimize:
         self.checkpoint_freq = checkpoint_freq
         self.resume = resume
         self.ckpt_path = os.path.join(log_path, "checkpoint")
-        self.optimizer.setup()
-        if not (resume and self._latest_ckpt()):
+        resuming = bool(resume and self._latest_ckpt())
+        # a resumed inversion must APPEND to its pre-interrupt metric
+        # files and optim_info table, not wipe them
+        self.optimizer.setup(resume=resuming)
+        if not resuming:
             self.check_path()
 
     def _latest_ckpt(self):

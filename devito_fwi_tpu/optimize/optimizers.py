@@ -76,11 +76,16 @@ class base:
     def call_count(self):
         raise NotImplementedError
 
-    def setup(self):
+    def setup(self, resume=False):
+        """``resume=True`` preserves the existing metric files and
+        optim_info table (a resumed inversion must append to its
+        pre-interrupt history, not wipe it)."""
         self.writer = Writer(self.log_path)
         self.line_search = getattr(line_search_mod, self.line_search_method)(
-            step_count_max=self.max_ls, path=self.log_path)
-        self.check_path()
+            step_count_max=self.max_ls, path=self.log_path,
+            preserve_log=resume)
+        if not resume:
+            self.check_path()
 
     def compute_direction(self, m, g):
         return -g
@@ -149,9 +154,19 @@ class _SD:
 
 
 class _NLCG:
-    """Reference ``optimize/optimizer/NLCG.py``."""
+    """Reference ``optimize/optimizer/NLCG.py``.
 
-    def __init__(self, beta_type="FR", max_call=np.inf, thresh=0.):
+    **Documented divergence**: the reference defaults ``thresh=0``,
+    which makes the conjugacy-loss check
+    ``|g.g_old|/|g.g| > thresh`` fire for ANY non-orthogonal gradient
+    pair — default-constructed NLCG silently restarts every iteration
+    and degenerates to steepest descent (the reference never
+    instantiates NLCG in a driver, so it never hit this). The default
+    here is 1.0 (restart when the overlap exceeds the gradient's own
+    norm — SeisFlows' published default for this same check); pass
+    ``thresh=0.`` explicitly to reproduce the reference literally."""
+
+    def __init__(self, beta_type="FR", max_call=np.inf, thresh=1.0):
         assert beta_type in ("FR", "PR", "HS", "DY")
         self.beta_type = beta_type
         self.g_old = None
@@ -325,8 +340,8 @@ class SteepestDescent(base):
     def call_count(self):
         return self.sd.call_count
 
-    def setup(self):
-        super().setup()
+    def setup(self, resume=False):
+        super().setup(resume=resume)
         self.sd = _SD()
 
     def compute_direction(self, m, g):
@@ -338,7 +353,10 @@ class SteepestDescent(base):
 
 
 class NLCG(base):
-    def __init__(self, max_call=np.inf, thresh=0, beta_type="FR",
+    """Nonlinear conjugate gradient (see ``_NLCG`` for the documented
+    ``thresh`` default divergence from the reference)."""
+
+    def __init__(self, max_call=np.inf, thresh=1.0, beta_type="FR",
                  ls_method="Bracket", max_ls=5, step_len_init=0.05,
                  step_len_max=0.5, log_path=".", verbose=1):
         super().__init__(line_search_method=ls_method, max_ls=max_ls,
@@ -357,8 +375,8 @@ class NLCG(base):
     def call_count(self):
         return self.nlcg.call_count
 
-    def setup(self):
-        super().setup()
+    def setup(self, resume=False):
+        super().setup(resume=resume)
         self.nlcg = _NLCG(beta_type=self.beta_type, max_call=self.max_call,
                           thresh=self.thresh)
 
@@ -391,8 +409,8 @@ class LBFGS(base):
     def call_count(self):
         return self.lbfgs.call_count
 
-    def setup(self):
-        super().setup()
+    def setup(self, resume=False):
+        super().setup(resume=resume)
         self.lbfgs = _LBFGS(memory=self.memory, max_call=self.max_call,
                             thresh=self.thresh)
 

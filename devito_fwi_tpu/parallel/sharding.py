@@ -29,6 +29,11 @@ __all__ = ["shot_mesh", "fm_multi_sharded", "fwi_obj_sharded",
            "gradient_domain_sharded", "hier_mesh", "fwi_obj_sharded2d"]
 
 
+# per-device shot cap for the chunked objectives (mirrors the single-
+# chip fused path's shot_chunk=32); tests shrink it to exercise chunking
+_PER_DEV_CAP = 32
+
+
 def shot_mesh(devices=None):
     """1-D mesh over all (or the given) devices with axis name 'shots'."""
     devices = np.array(devices if devices is not None else jax.devices())
@@ -47,6 +52,18 @@ def _pad_shots(arrs, nsrc, ndev, dtype=np.float32):
     valid = jnp.concatenate([jnp.ones(nsrc, dtype=dtype),
                              jnp.zeros(pad, dtype=dtype)])
     return out, valid
+
+
+def _shot_records(rec_all, geometry, dtype):
+    """Wrap an (nsrc, nt, nrec) gather stack into PointSource records."""
+    from ..models.sources import PointSource
+    shots = []
+    for i in range(geometry.nsrc):
+        shot = PointSource(name="rec", time_range=geometry.time_axis,
+                           coordinates=geometry.rec_positions, dtype=dtype)
+        shot.data[:] = rec_all[i]
+        shots.append(shot)
+    return shots
 
 
 def fm_multi_sharded(geometry, save=False, mesh=None):
@@ -95,15 +112,9 @@ def fm_multi_sharded(geometry, save=False, mesh=None):
                 return _traces_from_rows(rows, r_idx_j, r_w_j, z0, nt,
                                          nsteps, vp.dtype)
 
-            rec_all = np.asarray(run_pl(s_idx_p, s_w_p))[:geometry.nsrc]
-            shots = []
-            for i in range(geometry.nsrc):
-                shot = PointSource(name="rec", time_range=geometry.time_axis,
-                                   coordinates=geometry.rec_positions,
-                                   dtype=model.dtype)
-                shot.data[:] = rec_all[i]
-                shots.append(shot)
-            return shots
+            return _shot_records(
+                np.asarray(run_pl(s_idx_p, s_w_p))[:geometry.nsrc],
+                geometry, model.dtype)
 
     fwd = partial(_ac.forward, nt=geometry.nt, spacing=model.spacing,
                   space_order=model.space_order, kernel="OT2", fs=model.fs,
@@ -116,15 +127,8 @@ def fm_multi_sharded(geometry, save=False, mesh=None):
                                            r_w, dt))(si, sw)
         return rec
 
-    rec_all = np.asarray(run(s_idx_p, s_w_p))[:geometry.nsrc]
-    shots = []
-    for i in range(geometry.nsrc):
-        shot = PointSource(name="rec", time_range=geometry.time_axis,
-                           coordinates=geometry.rec_positions,
-                           dtype=model.dtype)
-        shot.data[:] = rec_all[i]
-        shots.append(shot)
-    return shots
+    return _shot_records(np.asarray(run(s_idx_p, s_w_p))[:geometry.nsrc],
+                         geometry, model.dtype)
 
 
 def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
@@ -181,17 +185,37 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
     # device's shot block (pallas_call is a per-device program, so the
     # only collective is the existing psum). Validated on the virtual
     # CPU mesh via DEVITO_FWI_TPU_PALLAS_INTERPRET=1.
+    # chunk the (padded) shot axis so the per-device checkpoint /
+    # history buffers stay bounded at large surveys (the single-chip
+    # fused path chunks at shot_chunk=32 and the host path at
+    # per_dev_cap=32; the device-misfit paths used to vmap ALL local
+    # shots at once). Each chunk is a whole multiple of ndev.
+    nsrc_p = int(s_idx_p.shape[0])
+    chunk_len = min(nsrc_p, ndev * _PER_DEV_CAP)
+
+    def _chunks(*arrs):
+        for lo in range(0, nsrc_p, chunk_len):
+            hi = min(lo + chunk_len, nsrc_p)
+            yield tuple(a[lo:hi] for a in arrs)
+
     z0 = _pallas_z0(geometry) if static["kernel"] == "OT2" else None
     if z0 is not None:
-        out = _fwi_obj_sharded_pallas(
-            geometry, misfit_jax, calc_grad, mesh, ndev, z0, vp, damp,
-            src_wav, s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid, r_idx, r_w,
-            float(dt), static, pads, shape, spacing, rec_positions)
-        if out is not None:
-            fval, grad, illum = out
-            fval = float(fval)
-            grad = np.array(grad, dtype=np.float64)
-            illum = np.array(illum, dtype=np.float64)
+        fval, grad, illum = 0.0, None, None
+        ok = True
+        for ck in _chunks(s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid):
+            out = _fwi_obj_sharded_pallas(
+                geometry, misfit_jax, calc_grad, mesh, ndev, z0, vp, damp,
+                src_wav, *ck[:5], ck[5], r_idx, r_w,
+                float(dt), static, pads, shape, spacing, rec_positions)
+            if out is None:          # kernels don't fit: XLA fallback
+                ok = False
+                break
+            fval += float(out[0])
+            g_c = np.array(out[1], dtype=np.float64)
+            il_c = np.array(out[2], dtype=np.float64)
+            grad = g_c if grad is None else grad + g_c
+            illum = il_c if illum is None else illum + il_c
+        if ok:
             if calc_grad:
                 if precond:
                     grad /= np.sqrt(illum + 1e-30)
@@ -236,10 +260,14 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
         il = jax.lax.psum(jnp.sum(il, axis=0), "shots")
         return f, g, il
 
-    fval, grad, illum = run(s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid)
-    fval = float(fval)
-    grad = np.array(grad, dtype=np.float64)
-    illum = np.array(illum, dtype=np.float64)
+    fval, grad, illum = 0.0, None, None
+    for ck in _chunks(s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid):
+        f_c, g_c, il_c = run(*ck)
+        fval += float(f_c)
+        g_c = np.array(g_c, dtype=np.float64)
+        il_c = np.array(il_c, dtype=np.float64)
+        grad = g_c if grad is None else grad + g_c
+        illum = il_c if illum is None else illum + il_c
     if calc_grad:
         if precond:
             grad /= np.sqrt(illum + 1e-30)
@@ -478,7 +506,6 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
     chunk += (-chunk) % ndev
 
     fval = 0.0
-    residuals = []
     grad = np.zeros(shape, dtype=np.float64)
     illum = np.zeros(shape, dtype=np.float64)
     for lo in range(0, nsrc, chunk):
@@ -501,7 +528,6 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
                                                misfit_func, direct_wave,
                                                resample_dt, lo, hi)
         fval += fval_c
-        residuals.extend(res_chunk)
 
         if calc_grad:
             res_stack = jnp.asarray(np.stack(res_chunk))
@@ -543,6 +569,10 @@ def domain_mesh(axis_sizes, devices=None, axis_names=("dx", "dz")):
     """N-D mesh over the spatial grid axes, e.g. ``domain_mesh((2, 4))``."""
     devices = np.array(devices if devices is not None else jax.devices())
     n = int(np.prod(axis_sizes))
+    if n > devices.size:
+        raise ValueError(
+            f"domain_mesh: axis_sizes {tuple(axis_sizes)} needs {n} "
+            f"devices, only {devices.size} available")
     return Mesh(devices[:n].reshape(axis_sizes), axis_names[:len(axis_sizes)])
 
 
@@ -604,6 +634,10 @@ def hier_mesh(axis_sizes, devices=None):
     stencil step, so it should ride ICI)."""
     devices = np.array(devices if devices is not None else jax.devices())
     n = int(np.prod(axis_sizes))
+    if n > devices.size:
+        raise ValueError(
+            f"hier_mesh: axis_sizes {tuple(axis_sizes)} needs {n} devices, "
+            f"only {devices.size} available")
     return Mesh(devices[:n].reshape(axis_sizes), ("shots", "dx"))
 
 
@@ -632,7 +666,10 @@ def fwi_obj_sharded2d(geometry, obs, misfit_func, direct_wave=None,
     model = geometry.model
     if mesh is None:
         ndev = len(jax.devices())
-        mesh = hier_mesh(axis_sizes or (max(1, ndev // 2), 2))
+        # single device: degenerate 1x1 mesh (the old (1, 2) default
+        # crashed reshaping a length-1 device array)
+        mesh = hier_mesh(axis_sizes or ((max(1, ndev // 2), 2)
+                                        if ndev >= 2 else (1, 1)))
     S, D = mesh.devices.shape
 
     # grid leading dim padded to a multiple of the 'dx' axis and sharded;

@@ -187,3 +187,32 @@ def test_minimize_checkpoint_resume(tmp_path):
     m_resumed = run(pb, 3, resume=True)
     assert np.allclose(m_resumed, m_full, rtol=1e-6, atol=1e-12)
     assert not np.allclose(m_part, m_full)
+    # the resume must have APPENDED to the pre-interrupt logs, not wiped
+    # them: optim_info keeps its iteration-1 row and the scalar metric
+    # files carry one value per completed iteration
+    import os
+    with open(os.path.join(pb, "optim_info")) as f:
+        rows = [ln.split() for ln in f if ln.strip() and not
+                ln.lstrip().startswith(("I", "=", "-"))]
+    # iteration rows have 3 columns (trial rows within an iteration
+    # omit ITER — reference optim_info format)
+    iters = sorted({int(r[0]) for r in rows if len(r) == 3})
+    assert iters[0] == 1 and iters[-1] >= 3
+    with open(os.path.join(pb, "fval")) as f:
+        assert len(f.readlines()) >= 3
+
+
+def test_nlcg_default_thresh_keeps_conjugate_direction():
+    """Default-constructed NLCG must act as CG, not silently restart to
+    steepest descent every iteration (the reference's thresh=0 default
+    does exactly that — documented divergence, optimizers.py)."""
+    from devito_fwi_tpu.optimize.optimizers import _NLCG
+    o = _NLCG()
+    g1 = np.array([1.0, 0.0])
+    p1, r1 = o.compute_direction(None, g1)
+    assert r1 == 0 and np.allclose(p1, -g1)
+    g2 = np.array([0.1, 0.4])
+    p2, r2 = o.compute_direction(None, g2)
+    assert r2 == 0
+    assert not np.allclose(p2, -g2)        # conjugate, not SD
+    assert np.dot(p2, g2) < 0              # still a descent direction

@@ -327,3 +327,19 @@ def test_fm_sharded_pallas_path_matches(monkeypatch):
     scale = max(np.abs(np.stack([o.data for o in ref])).max(), 1e-12)
     for a, b in zip(ref, out):
         assert np.abs(a.data - b.data).max() < 1e-5 * scale
+
+
+def test_sharded_objective_chunks_match_single_pass(monkeypatch):
+    """With the per-device cap shrunk to 1, the sharded objective runs
+    multiple sequential chunks — results must match the one-chunk run
+    (guards the chunking added so large surveys cannot OOM a device)."""
+    from devito_fwi_tpu.parallel import sharding as sh
+    gt, g0 = _setup(nsrc=10)
+    obs = fm_multi(gt)
+    f1, g1 = sh.fwi_obj_sharded(g0, obs, least_square, calc_grad=True)
+    monkeypatch.setattr(sh, "_PER_DEV_CAP", 1)
+    f2, g2 = sh.fwi_obj_sharded(g0, obs, least_square, calc_grad=True)
+    # chunked host-side accumulation reorders the f32 sums
+    assert np.isclose(f1, f2, rtol=1e-6)
+    scale = np.abs(g1).max()
+    assert np.abs(g2 - g1).max() < 1e-6 * scale
