@@ -721,7 +721,6 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     # geometries: 2-D f32 OT2, receivers on two z-planes; fs supported)
     z0, pallas_nck, stream, hist_dtype, cap = _pallas_route(
         geometry, statics["n_checkpoints"], statics["kernel"], calc_grad)
-    nx_p, nz_p = model.padded_shape
     chunk = min(nsrc, shot_chunk or nsrc)
     if cap is not None:
         chunk = min(chunk, cap)
@@ -738,8 +737,11 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
         import jax.numpy as _jnp
         nrec = geometry.rec_positions.shape[0]
         misfit_ps = 300 * geometry.nt * nrec * 4
+        # stream is only ever True for the 2-D Pallas route, so the
+        # 2-tuple unpack is safe here (a 3-D model never streams)
         hist_ps = (geometry.nt - 2) * _padded_field_bytes(
-            nx_p, nz_p, _jnp.dtype(hist_dtype).itemsize) if stream else 0
+            *model.padded_shape, _jnp.dtype(hist_dtype).itemsize) \
+            if stream else 0
         chunk = min(chunk,
                     max(1, int((10 << 30) // (hist_ps + misfit_ps))))
     fvals, residuals = [], []
