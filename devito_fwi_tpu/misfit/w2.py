@@ -48,7 +48,11 @@ def transform_jax(f, g, trans_type="linear", gamma=1.0):
     elif trans_type == "softplus":
         mu = jnp.log(jnp.exp(gamma * f) + 1)
         nu = jnp.log(jnp.exp(gamma * g) + 1)
-        return mu, nu, gamma / jnp.exp(-gamma * f)
+        # true chain-rule factor d(mu)/df = gamma*sigmoid(gamma*f).
+        # Documented divergence: the reference's misfit.py writes
+        # gamma/exp(-gamma*f) = gamma*exp(gamma*f) — an unbounded factor
+        # that makes the softplus gradient not descend its own loss
+        return mu, nu, gamma / (1.0 + jnp.exp(-gamma * f))
     else:
         return f, g, jnp.ones_like(f)
 
@@ -79,9 +83,13 @@ def w2_1d_jax(f, g):
 
     Jittable replica of reference ``misfit/misfit.py:47-67``.
     """
+    # dead-trace guard: an all-zero channel must yield loss 0 / grad 0,
+    # not divide by zero and poison the summed objective with NaN
     mass = jnp.sum(f)
-    mu = f / mass
-    nu = g / jnp.sum(g)
+    mass_g = jnp.sum(g)
+    live = (mass > 0) & (mass_g > 0)
+    mu = f / jnp.where(live, mass, 1.0)
+    nu = g / jnp.where(live, mass_g, 1.0)
     t = jnp.linspace(0.0, 1.0, mu.shape[0], dtype=f.dtype)
     F = jnp.cumsum(mu)
     G = jnp.cumsum(nu)
@@ -89,8 +97,40 @@ def w2_1d_jax(f, g):
     d = t - T
     loss = 0.5 * jnp.sum(d * d * mu)
     grad = jnp.cumsum(d) - jnp.sum(d)
-    grad = (grad - jnp.sum(grad * mu)) / mass
-    return loss, grad
+    grad = (grad - jnp.sum(grad * mu)) / jnp.where(live, mass, 1.0)
+    return jnp.where(live, loss, 0.0), jnp.where(live, grad, 0.0)
+
+
+def _qw_jax_impl(f, g, *, trans_type, gamma, method, num_steps,
+                 step_scale, bfm_backend):
+    """Traceable qWasserstein body (configuration as explicit args so
+    the jitted form caches correctly — see qWasserstein.__call__)."""
+    mu, nu, d = transform_jax(f, g, trans_type, gamma)
+    if method == "1d":
+        losses, grads = jax.vmap(w2_1d_jax, in_axes=1, out_axes=(0, 1))(
+            mu, nu)
+        return jnp.sum(losses), grads * d
+    # reference misfit.py:73 computes mass from the TRANSFORMED
+    # density (its `_2d_calculator(f=mu, ...)` receives mu), not the
+    # raw traces
+    mass = jnp.sum(mu) / mu.size
+    if bfm_backend == "native":
+        # host callback into the C++ OpenMP BFM: the TPU program
+        # pauses, ships the (batched under vmap) densities to the
+        # host, and gets loss/grad back — the in-process analog of
+        # the reference's bfm2d subprocess round trip
+        loss, grad = _native_bfm_callback(mu, nu, num_steps, step_scale)
+    else:
+        from .bfm import bfm_jax
+        loss, grad = bfm_jax(mu, nu, num_steps=num_steps,
+                             step_scale=step_scale)
+    return loss, (grad / mass) * d
+
+
+_qw_jitted = jax.jit(_qw_jax_impl,
+                     static_argnames=("trans_type", "gamma", "method",
+                                      "num_steps", "step_scale",
+                                      "bfm_backend"))
 
 
 class qWasserstein:
@@ -111,31 +151,14 @@ class qWasserstein:
         self.step_scale = step_scale
         self.bfm_backend = bfm_backend
         self._bfm = None
-        self._jitted = None
 
     # ------------------------------------------------------------------ jax
     def jax(self, f, g):
-        mu, nu, d = transform_jax(f, g, self.trans_type, self.gamma)
-        if self.method == "1d":
-            losses, grads = jax.vmap(w2_1d_jax, in_axes=1, out_axes=(0, 1))(
-                mu, nu)
-            return jnp.sum(losses), grads * d
-        # reference misfit.py:73 computes mass from the TRANSFORMED
-        # density (its `_2d_calculator(f=mu, ...)` receives mu), not the
-        # raw traces
-        mass = jnp.sum(mu) / mu.size
-        if self.bfm_backend == "native":
-            # host callback into the C++ OpenMP BFM: the TPU program
-            # pauses, ships the (batched under vmap) densities to the
-            # host, and gets loss/grad back — the in-process analog of
-            # the reference's bfm2d subprocess round trip
-            loss, grad = _native_bfm_callback(mu, nu, self.num_steps,
-                                              self.step_scale)
-        else:
-            from .bfm import bfm_jax
-            loss, grad = bfm_jax(mu, nu, num_steps=self.num_steps,
-                                 step_scale=self.step_scale)
-        return loss, (grad / mass) * d
+        return _qw_jax_impl(f, g, trans_type=self.trans_type,
+                            gamma=self.gamma, method=self.method,
+                            num_steps=self.num_steps,
+                            step_scale=self.step_scale,
+                            bfm_backend=self.bfm_backend)
 
     def jax_batch(self, f_b, g_b):
         """Traceable batched misfit over a (B, nt, ntraces) shot stack:
@@ -178,11 +201,19 @@ class qWasserstein:
                                       step_scale=self.step_scale)
             grad = (grad / mass) * np.asarray(d)
             return float(loss), grad.reshape(shape)
-        if self._jitted is None:
-            # jit the whole misfit: eager per-op dispatch over the TPU
-            # tunnel would pay one host round-trip per primitive
-            self._jitted = jax.jit(self.jax)
-        loss, grad = self._jitted(jnp.asarray(f), jnp.asarray(g))
+        # jit the whole misfit (eager per-op dispatch over the TPU
+        # tunnel would pay one host round-trip per primitive). The
+        # configuration enters the jitted impl as real (static)
+        # arguments, so mutating e.g. gamma between calls (a gamma-
+        # continuation loop) retraces instead of silently reusing a
+        # stale trace. (A per-instance ``jax.jit(self.jax)`` does NOT
+        # achieve this: jit keys its global cache on the bound method,
+        # and the attribute values read at trace time go stale.)
+        loss, grad = _qw_jitted(
+            jnp.asarray(f), jnp.asarray(g), trans_type=self.trans_type,
+            gamma=self.gamma, method=self.method,
+            num_steps=self.num_steps, step_scale=self.step_scale,
+            bfm_backend=self.bfm_backend)
         return float(loss), np.asarray(grad).reshape(shape)
 
     def batch(self, f_b, g_b):
@@ -205,7 +236,9 @@ class qWasserstein:
             grads = (grads / mass[:, None, None]) * d
             return losses, grads
         out = [self(f, g) for f, g in zip(f_b, g_b)]
-        return np.array([o[0] for o in out]), [o[1] for o in out]
+        # same return type as the native path (an (nb, nt, ntr) array)
+        return np.array([o[0] for o in out]), \
+            np.stack([o[1] for o in out])
 
 
 def _transform_np_batch(f, g, trans_type, gamma):
@@ -223,7 +256,8 @@ def _transform_np_batch(f, g, trans_type, gamma):
     if trans_type == "softplus":
         mu = np.log(np.exp(gamma * f) + 1)
         nu = np.log(np.exp(gamma * g) + 1)
-        return mu, nu, gamma / np.exp(-gamma * f)
+        # true derivative (see transform_jax's documented divergence)
+        return mu, nu, gamma / (1.0 + np.exp(-gamma * f))
     return f, g, np.ones_like(f)
 
 

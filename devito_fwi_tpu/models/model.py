@@ -95,11 +95,25 @@ class SeismicModel:
             self._physical_parameters.add("damp")
             return
         assert bcs in ("damp", "mask")
+        if self._bcs_type == "custom":
+            # never clobber a callable-initialized boundary field (e.g.
+            # the self-adjoint w/Q profile) with a standard one — the
+            # reference's re-init value check likewise leaves it alone
+            import warnings
+            warnings.warn(
+                "model carries a custom boundary field; keeping it "
+                f"instead of re-initializing bcs='{bcs}'")
+            return
         if self.nbl == 0:
             self.damp = 1.0 if bcs == "mask" else 0.0
             self._bcs_type = bcs
             return
         if self._bcs_type != bcs:
+            if self._bcs_type is not None:
+                # reference model.py warns on damp<->mask re-init too
+                import warnings
+                warnings.warn(f"re-initializing boundary field "
+                              f"'{self._bcs_type}' -> '{bcs}'")
             self.damp = damping_profile(self.padded_shape, self.padsizes,
                                         self.spacing, abc_type=bcs, fs=self.fs,
                                         dtype=self.dtype)

@@ -208,6 +208,11 @@ def demo_model(preset, **kwargs):
         delta = (0.5 * epsilon).astype(dtype)
         theta = (0.5 * epsilon).astype(dtype)
         phi = (0.25 * epsilon).astype(dtype) if len(shape) == 3 else None
+        # re-derive the origin from the FINAL shape (the reference does
+        # the same, preset_models.py:322) — the default popped earlier is
+        # a 2-tuple and would leave a 3-D model with a 2-D origin
+        if len(origin) != len(shape):
+            origin = tuple([0.0] * len(shape))
         return SeismicModel(space_order=space_order, vp=v, origin=origin,
                             shape=shape, dtype=dtype, spacing=spacing,
                             nbl=nbl, epsilon=epsilon, delta=delta,

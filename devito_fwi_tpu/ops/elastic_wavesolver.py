@@ -10,7 +10,7 @@ import numpy as np
 
 from . import staggered as _st
 from .interp import interp_table
-from .wavesolver import PerfSummary
+from .wavesolver import PerfSummary, sync_device
 
 
 def _elastic_pallas_ok(model, s_idx, r_idx):
@@ -52,8 +52,12 @@ class _StaggeredSolverBase:
         return interp_table(coords, self.model.origin_pml, self.model.spacing,
                             dtype=self.model.dtype)
 
-    def _field(self, name, default=None):
-        val = getattr(self.model, name, default)
+    def _field(self, name, default=None, override=None):
+        """Model field (or caller override) normalized to a dtype-cast
+        full-grid array — scalars expand, f64 inputs cast, exactly like
+        the acoustic solver's _vp handling."""
+        val = override if override is not None else \
+            getattr(self.model, name, default)
         if val is None:
             val = default
         val = np.asarray(val, dtype=self.model.dtype)
@@ -61,6 +65,17 @@ class _StaggeredSolverBase:
             val = np.full(self.model.padded_shape, val,
                           dtype=self.model.dtype)
         return val
+
+    def _check_rec2(self, rec1, rec2):
+        """The staggered kernels sample BOTH outputs at one receiver
+        table; a rec2 at different positions would silently get rec1's
+        sampling — reject it loudly instead."""
+        if not np.array_equal(np.asarray(rec1.coordinates),
+                              np.asarray(rec2.coordinates)):
+            raise ValueError(
+                "rec1/rec2 must share coordinates: the staggered "
+                "kernels sample tau_zz and div(v) at one receiver "
+                "table (pass matching positions or two forward calls)")
 
 
 class ElasticWaveSolver(_StaggeredSolverBase):
@@ -72,9 +87,10 @@ class ElasticWaveSolver(_StaggeredSolverBase):
         src = src or self.geometry.src
         rec1 = rec1 or self.geometry.new_rec(name="rec1")
         rec2 = rec2 or self.geometry.new_rec(name="rec2")
-        lam = self._field("lam") if lam is None else lam
-        mu = self._field("mu") if mu is None else mu
-        b = self._field("b", 1.0) if b is None else b
+        self._check_rec2(rec1, rec2)
+        lam = self._field("lam", override=lam)
+        mu = self._field("mu", override=mu)
+        b = self._field("b", 1.0, override=b)
         damp = self._field("damp", 1.0)
         dt = kwargs.pop("dt", self.dt)
         s_idx, s_w = self._tables(src.coordinates)
@@ -91,7 +107,7 @@ class ElasticWaveSolver(_StaggeredSolverBase):
                                          s_w, r_idx, r_w, dt, nt=self.nt,
                                          spacing=self.model.spacing,
                                          space_order=self.space_order)
-        r1.block_until_ready()
+        sync_device(r1)
         toc = _time.perf_counter()
         rec1.data[:] = np.asarray(r1)
         rec2.data[:] = np.asarray(r2)
@@ -115,11 +131,12 @@ class ViscoelasticWaveSolver(_StaggeredSolverBase):
         src = src or self.geometry.src
         rec1 = rec1 or self.geometry.new_rec(name="rec1")
         rec2 = rec2 or self.geometry.new_rec(name="rec2")
-        lam = self._field("lam") if lam is None else lam
-        mu = self._field("mu") if mu is None else mu
-        b = self._field("b", 1.0) if b is None else b
-        qp = self._field("qp") if qp is None else qp
-        qs = self._field("qs") if qs is None else qs
+        self._check_rec2(rec1, rec2)
+        lam = self._field("lam", override=lam)
+        mu = self._field("mu", override=mu)
+        b = self._field("b", 1.0, override=b)
+        qp = self._field("qp", override=qp)
+        qs = self._field("qs", override=qs)
         damp = self._field("damp", 1.0)
         dt = kwargs.pop("dt", self.dt)
         s_idx, s_w = self._tables(src.coordinates)
@@ -130,7 +147,7 @@ class ViscoelasticWaveSolver(_StaggeredSolverBase):
                                           s_w, r_idx, r_w, dt, nt=self.nt,
                                           spacing=self.model.spacing,
                                           space_order=self.space_order)
-        r1.block_until_ready()
+        sync_device(r1)
         toc = _time.perf_counter()
         rec1.data[:] = np.asarray(r1)
         rec2.data[:] = np.asarray(r2)

@@ -14,7 +14,7 @@ import numpy as np
 
 from . import self_adjoint as _sa
 from .interp import interp_table
-from .wavesolver import Wavefield, PerfSummary
+from .wavesolver import Wavefield, PerfSummary, sync_device
 
 __all__ = ["SaIsoAcousticWaveSolver", "acoustic_sa_setup"]
 
@@ -74,7 +74,7 @@ class SaIsoAcousticWaveSolver:
         rec_data, u_out = _sa.forward(vp, b, damp, src.data, s_idx, s_w,
                                       r_idx, r_w, dt, save=bool(save),
                                       **self._static())
-        rec_data.block_until_ready()
+        sync_device(rec_data)
         toc = _time.perf_counter()
         rec.data[:] = np.asarray(rec_data)
         return rec, Wavefield(u_out), \
@@ -91,7 +91,7 @@ class SaIsoAcousticWaveSolver:
         tic = _time.perf_counter()
         srca_data, v_out = _sa.adjoint(vp, b, damp, rec.data, r_idx, r_w,
                                        s_idx, s_w, dt, **self._static())
-        srca_data.block_until_ready()
+        sync_device(srca_data)
         toc = _time.perf_counter()
         srca.data[:] = np.asarray(srca_data)
         return srca, Wavefield(v_out), \
@@ -114,7 +114,7 @@ class SaIsoAcousticWaveSolver:
         rec_data, u0_out = _sa.born(vp, b, damp, dmv, src.data, s_idx, s_w,
                                     r_idx, r_w, dt, save=bool(save),
                                     **self._static())
-        rec_data.block_until_ready()
+        sync_device(rec_data)
         toc = _time.perf_counter()
         rec.data[:] = np.asarray(rec_data)
         return rec, Wavefield(u0_out), None, \
@@ -130,7 +130,7 @@ class SaIsoAcousticWaveSolver:
         tic = _time.perf_counter()
         dm_out, _ = _sa.jacobian_adjoint(vp, b, damp, u0_save, rec.data,
                                          r_idx, r_w, dt, **self._static())
-        dm_out.block_until_ready()
+        sync_device(dm_out)
         toc = _time.perf_counter()
         if dm is not None:
             dm += np.asarray(dm_out)

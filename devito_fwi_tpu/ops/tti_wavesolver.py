@@ -9,7 +9,7 @@ import numpy as np
 
 from . import tti as _tti
 from .interp import interp_table
-from .wavesolver import Wavefield, PerfSummary
+from .wavesolver import Wavefield, PerfSummary, sync_device
 
 __all__ = ["AnisotropicWaveSolver"]
 
@@ -76,7 +76,7 @@ class AnisotropicWaveSolver:
             rec_data = _tti.forward_staggered(
                 *params, src.data, s_idx, s_w, r_idx, r_w, dt,
                 **self._static())
-            rec_data.block_until_ready()
+            sync_device(rec_data)
             toc = _time.perf_counter()
             rec.data[:] = np.asarray(rec_data)
             return rec, None, None, \
@@ -84,7 +84,7 @@ class AnisotropicWaveSolver:
         tic = _time.perf_counter()
         out = _tti.forward(*params, src.data, s_idx, s_w, r_idx, r_w, dt,
                            save=bool(save), **self._static())
-        out[0].block_until_ready()
+        sync_device(out[0])
         toc = _time.perf_counter()
         rec.data[:] = np.asarray(out[0])
         summary = PerfSummary(toc - tic, 2 * self.nt * np.prod(params[0].shape))
@@ -100,13 +100,14 @@ class AnisotropicWaveSolver:
         s_idx, s_w = self._tables(srca.coordinates)
         r_idx, r_w = self._tables(rec.coordinates)
         tic = _time.perf_counter()
-        srca_data, _ = _tti.adjoint(*params, rec.data, r_idx, r_w, s_idx,
-                                    s_w, dt, **self._static())
-        srca_data.block_until_ready()
+        srca_data, p_fin = _tti.adjoint(*params, rec.data, r_idx, r_w,
+                                        s_idx, s_w, dt, **self._static())
+        sync_device(srca_data)
         toc = _time.perf_counter()
         srca.data[:] = np.asarray(srca_data)
         summary = PerfSummary(toc - tic, 2 * self.nt * np.prod(params[0].shape))
-        return srca, summary
+        # reference arity (srca, p, r, summary) — wavesolver.py:217
+        return srca, Wavefield(p_fin), None, summary
 
     def jacobian(self, dm, src=None, rec=None, vp=None, epsilon=None,
                  delta=None, theta=None, phi=None, **kwargs):
@@ -123,11 +124,13 @@ class AnisotropicWaveSolver:
         tic = _time.perf_counter()
         rec_data = _tti.born(*params, dmv, src.data, s_idx, s_w, r_idx, r_w,
                              dt, **self._static())
-        rec_data.block_until_ready()
+        sync_device(rec_data)
         toc = _time.perf_counter()
         rec.data[:] = np.asarray(rec_data)
         summary = PerfSummary(toc - tic, 4 * self.nt * np.prod(params[0].shape))
-        return rec, summary
+        # reference arity (rec, u0, v0, du, dv, summary) —
+        # wavesolver.py:280; the twin fields are not retained here
+        return rec, None, None, None, None, summary
 
     born = jacobian
 
@@ -143,7 +146,7 @@ class AnisotropicWaveSolver:
         tic = _time.perf_counter()
         dm_out, _ = _tti.jacobian_adjoint(*params, u0s, v0s, rec.data,
                                           r_idx, r_w, dt, **self._static())
-        dm_out.block_until_ready()
+        sync_device(dm_out)
         toc = _time.perf_counter()
         if dm is not None:
             dm += np.asarray(dm_out)
@@ -177,7 +180,7 @@ class AnisotropicWaveSolver:
         dm_out, _ = _tti.jacobian_adjoint_from_ckpt(
             *params, src.data, s_idx, s_w, seg_starts, rec.data,
             r_idx, r_w, dt, n_checkpoints=n_checkpoints, **self._static())
-        dm_out.block_until_ready()
+        sync_device(dm_out)
         toc = _time.perf_counter()
         if dm is not None:
             dm += np.asarray(dm_out)

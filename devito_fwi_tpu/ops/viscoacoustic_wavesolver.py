@@ -10,7 +10,7 @@ import numpy as np
 
 from . import viscoacoustic as _va
 from .interp import interp_table
-from .wavesolver import Wavefield, PerfSummary
+from .wavesolver import Wavefield, PerfSummary, sync_device
 
 
 def _visco_pallas_ok(model, kernel, time_order, s_idx, r_idx):
@@ -95,7 +95,7 @@ class ViscoacousticWaveSolver:
             rec_data, p_out = _va.forward(
                 vp_, b_, qp_, damp, src.data, s_idx, s_w, r_idx, r_w, dt,
                 self.geometry.f0, save=bool(save), **self._static())
-        rec_data.block_until_ready()
+        sync_device(rec_data)
         toc = _time.perf_counter()
         rec.data[:] = np.asarray(rec_data)
         summary = PerfSummary(toc - tic, self.nt * np.prod(vp_.shape))
@@ -114,7 +114,7 @@ class ViscoacousticWaveSolver:
         srca_data, p_out = _va.adjoint(vp_, b_, qp_, damp, rec.data, r_idx,
                                        r_w, s_idx, s_w, dt,
                                        self.geometry.f0, **self._static())
-        srca_data.block_until_ready()
+        sync_device(srca_data)
         toc = _time.perf_counter()
         srca.data[:] = np.asarray(srca_data)
         summary = PerfSummary(toc - tic, self.nt * np.prod(vp_.shape))

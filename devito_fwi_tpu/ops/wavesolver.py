@@ -20,6 +20,25 @@ from ..models.sources import PointSource
 __all__ = ["AcousticWaveSolver", "Wavefield", "PerfSummary"]
 
 
+def sync_device(x):
+    """Real device sync for timing: ``block_until_ready`` returns EARLY
+    through the axon TPU tunnel (CLAUDE.md platform rules), so a
+    PerfSummary window closed on it measures dispatch, not execution.
+    Fetching one scalar through a tiny jit forces true completion; the
+    ~26 ms tunnel fetch latency it adds is a bounded constant, versus an
+    unbounded under-measurement."""
+    import jax
+    global _SYNC_FETCH
+    try:
+        fn = _SYNC_FETCH
+    except NameError:
+        fn = None
+    if fn is None:
+        fn = jax.jit(lambda a: a.ravel()[0])
+        globals()["_SYNC_FETCH"] = fn
+    float(fn(x))
+
+
 class Wavefield:
     """Thin wrapper so callers can use ``.data`` like a devito TimeFunction."""
 
@@ -121,7 +140,7 @@ class AcousticWaveSolver:
                                       r_idx, r_w, dt, save=bool(save),
                                       w_override=w_override,
                                       **self._static())
-        rec_data.block_until_ready()
+        sync_device(rec_data)
         toc = _time.perf_counter()
         rec.data[:] = np.asarray(rec_data)
         summary = PerfSummary(toc - tic, self.nt * np.prod(vp.shape))
@@ -137,7 +156,7 @@ class AcousticWaveSolver:
         tic = _time.perf_counter()
         srca_data, v_out = _ac.adjoint(vp, self._damp(), rec.data, r_idx, r_w,
                                        s_idx, s_w, dt, **self._static())
-        srca_data.block_until_ready()
+        sync_device(srca_data)
         toc = _time.perf_counter()
         srca.data[:] = np.asarray(srca_data)
         summary = PerfSummary(toc - tic, self.nt * np.prod(vp.shape))
@@ -164,7 +183,7 @@ class AcousticWaveSolver:
             u_save = u.data if isinstance(u, Wavefield) else u
             grad_out, _ = _ac.gradient(vp, self._damp(), u_save, rec.data,
                                        r_idx, r_w, dt, **self._static())
-        grad_out.block_until_ready()
+        sync_device(grad_out)
         toc = _time.perf_counter()
         if grad is not None:
             grad += np.asarray(grad_out)  # devito Inc semantics: accumulate
@@ -189,7 +208,7 @@ class AcousticWaveSolver:
         tic = _time.perf_counter()
         rec_data = _ac.born(vp, self._damp(), dm, src.data, s_idx, s_w,
                             r_idx, r_w, dt, **self._static())
-        rec_data.block_until_ready()
+        sync_device(rec_data)
         toc = _time.perf_counter()
         rec.data[:] = np.asarray(rec_data)
         summary = PerfSummary(toc - tic, 2 * self.nt * np.prod(vp.shape))

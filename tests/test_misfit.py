@@ -326,3 +326,58 @@ def test_bfm_batch_explicit_backend_args():
     assert np.allclose(np.asarray(base[0]), np.asarray(alt[0]), rtol=1e-5)
     assert np.allclose(np.asarray(base[1]), np.asarray(alt[1]),
                        rtol=1e-4, atol=1e-6)
+
+
+def test_softplus_chain_factor_is_true_derivative():
+    """The softplus chain-rule factor must be the TRUE derivative
+    d(mu)/df = gamma*sigmoid(gamma*f) — the reference's
+    gamma*exp(gamma*f) is unbounded and makes the gradient point the
+    wrong way at large amplitudes (documented divergence). Checked by
+    FD on the transform itself, plus a descent check on the misfit."""
+    from devito_fwi_tpu.misfit.w2 import transform_jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(5)
+    f = jnp.asarray(rng.randn(40, 6) * 2.0)
+    g = jnp.asarray(rng.randn(40, 6))
+    gamma, h = 1.3, 1e-6
+    _, _, d = transform_jax(f, g, "softplus", gamma)
+    mu_p = transform_jax(f + h, g, "softplus", gamma)[0]
+    mu_m = transform_jax(f - h, g, "softplus", gamma)[0]
+    fd = np.asarray((mu_p - mu_m) / (2 * h))
+    np.testing.assert_allclose(np.asarray(d), fd, rtol=1e-4)
+    # and the full softplus misfit gradient is a descent direction
+    fh = rng.randn(80, 7)
+    gh = np.roll(fh, 4, axis=0)
+    w2 = qWasserstein(trans_type='softplus', gamma=1.0, method='1d')
+    loss0, grad = w2(fh, gh)
+    eps = 1e-3 / (np.abs(grad).max() + 1e-30)
+    loss1, _ = w2(fh - eps * grad, gh)
+    assert loss1 < loss0
+
+
+def test_w2_1d_dead_trace_no_nan():
+    """An all-zero trace must contribute loss 0 / grad 0, not NaN."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.misfit.w2 import w2_1d_jax
+    f = jnp.zeros(50, jnp.float32)
+    g = jnp.zeros(50, jnp.float32)
+    loss, grad = w2_1d_jax(f, g)
+    assert float(loss) == 0.0 and np.all(np.asarray(grad) == 0.0)
+
+
+def test_qwasserstein_gamma_mutation_retraces():
+    """Mutating attributes between calls must not silently reuse the
+    jitted function traced with the old constants."""
+    rng = np.random.RandomState(6)
+    f = np.abs(rng.randn(40, 5)) + 0.5
+    g = np.roll(f, 2, axis=0)
+    w2 = qWasserstein(trans_type='exp', gamma=0.5, method='1d')
+    l1, _ = w2(f, g)
+    w2.gamma = 2.0
+    l2, _ = w2(f, g)
+    w2b = qWasserstein(trans_type='exp', gamma=2.0, method='1d')
+    l2_ref, _ = w2b(f, g)
+    # a stale cache hit would return l1 BIT-identically; a retrace gives
+    # exactly the fresh instance's value
+    assert l2 == pytest.approx(l2_ref, rel=1e-12)
+    assert l2 != l1

@@ -77,7 +77,7 @@ def test_tti_adjoint_F():
     rec1 = solver.geometry.new_rec()
     rec1.data[:] = np.random.rand(*rec1.data.shape)
     rec2, _, _, _ = solver.forward(src1)
-    srca, _ = solver.adjoint(rec1)
+    srca, _, _, _ = solver.adjoint(rec1)
     sum_s = np.dot(src1.data.ravel(), srca.data.ravel())
     sum_r = np.dot(rec1.data.ravel(), rec2.data.ravel())
     diff = (sum_s - sum_r) / (sum_s + sum_r)
@@ -94,7 +94,7 @@ def test_tti_adjoint_J():
         -1 + 2 * np.random.rand(11, 11)
     rec1 = solver.geometry.new_rec()
     rec1.data[:] = np.random.rand(*rec1.data.shape)
-    rec2, _ = solver.jacobian(dm1)
+    rec2, _, _, _, _, _ = solver.jacobian(dm1)
     _, u0, v0, _ = solver.forward(save=True)
     dm2, _ = solver.jacobian_adjoint(rec1, u0, v0)
     sum_m = np.dot(dm1.ravel(), dm2.ravel())
