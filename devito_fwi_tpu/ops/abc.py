@@ -150,14 +150,9 @@ def _sh(u, dx, dz):
     return jax.lax.dynamic_slice(up, (2 + dx, 2 + dz), (nx, nz))
 
 
-def _gather(field, idx):
-    coords = tuple(idx[..., d] for d in range(idx.shape[-1]))
-    return field.at[coords].get(mode="fill", fill_value=0)
-
-
-def _scatter_add(field, idx, vals):
-    coords = tuple(idx[..., d] for d in range(idx.shape[-1]))
-    return field.at[coords].add(vals, mode="drop")
+# one canonical sparse gather/scatter pair (OOB-corner drop semantics
+# live with the interp_table contract) — do not re-copy per physics file
+from .acoustic import _gather, _scatter_add  # noqa: E402
 
 
 def _top_neumann(u):
@@ -234,10 +229,10 @@ def pml_acoustic_forward(v, src_wav, src_idx, src_w, rec_idx, rec_w, dt, *,
         return (un, u, p1n, p2n), rec_t
 
     z = jnp.zeros_like(v)
-    (_, _, _, _), recs = jax.lax.scan(step, (z, z, z, z),
-                                      src_wav[0:nt - 1])
+    (u_fin, _, _, _), recs = jax.lax.scan(step, (z, z, z, z),
+                                          src_wav[0:nt - 1])
     rec = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
-    return rec.at[0:nt - 1].set(recs), None
+    return rec.at[0:nt - 1].set(recs), u_fin
 
 
 # ---------------------------------------------------------------------------
@@ -276,15 +271,12 @@ def _higdon(u3, u2, u1, v, s, h, d):
     """Two-term Higdon prediction, angles 0 and pi/4, space/time averaging
     parameters a = b = 1/2 (04_habc cell 38)."""
     d2 = tuple(2 * x for x in d)
-    out = None
-    ga, gb = [], []
+    ga = []
     for alpha in (0.0, np.pi / 4):
         ca = float(np.cos(alpha))
-        g1 = ca * 0.5 / s
-        g2 = ca * 0.5 / s
-        g3 = ca * 0.5 / h * v
-        g4 = ca * 0.5 / h * v
-        ga.append((g1 + g3, -g1 + g4, g2 - g3, -g2 - g4))
+        gt = ca * 0.5 / s          # time-difference coefficient
+        gs = ca * 0.5 / h * v      # space-difference coefficient
+        ga.append((gt + gs, -gt + gs, gt - gs, -gt - gs))
     (c11, c12, c13, c14), (c21, c22, c23, c24) = ga
     aux = (u2 * (-c11 * c22 - c12 * c21) +
            _sh(u3, *d) * (-c11 * c23 - c13 * c21) +

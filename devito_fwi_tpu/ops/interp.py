@@ -49,4 +49,14 @@ def interp_table(coords, origin_pml, spacing, dtype=np.float32):
     for d in range(ndim):
         fd = frac[:, d][:, None]
         w = w * np.where(corners[None, :, d] == 1, fd, 1.0 - fd)
+    # a NEGATIVE corner index would not be dropped on device: JAX
+    # normalizes negative indices BEFORE the mode='drop'/'fill' OOB
+    # check, so it would silently wrap to the far grid edge (wrong
+    # physics, no error). Remap below-origin corners to a huge positive
+    # index — OOB on any grid, so the drop/fill modes discard them like
+    # the high-side ones — and zero their weights.
+    neg = (idx < 0).any(axis=-1)
+    if neg.any():
+        idx = np.where(neg[..., None], np.int64(2**30), idx)
+        w = np.where(neg, 0.0, w)
     return idx.astype(np.int32), w.astype(dtype)

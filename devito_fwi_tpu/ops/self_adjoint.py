@@ -146,14 +146,9 @@ def _prep(vp, b, woq, dt, spacing, space_order):
     return (w_p, off_p, w_m, off_m), inv_h, vp2_over_b, swoq, s, s2
 
 
-def _gather(field, idx):
-    coords = tuple(idx[..., d] for d in range(idx.shape[-1]))
-    return field.at[coords].get(mode="fill", fill_value=0)
-
-
-def _scatter_add(field, idx, vals):
-    coords = tuple(idx[..., d] for d in range(idx.shape[-1]))
-    return field.at[coords].add(vals, mode="drop")
+# one canonical sparse gather/scatter pair (OOB-corner drop semantics
+# live with the interp_table contract) — do not re-copy per physics file
+from .acoustic import _gather, _scatter_add  # noqa: E402
 
 
 def _update(u, u_prev, L, q, vp2_over_b, swoq, s2):

@@ -111,14 +111,9 @@ def avg_to(p, dims, ndim):
     return p
 
 
-def _gather(field, idx):
-    coords = tuple(idx[..., d] for d in range(idx.shape[-1]))
-    return field.at[coords].get(mode="fill", fill_value=0)
-
-
-def _scatter_add(field, idx, vals):
-    coords = tuple(idx[..., d] for d in range(idx.shape[-1]))
-    return field.at[coords].add(vals, mode="drop")
+# one canonical sparse gather/scatter pair (OOB-corner drop semantics
+# live with the interp_table contract) — do not re-copy per physics file
+from .acoustic import _gather, _scatter_add  # noqa: E402
 
 
 def _pairs(ndim):

@@ -86,6 +86,7 @@ def forward(vp, b, qp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt,
             avg=True, save=False):
     """Viscoacoustic forward modeling. Returns (rec (nt, nrec), p history
     if save else final slices)."""
+    assert (kernel, time_order) in KERNELS, (kernel, time_order)
     c = _common(vp, b, qp, damp, f0, dt, spacing, space_order, avg)
     s, w0, rho, bm, t_s, tt = (c["s"], c["w0"], c["rho"], c["bm"],
                                c["t_s"], c["tt"])
@@ -161,13 +162,18 @@ def forward(vp, b, qp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt,
         eta_rho = (vp * vp * rho) / (w0 * qp)
 
         def step(carry, src_t):
-            p, p_prev = carry
+            # carry lsa(p_prev): lsa is linear, so lsa(p - p_prev) =
+            # lsa(p) - lsa(p_prev), and the previous step already
+            # computed lsa(p_prev) — one stencil sweep per step instead
+            # of two (XLA cannot CSE across different operands)
+            p, p_prev, L_prev = carry
             rec_t = jnp.sum(_gather(p, rec_idx) * rec_w, axis=-1)
-            pn = damp * (2. * p - damp * p_prev + s * s * bm * lsa(p) +
-                         s * eta_rho * lsa(p - p_prev))
+            L = lsa(p)
+            pn = damp * (2. * p - damp * p_prev + s * s * bm * L +
+                         s * eta_rho * (L - L_prev))
             pn = _scatter_add(pn, src_idx, src_t[:, None] * src_scale)
-            return (pn, p), (rec_t, pn if save else None)
-        init = (z, z)
+            return (pn, p, L), (rec_t, pn if save else None)
+        init = (z, z, z)
     else:  # deng_mcmechan
         def step(carry, src_t):
             p, p_prev = carry
@@ -196,6 +202,7 @@ def adjoint(vp, b, qp, damp, rec_data, rec_idx, rec_w, src_idx, src_w, dt,
     ``operators.py`` forward=False branches): time-reversed recursion with
     receiver injection into p[t-1], sampled at the sources. Returns
     (srca (nt, nsrcpt), final p)."""
+    assert (kernel, time_order) in KERNELS, (kernel, time_order)
     c = _common(vp, b, qp, damp, f0, dt, spacing, space_order, avg)
     s, w0, rho, bm, t_s, tt = (c["s"], c["w0"], c["rho"], c["bm"],
                                c["t_s"], c["tt"])
@@ -254,10 +261,10 @@ def adjoint(vp, b, qp, damp, rec_data, rec_idx, rec_w, src_idx, src_w, dt,
                 return (vn, pn), srca_t
             init = (tuple(z for _ in range(ndim)), z)
 
-        _, srcas = jax.lax.scan(step, init, rec_data[0:nt - 1][::-1])
+        carry, srcas = jax.lax.scan(step, init, rec_data[0:nt - 1][::-1])
         srca = jnp.zeros((nt, src_idx.shape[0]), dtype=dtype)
         srca = srca.at[0:nt - 1].set(srcas[::-1])
-        return srca, z
+        return srca, carry[-1]
 
     rec_scale = rec_w * s * s * _gather(vp * vp, rec_idx)
 
@@ -294,7 +301,7 @@ def adjoint(vp, b, qp, damp, rec_data, rec_idx, rec_w, src_idx, src_w, dt,
             return (pn, p), srca_t
         init = (z, z)
 
-    _, srcas = jax.lax.scan(step, init, rec_data[1:nt - 1][::-1])
+    carry, srcas = jax.lax.scan(step, init, rec_data[1:nt - 1][::-1])
     srca = jnp.zeros((nt, src_idx.shape[0]), dtype=dtype)
     srca = srca.at[1:nt - 1].set(srcas[::-1])
-    return srca, z
+    return srca, carry[0]

@@ -8,8 +8,12 @@ velocity profile ``v(t0)``, the reflection time at offset x is
     t(t0, x) = sqrt(t0^2 + x^2 / v(t0)^2)
 
 and the corrected gather resamples each trace at t(t0, x). Implemented
-as one vectorized numpy gather (trace-parallel), with the same linear
-interpolation and out-of-range muting the notebook uses.
+as one vectorized numpy gather (trace-parallel). **Deliberate
+improvement over the notebook**: linear interpolation between samples
+and zero-muting of out-of-range times, where the notebook gathers the
+NEAREST sample and maps out-of-range indices to sample 0 (so its
+far-offset corrections carry the t=0 amplitude) — per-sample outputs
+therefore differ slightly from the notebook's.
 """
 from __future__ import annotations
 

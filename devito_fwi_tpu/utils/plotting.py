@@ -18,11 +18,6 @@ __all__ = ["plot_perturbation", "plot_velocity", "plot_shotrecord",
            "plot_image"]
 
 
-def _extent(model):
-    return [model.origin[0], model.origin[0] + model.domain_size[0],
-            model.origin[1] + model.domain_size[1], model.origin[1]]
-
-
 def plot_perturbation(model, model1, colorbar=True, show=True):
     """Plot the velocity difference between two models."""
     domain_size = 1.e-3 * np.array(model.domain_size)

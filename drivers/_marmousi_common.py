@@ -94,7 +94,7 @@ def default_data_dir():
         os.path.abspath(__file__))), "model_data")
 
 
-def _synthetic_vp(shape, seed=0):
+def _synthetic_vp(shape, water_rows=7, seed=0):
     """Layered stand-in with a water column, same value range as Marmousi."""
     rng = np.random.RandomState(seed)
     nx, nz = shape
@@ -102,7 +102,7 @@ def _synthetic_vp(shape, seed=0):
     wob = 0.3 * np.sin(np.linspace(0, 6 * np.pi, nx))[:, None] \
         * np.linspace(0, 1, nz)[None, :]
     v = (depth + wob + 0.1 * rng.randn(nx, nz) * np.linspace(0, 1, nz))
-    v[:, :7] = 1.5
+    v[:, :water_rows] = 1.5
     return np.asarray(v, dtype=np.float32)
 
 
@@ -124,9 +124,11 @@ def load_models(cfg, data_dir):
         print("WARNING: %s not found - using a synthetic stand-in model"
               % tpath)
         from scipy.ndimage import gaussian_filter
-        true_vp = _synthetic_vp(cfg.shape)
+        # keep the stand-in's water column consistent with the driver's
+        # bathymetry configuration (SMARM2 masks 15 rows, not 7)
+        true_vp = _synthetic_vp(cfg.shape, water_rows=cfg.bathy_rows)
         smooth_vp = gaussian_filter(true_vp, sigma=20).astype(np.float32)
-        smooth_vp[:, :7] = 1.5
+        smooth_vp[:, :cfg.bathy_rows] = 1.5
     return true_vp, smooth_vp
 
 
