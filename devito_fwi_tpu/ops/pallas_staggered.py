@@ -237,7 +237,8 @@ def elastic_forward_pallas(lam, mu, b, damp, src_wav, src_idx, src_w,
     inj = np.zeros((nx, nz), dtype)
     for c in range(s_idx_n.shape[1]):
         xi, zi = s_idx_n[0, c]
-        inj[xi, zi] += s_w_n[0, c] * s     # w_p * dt (operators.py:20-25)
+        if 0 <= xi < nx and 0 <= zi < nz:  # drop OOB corners (interp.py)
+            inj[xi, zi] += s_w_n[0, c] * s  # w_p * dt (operators.py:20-25)
 
     r_idx_n = np.asarray(rec_idx)
     z0 = int(r_idx_n[..., 1].min())
@@ -439,8 +440,10 @@ def visco_sls2_forward_pallas(vp, b, qp, damp, src_wav, src_idx, src_w,
     vp2 = vp_a * vp_a
     for c in range(s_idx_n.shape[1]):
         xi, zi = s_idx_n[0, c]
-        # src_scale = src_w * dt^2 * vp^2 at the corner (operators.py:28)
-        inj[xi, zi] += s_w_n[0, c] * s * s * vp2[xi, zi]
+        if 0 <= xi < nx and 0 <= zi < nz:  # drop OOB corners (interp.py)
+            # src_scale = src_w * dt^2 * vp^2 at the corner
+            # (operators.py:28)
+            inj[xi, zi] += s_w_n[0, c] * s * s * vp2[xi, zi]
 
     r_idx_n = np.asarray(rec_idx)
     z0 = int(r_idx_n[..., 1].min())
