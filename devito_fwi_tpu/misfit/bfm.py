@@ -655,7 +655,7 @@ def _sampling_pushforward_batch(mu_b, xMap_b, yMap_b, n1, n2, nsub, dmax,
 
 def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
                   dmax=127, max_tmp_elems=32_000_000, push_backend=None,
-                  legendre_banded=None):
+                  legendre_banded=None, return_carry=False):
     """Batched quadratic-Wasserstein distance and gradient d W2 / d f of
     two (B, n2, n1) stacks of 2-D densities (rows = time/y, cols =
     traces/x). Returns per-shot ``(losses (B,), grads (B, n2, n1))``.
@@ -694,15 +694,21 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
             "DEVITO_FWI_TPU_BFM_LEGENDRE", "full") == "banded"
     return _bfm_jax_batch_core(f_b, g_b, num_steps, step_scale, nsub,
                                dmax, max_tmp_elems, push_backend,
-                               bool(legendre_banded))
+                               bool(legendre_banded), bool(return_carry))
 
 
 @partial(jax.jit, static_argnames=("num_steps", "nsub", "dmax",
                                    "max_tmp_elems", "push_backend",
-                                   "legendre_banded"))
+                                   "legendre_banded", "return_carry"))
 def _bfm_jax_batch_core(f_b, g_b, num_steps, step_scale, nsub, dmax,
-                        max_tmp_elems, push_backend, legendre_banded):
-    """Jitted body of ``bfm_jax_batch`` (see its docstring)."""
+                        max_tmp_elems, push_backend, legendre_banded,
+                        return_carry=False):
+    """Jitted body of ``bfm_jax_batch`` (see its docstring).
+    ``return_carry=True`` additionally returns the final BFM loop carry
+    ``(phi, dual, rho, sigma, wd)`` plus ``(mu, nu)`` — the live-state
+    hook tools/profile_w2_components.py replays components on, kept
+    INSIDE the solver so it cannot drift from the production loop (a
+    hand-rolled replay once omitted the adaptive sigma updates)."""
     dtype = f_b.dtype
     B, n2, n1 = f_b.shape
     pcount = n1 * n2
@@ -810,6 +816,9 @@ def _bfm_jax_batch_core(f_b, g_b, num_steps, step_scale, nsub, dmax,
     dual_f = quad_b - dual
     term = psum(mu * dual_f)[:, None, None] / pcount
     grad = jnp.where(sum1 > 0, (dual_f - term) / sum1, 0.0)
+    if return_carry:
+        return jnp.where(live, wd, 0.0), grad, \
+            (phi, dual, rho, sigma, wd), (mu, nu)
     return jnp.where(live, wd, 0.0), grad
 
 

@@ -143,6 +143,10 @@ def main():
 
     # 5. recompute-path gradient (forward ckpt + 2-sweep reverse)
     nck_r = pa.pick_n_checkpoints(nt, nx_p, nz_p)
+    if nck_r is None:
+        print("5. recompute path does not fit VMEM at this grid size; "
+              "skipping")
+        return
     nck_r = max(nck_r, _default_checkpoints(nt))
     nsteps_r, seg_r, nseg_r = _ckpt_layout(nt, nck_r)
     kwr = dict(kw); kwr["n_checkpoints"] = nck_r

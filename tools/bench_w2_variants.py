@@ -63,7 +63,10 @@ def main():
     t_l2 = best_of(l2_obj, 3)
     print(f"L2 objective (grad):  {t_l2:.3f} s")
 
-    w2 = qWasserstein(trans_type="linear", method="2d", num_steps=10,
+    # production SMARMN config (gamma=1.01, num_steps=15 — this tool
+    # picks the production defaults, so it must measure them)
+    w2 = qWasserstein(trans_type="linear", method="2d",
+                      gamma=1.01, num_steps=15,
                       step_scale=SMARMN.w2_step_scale, bfm_backend="jax")
 
     def w2_obj():

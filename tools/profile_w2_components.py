@@ -56,65 +56,20 @@ class Args:
         os.path.abspath(__file__))), "model_data")
 
 
-@partial(jax.jit, static_argnames=("k",))
 def run_to_iter(mu, nu, k, step_scale=1.0):
-    """Replay bfm_jax_batch's loop for k iterations; return the carry."""
-    dtype = mu.dtype
-    Bb, n2, n1 = mu.shape
-    pcount = n1 * n2
-    psum = lambda x: jnp.sum(x, axis=(-2, -1))
-    sum1 = psum(mu)[:, None, None] / pcount
-    sum2 = psum(nu)[:, None, None] / pcount
-    mu = jnp.where(sum1 > 0, mu / sum1, 0.0)
-    nu = jnp.where(sum2 > 0, nu / sum2, 0.0)
-    sigma0 = step_scale / jnp.maximum(jnp.max(mu, axis=(1, 2)),
-                                      jnp.max(nu, axis=(1, 2)))
-    xs = (jnp.arange(n1, dtype=dtype) + 0.5) / n1
-    ys = (jnp.arange(n2, dtype=dtype) + 0.5) / n2
-    quad = 0.5 * (xs[None, :] ** 2 + ys[:, None] ** 2)
-    quad_b = jnp.broadcast_to(quad, (Bb, n2, n1))
-    kx = 2.0 * n1 * n1 * (1 - jnp.cos(jnp.pi * jnp.arange(n1) / n1))
-    ky = 2.0 * n2 * n2 * (1 - jnp.cos(jnp.pi * jnp.arange(n2) / n2))
-    kernel = (kx[None, :] + ky[:, None]).at[0, 0].set(1.0).astype(dtype)
-
-    def _dctm(n):
-        kk = jnp.arange(n, dtype=dtype)[:, None]
-        i = jnp.arange(n, dtype=dtype)[None, :]
-        C = jnp.sqrt(2.0 / n) * jnp.cos(jnp.pi * (i + 0.5) * kk / n)
-        return C.at[0].mul(jnp.sqrt(0.5))
-    C1, C2 = _dctm(n1), _dctm(n2)
-    hp = jax.lax.Precision.HIGHEST
-    dct2 = lambda a: jnp.einsum("ij,bjk,lk->bil", C2, a, C1, precision=hp)
-    idct2 = lambda a: jnp.einsum("ji,bjk,kl->bil", C2, a, C1, precision=hp)
-
-    def upd(phi, rho, target, sigma):
-        r = rho - target
-        w = dct2(r) / kernel
-        w = w.at[:, 0, 0].set(0.0)
-        w = idct2(w)
-        return phi + sigma[:, None, None] * w
-
-    leg = lambda u: B._legendre_2d(u, xs, ys, 32_000_000)
-
-    def push(dens, potential):
-        xm, ym = jax.vmap(lambda p: B._pushforward_map(p, n1, n2))(potential)
-        return B._sampling_pushforward_batch(dens, xm, ym, n1, n2, 2, 127)
-
-    def body(carry, _):
-        phi, dual, rho, sigma = carry
-        phi = upd(phi, rho, nu, sigma)
-        dual = leg(phi)
-        phi = leg(dual)
-        rho = push(nu, phi)
-        dual = upd(dual, rho, mu, sigma)
-        phi = leg(dual)
-        dual = leg(phi)
-        rho = push(mu, dual)
-        return (phi, dual, rho, sigma), None
-
-    init = (quad_b, quad_b, mu, sigma0.astype(dtype))
-    carry, _ = jax.lax.scan(body, init, None, length=k)
-    return carry + (mu, nu, xs, ys)
+    """Live BFM carry at iteration k via the solver's own return_carry
+    hook — the SAME jitted loop production runs (a hand-rolled replay
+    here once omitted the adaptive sigma updates and the dead-shot
+    guard, so the captured displacements were not the state production
+    sees)."""
+    _, _, carry, (mun, nun) = B.bfm_jax_batch(
+        mu, nu, num_steps=k, step_scale=step_scale, return_carry=True)
+    phi, dual, rho, sigma, _ = carry
+    n1 = mu.shape[2]
+    n2 = mu.shape[1]
+    xs = (jnp.arange(n1, dtype=mu.dtype) + 0.5) / n1
+    ys = (jnp.arange(n2, dtype=mu.dtype) + 0.5) / n2
+    return phi, dual, rho, sigma, mun, nun, xs, ys
 
 
 def main():
@@ -144,7 +99,8 @@ def main():
     t_l2, _ = best_of(l2_obj, 3)
     print(f"L2 objective (grad):         {t_l2:.3f} s")
 
-    w2q = qWasserstein(trans_type="linear", method="2d", num_steps=10,
+    w2q = qWasserstein(trans_type="linear", method="2d",
+                   gamma=1.01, num_steps=SMARMN.w2_num_steps,
                       step_scale=SMARMN.w2_step_scale, bfm_backend="jax")
     def w2_obj():
         fv, _, _ = fwi_obj_multi(geometry0, obs, w2q, dw, bathy_mask, True,
@@ -155,12 +111,13 @@ def main():
     t_w2, _ = best_of(w2_obj, 2)
     print(f"W2-2d objective (grad):      {t_w2:.3f} s   ({t_w2/t_l2:.1f}x L2)")
 
+    nst = SMARMN.w2_num_steps
     bfb = jax.jit(lambda a, b: jnp.sum(B.bfm_jax_batch(
-        a, b, num_steps=10, step_scale=1.0)[0]))
+        a, b, num_steps=nst, step_scale=1.0)[0]))
     t0 = time.perf_counter(); sync(bfb(mu, nu))
     print(f"bfm compile+run: {time.perf_counter()-t0:.1f}s")
     t_bfm, _ = best_of(lambda: bfb(mu, nu), 3)
-    print(f"bfm_jax_batch (10 iters):    {t_bfm:.3f} s")
+    print(f"bfm_jax_batch ({nst} iters):    {t_bfm:.3f} s")
 
     # live state at iteration 5
     phi, dual, rho, sigma, mun, nun, xs, ys = jax.block_until_ready(
@@ -177,7 +134,7 @@ def main():
         return jnp.sum(c)
     t, _ = best_of(lambda: leg20(phi), 3)
     print(f"legendre_2d (live phi) x20:  {t:.3f} s  ({t/20*1e3:.1f} ms/call;"
-          f" 40 calls/bfm -> {2*t:.2f} s)")
+          f" {4*nst} calls/bfm -> {4*nst/20*t:.2f} s)")
 
     # banded disabled, same input
     @jax.jit
@@ -201,7 +158,7 @@ def main():
         return jnp.sum(c)
     t, _ = best_of(lambda: push10(nun, phi), 3)
     print(f"pushforward (live) x10:      {t:.3f} s  ({t/10*1e3:.1f} ms/call;"
-          f" 20 calls/bfm -> {2*t:.2f} s)")
+          f" {2*nst} calls/bfm -> {2*nst/10*t:.2f} s)")
 
     # component: one H^-1 update (DCT poisson), x20 chained
     kx = 2.0 * n1 * n1 * (1 - jnp.cos(jnp.pi * jnp.arange(n1) / n1))
@@ -227,7 +184,7 @@ def main():
         return jnp.sum(c)
     t, _ = best_of(lambda: upd20(rho), 3)
     print(f"dct_poisson x20:             {t:.3f} s  ({t/20*1e3:.1f} ms/call;"
-          f" 20 calls/bfm -> {t:.2f} s)")
+          f" {2*nst} calls/bfm -> {2*nst/20*t:.2f} s)")
 
 
 if __name__ == "__main__":

@@ -30,8 +30,23 @@ def main():
     cmd = [sys.executable, "-m", "pytest", "tests/test_tpu_onchip.py",
            "-m", "slow", "-v", "--no-header", "-rA"]
     t0 = time.time()
-    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
-                          text=True, timeout=3600)
+    try:
+        proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                              text=True, timeout=3600)
+    except subprocess.TimeoutExpired as e:
+        # the exact scenario the timeout exists for (tunnel hang) must
+        # still produce an artifact + JSON line
+        wall = time.time() - t0
+        artifact = {"suite": "tests/test_tpu_onchip.py", "rc": -1,
+                    "ok": False, "wall_s": round(wall, 1), "tests": {},
+                    "tail": "TIMEOUT after 3600s (TPU tunnel hang?): "
+                            + str(e)[-500:]}
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=2)
+            f.write("\n")
+        print(json.dumps({k: artifact[k] for k in
+                          ("rc", "ok", "wall_s", "tests")}))
+        return 1
     wall = time.time() - t0
     tests = {}
     for line in proc.stdout.splitlines():
