@@ -690,11 +690,18 @@ def _default_checkpoints(nt):
 
 
 def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
-                            calc_grad, shot_chunk=32, misfit_batch=None):
+                            calc_grad, shot_chunk=32, misfit_batch=None,
+                            shot_indices=None):
     """Multi-shot objective: chunked vmap of the fused single-shot body —
     one TPU program per (at most two) chunk shapes, with on-device
     reductions and a single device->host transfer.
-    Returns (fval, grad_sum, illum_sum, residuals)."""
+    Returns (fval, grad_sum, illum_sum, residuals).
+
+    ``shot_indices`` (int array) restricts the evaluation to a shot
+    subset via DEVICE-side gathers of the cached per-shot operands —
+    the random-batch FWI path (Hu et al., arXiv:2110.06455): the full
+    obs/table uploads happen once, and each iteration ships only a tiny
+    index vector."""
     model = geometry.model
     cached = _geom_device(geometry)
     s_idx, s_w = cached["s_idx"], cached["s_w"]
@@ -716,6 +723,14 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     # dw_stack is (nsrc, nt, nrec) or (nsrc, 1, 1) zeros — either
     # broadcasts against the receiver gather inside the vmapped body
     dw_full = dw_stack
+    if shot_indices is not None:
+        sel = jnp.asarray(np.asarray(shot_indices, dtype=np.int32))
+        nsrc = int(sel.shape[0])
+        s_idx, s_w = s_idx[sel], s_w[sel]
+        src_pos_all = src_pos_all[sel]
+        obs_stack = obs_stack[sel]
+        if dw_full.shape[0] > 1:
+            dw_full = dw_full[sel]
 
     # Pallas VMEM-resident fast path (default-on on TPU for supported
     # geometries: 2-D f32 OT2, receivers on two z-planes; fs supported)
@@ -1079,8 +1094,14 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
 
 def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
                   precond=True, calc_grad=False, resample_dt=None,
-                  shot_chunk=32):
-    """Multi-shot objective/gradient (reference ``fwi.py:175-205``)."""
+                  shot_chunk=32, shot_indices=None):
+    """Multi-shot objective/gradient (reference ``fwi.py:175-205``).
+
+    ``shot_indices`` (optional int sequence) evaluates only that shot
+    subset — the random-batch FWI hook (``minimize(batch_size=...)``).
+    On the fused device path the subset is gathered ON DEVICE from the
+    cached full stacks, so per-iteration resampling costs one small
+    index upload, not a re-upload of the gathers."""
     misfit_jax = None if resample_dt not in (None, geometry.dt) \
         else _misfit_jax(misfit_func)
     misfit_batch = None
@@ -1106,10 +1127,18 @@ def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
             dw_stack = jnp.zeros_like(obs_stack[:, :1, :1])
         fval, grad, illum, residuals = _shot_objective_batched(
             geometry, obs_stack, misfit_jax, dw_stack, calc_grad,
-            shot_chunk, misfit_batch)
+            shot_chunk, misfit_batch, shot_indices=shot_indices)
     else:
         # host-misfit path (custom numpy misfits, native BFM, resampling):
-        # device-batched propagation with a single gather round trip
+        # device-batched propagation with a single gather round trip.
+        # Shot subsets select on the host here (the gathers cross the
+        # host boundary anyway).
+        if shot_indices is not None:
+            sub = _subset_geometry(geometry, shot_indices)
+            obs = [obs[int(i)] for i in shot_indices]
+            if direct_wave is not None:
+                direct_wave = [direct_wave[int(i)] for i in shot_indices]
+            geometry = sub
         fval, grad, illum, residuals = _shot_objective_host_misfit(
             geometry, obs, misfit_func, direct_wave, calc_grad, resample_dt,
             shot_chunk)
@@ -1134,13 +1163,25 @@ def fwi_obj_multi_parallel(client, geometry, obs, misfit_func,
     return fval, grad
 
 
+def _subset_geometry(geometry, shot_indices):
+    """Geometry restricted to a shot subset (host-misfit random-batch
+    path)."""
+    idx = np.asarray(shot_indices, dtype=np.int64)
+    return AcquisitionGeometry(
+        geometry.model, geometry.rec_positions,
+        np.asarray(geometry.src_positions)[idx], geometry.t0, geometry.tn,
+        f0=geometry.f0, src_type=geometry.src_type,
+        filter=geometry._filter)
+
+
 def fwi_loss(x, geometry, obs, misfit_func, direct_wave=None, mask=None,
-             precond=True, calc_grad=True):
+             precond=True, calc_grad=True, shot_indices=None):
     """Objective in squared-slowness parameterization
     (reference ``fwi.py:236-246``)."""
     v = 1.0 / np.sqrt(x.reshape(geometry.model.shape))
     geometry.model.update("vp", v.reshape(geometry.model.shape))
     fval, grad, residuals = fwi_obj_multi(geometry, obs, misfit_func,
                                           direct_wave, mask, precond,
-                                          calc_grad)
+                                          calc_grad,
+                                          shot_indices=shot_indices)
     return fval, grad, residuals

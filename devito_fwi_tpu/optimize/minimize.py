@@ -32,7 +32,8 @@ def divides(i, j):
 class minimize:
     def __init__(self, optimizer, maxIter=10, ftol=1e-2, gtol=1e-3,
                  log_path="./log", save_model_freq=5, save_grad_freq=5,
-                 save_res_freq=10, checkpoint_freq=1, resume=False):
+                 save_res_freq=10, checkpoint_freq=1, resume=False,
+                 batch_size=None, batch_seed=0):
         assert optimizer.name in ("LBFGS", "NLCG", "SteepestDescent")
         self.optimizer = optimizer
         self.ftol = ftol
@@ -46,6 +47,15 @@ class minimize:
         # snapshots but cannot resume — SURVEY.md §5)
         self.checkpoint_freq = checkpoint_freq
         self.resume = resume
+        # random-batch FWI (Hu et al., arXiv:2110.06455; not in the
+        # reference): each iteration evaluates the gradient AND its
+        # line-search trials on a random shot subset of this size. The
+        # selection is seeded by (batch_seed, iteration), so a resumed
+        # run replays the same subsets. The ftol stopping rule then
+        # compares stochastic objectives — use more iterations and a
+        # tighter ftol than a full-batch run.
+        self.batch_size = batch_size
+        self.batch_seed = batch_seed
         self.ckpt_path = os.path.join(log_path, "checkpoint")
         resuming = bool(resume and self._latest_ckpt())
         # a resumed inversion must APPEND to its pre-interrupt metric
@@ -67,11 +77,20 @@ class minimize:
             if ck:
                 iter_count, m, self.f0 = load_state(ck, self.optimizer)
                 print("Resumed from %s at iteration %d" % (ck, iter_count))
+        nsrc_all = geometry.nsrc
         while iter_count < self.maxIter:
             print("Starting iteration", iter_count + 1)
+            sel = None
+            if self.batch_size and self.batch_size < nsrc_all:
+                rng = np.random.default_rng(
+                    (self.batch_seed, iter_count))
+                sel = np.sort(rng.choice(nsrc_all, self.batch_size,
+                                         replace=False))
+                print("\t random batch: shots", sel.tolist())
             print("\t Computing gradient")
             fval, g, res = fwi_loss(m, geometry, obs_data, misfit_func,
-                                    direct_wave, mask, precond)
+                                    direct_wave, mask, precond,
+                                    shot_indices=sel)
             if iter_count == 0:
                 self.f0 = fval
             self.save_misfit(fval, g)
@@ -92,7 +111,8 @@ class minimize:
                     m_temp = self.apply_bounds(m + alpha * p, bounds)
                     fval_try, _, _ = fwi_loss(m_temp, geometry, obs_data,
                                               misfit_func, direct_wave, mask,
-                                              precond, calc_grad=False)
+                                              precond, calc_grad=False,
+                                              shot_indices=sel)
                     print("\t fval_try: %10.3e" % fval_try)
                     alpha, status = self.optimizer.update_search(alpha,
                                                                  fval_try)

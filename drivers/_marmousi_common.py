@@ -73,6 +73,10 @@ def make_parser(cfg, fm=False):
                        help="initial step length for line search")
         p.add_argument("--maxls", type=int, default=5,
                        help="max number of line search in each iteration")
+        p.add_argument("--batch-size", type=int, default=0,
+                       help="random shot subset per iteration (0 = all "
+                            "shots; random-batch FWI, not in the "
+                            "reference)")
     p.add_argument("--odir", type=str, default="./result/" + cfg.name,
                    help="directory to output result")
     p.add_argument("--bathy", type=int, default=1, help="apply bathy mask")
@@ -226,6 +230,7 @@ def run_fwi(cfg):
                                             "log" + str(misfit_type)))
     minimizer = minimize(optimizer, maxIter=args.maxiter, ftol=args.ftol,
                          gtol=args.gtol,
+                         batch_size=getattr(args, "batch_size", 0) or None,
                          log_path=os.path.join(result_dir,
                                                "log" + str(misfit_type)))
     m = minimizer.run(m0, geometry0, obs, misfit_func, direct_wave,

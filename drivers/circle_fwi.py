@@ -43,6 +43,9 @@ parser.add_argument("--steplen", type=float, default=0.05,
                     help="initial step length for line search")
 parser.add_argument("--maxls", type=int, default=5,
                     help="max number of line search in each iteration")
+parser.add_argument("--batch-size", type=int, default=0,
+                    help="random shot subset per iteration (0 = all shots;"
+                         " random-batch FWI, not in the reference)")
 parser.add_argument("--optimizer", type=str, default="LBFGS",
                     choices=["LBFGS", "NLCG", "SteepestDescent"])
 
@@ -145,7 +148,7 @@ if __name__ == "__main__":
         kwargs["memory"] = 10
     optimizer = opt_cls(**kwargs)
     minimizer = minimize(optimizer, maxIter=args.maxiter, ftol=args.ftol,
-                         gtol=args.gtol,
+                         gtol=args.gtol, batch_size=args.batch_size or None,
                          log_path=os.path.join(result_dir,
                                                "log" + str(misfit_type)))
     m = minimizer.run(m0, geometry0, obs, misfit_func, None, bathy_mask,

@@ -216,3 +216,26 @@ def test_nlcg_default_thresh_keeps_conjugate_direction():
     assert r2 == 0
     assert not np.allclose(p2, -g2)        # conjugate, not SD
     assert np.dot(p2, g2) < 0              # still a descent direction
+
+
+def test_minimize_random_batch_converges(tmp_path):
+    """Random-batch FWI (batch_size < nsrc): each iteration runs on a
+    seeded random shot subset; the inversion must still reduce the
+    full-batch misfit."""
+    from devito_fwi_tpu.misfit import least_square
+    from devito_fwi_tpu.fwi import fwi_obj_multi
+    geometry0, obs, m0 = _camembert_setup()
+    bounds = [1.0 / 4.0 ** 2, 1.0 / 2.5 ** 2]
+    f_start, _, _ = fwi_obj_multi(geometry0, obs, least_square)
+
+    optimizer = LBFGS(memory=5, ls_method='Bracket', step_len_init=0.05,
+                      max_ls=4, log_path=str(tmp_path))
+    minimizer = minimize(optimizer, maxIter=4, ftol=1e-12,
+                         log_path=str(tmp_path), batch_size=2,
+                         batch_seed=7)
+    m = minimizer.run(np.array(m0), geometry0, obs, least_square,
+                      None, None, True, bounds)
+    geometry0.model.update("vp", 1.0 / np.sqrt(
+        m.reshape(geometry0.model.shape)))
+    f_end, _, _ = fwi_obj_multi(geometry0, obs, least_square)
+    assert f_end < 0.7 * f_start

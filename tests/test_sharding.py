@@ -343,3 +343,23 @@ def test_sharded_objective_chunks_match_single_pass(monkeypatch):
     assert np.isclose(f1, f2, rtol=1e-6)
     scale = np.abs(g1).max()
     assert np.abs(g2 - g1).max() < 1e-6 * scale
+
+
+def test_fwi_obj_shot_indices_matches_subgeometry():
+    """Random-batch hook: fwi_obj_multi(shot_indices=sel) must equal the
+    objective of a geometry built from just those shots (the device path
+    gathers the cached stacks on device)."""
+    gt, g0 = _setup(nsrc=6)
+    obs = fm_multi(gt)
+    sel = [1, 3, 4]
+    f_sub, g_sub, _ = fwi_obj_multi(g0, obs, least_square,
+                                    calc_grad=True, shot_indices=sel)
+
+    from devito_fwi_tpu.fwi import _subset_geometry
+    g0s = _subset_geometry(g0, sel)
+    obs_s = [obs[i] for i in sel]
+    f_ref, g_ref, _ = fwi_obj_multi(g0s, obs_s, least_square,
+                                    calc_grad=True)
+    assert np.isclose(f_sub, f_ref, rtol=1e-6)
+    scale = np.abs(g_ref).max()
+    assert np.abs(g_sub - g_ref).max() < 1e-6 * scale
