@@ -363,3 +363,24 @@ def test_fwi_obj_shot_indices_matches_subgeometry():
     assert np.isclose(f_sub, f_ref, rtol=1e-6)
     scale = np.abs(g_ref).max()
     assert np.abs(g_sub - g_ref).max() < 1e-6 * scale
+
+
+def test_fwi_obj_shot_indices_w2_batch_path():
+    """shot_indices composes with the batch-native W2-2d misfit (the
+    device path gathers obs/table subsets before the fused program)."""
+    from devito_fwi_tpu.misfit import qWasserstein
+    gt, g0 = _setup(nsrc=4)
+    obs = fm_multi(gt)
+    qw = qWasserstein(gamma=1.01, method="2d", num_steps=4,
+                      step_scale=1., bfm_backend="jax")
+    sel = [0, 2]
+    f_sub, g_sub, _ = fwi_obj_multi(g0, obs, qw, calc_grad=True,
+                                    shot_indices=sel)
+    from devito_fwi_tpu.fwi import _subset_geometry
+    g0s = _subset_geometry(g0, sel)
+    f_ref, g_ref, _ = fwi_obj_multi(g0s, [obs[i] for i in sel], qw,
+                                    calc_grad=True)
+    assert np.isfinite(f_sub) and f_sub > 0
+    assert np.isclose(f_sub, f_ref, rtol=1e-5)
+    scale = np.abs(g_ref).max()
+    assert np.abs(g_sub - g_ref).max() < 1e-5 * scale
