@@ -592,7 +592,7 @@ def _dispatch_push(subs, n1, n2, dmax, push_backend=None):
 
     if push_backend is None:
         import os
-        push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "xla")
+        push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "pallas")
     # Q <= 8: the slab kernel python-unrolls a G*DX*Q multiply-add chain
     # with Q*DX hoisted xsel buffers — at the adaptive hi pass's Q = 16
     # that is ~256 live (R, lanes) temps, the exact scoped-vmem OOM
@@ -688,7 +688,7 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
     otherwise invalidate same-process A/B timings)."""
     import os
     if push_backend is None:
-        push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "xla")
+        push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "pallas")
     if legendre_banded is None:
         legendre_banded = os.environ.get(
             "DEVITO_FWI_TPU_BFM_LEGENDRE", "full") == "banded"
