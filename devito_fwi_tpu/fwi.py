@@ -327,11 +327,12 @@ def fwi_obj_single(geometry, obs, misfit_func, direct_wave=None,
 @partial(jax.jit, static_argnames=("misfit_jax", "misfit_batch",
                                    "calc_grad", "nt",
                                    "spacing", "space_order", "kernel", "fs",
-                                   "pads", "shape", "n_checkpoints"))
+                                   "pads", "shape", "n_checkpoints",
+                                   "saved"))
 def _shots_fused(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
                  src_pos, rec_positions, dt, *, misfit_jax,
                  misfit_batch=None, calc_grad, nt, spacing, space_order,
-                 kernel, fs, pads, shape, n_checkpoints):
+                 kernel, fs, pads, shape, n_checkpoints, saved=False):
     """All-shot fused objective: one TPU program vmapping the forward and
     gradient sweeps over the shot axis, with the misfit applied at BATCH
     level between them, and reducing on device. Batching shots amortizes
@@ -344,6 +345,35 @@ def _shots_fused(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     static = dict(nt=nt, spacing=spacing, space_order=space_order,
                   kernel=kernel, fs=fs)
     mf = misfit_batch if misfit_batch is not None else jax.vmap(misfit_jax)
+    if calc_grad and saved:
+        # saved-history route (3-D on TPU): forward(save=True) streams
+        # the full wavefield to HBM and the reverse sweep reads it back
+        # — 2 sweeps/step instead of the ckpt path's 3. Measured on the
+        # bench 3-D config (96^3 padded, 4 shots): 12.1 vs 7.4 Gcs/s
+        # (tools/bench_3d_variants.py). The 2-D XLA path keeps ckpt
+        # (2-D sweeps are VMEM-fast; the HBM history round-trip loses
+        # there — docs/04_performance.md item 6), and 2-D TPU runs the
+        # Pallas streamed kernels anyway.
+        rec, u_hist = jax.vmap(
+            lambda si, sw: _ac.forward(vp, damp, src_wav, si, sw, r_idx,
+                                       r_w, dt, save=True, **static)
+        )(s_idx, s_w)
+        fvals, res = mf(rec - dw, obs - dw)
+        fval = jnp.sum(fvals)
+
+        def grad_one_saved(si, sw, u, r, sp):
+            grad, _ = _ac.gradient(vp, damp, u, r, r_idx, r_w, dt,
+                                   **static)
+            ilp = jnp.sum(u * u, axis=0)
+            crop = _fix_illum_jax(_crop(grad, pads, shape), sp,
+                                  rec_positions, spacing, shape)
+            illum = _fix_illum_jax(_crop(ilp, pads, shape), sp,
+                                   rec_positions, spacing, shape)
+            return crop, illum
+
+        crops, illums = jax.vmap(grad_one_saved)(s_idx, s_w, u_hist, res,
+                                                 src_pos)
+        return fval, res, jnp.sum(crops, axis=0), jnp.sum(illums, axis=0)
     if calc_grad:
         rec, seg_starts, illum_pad = jax.vmap(
             lambda si, sw: _ac.forward_ckpt(
@@ -465,6 +495,30 @@ def _pallas_route(geometry, n_checkpoints, kernel, calc_grad):
                 chunk_cap = stream_max_shots(geometry.nt, nx_p, nz_p,
                                              hist_dtype=hd)
     return z0, nck, stream, hist_dtype, chunk_cap
+
+
+def _saved_route(geometry, calc_grad):
+    """Saved-history gating for the XLA objective path: 3-D gradients on
+    TPU run forward(save=True) + the 2-sweep reverse instead of the
+    3-sweep segment recompute — measured 12.1 vs 7.4 Gcell-steps/s on
+    the bench 3-D config (tools/bench_3d_variants.py; the per-step
+    Pallas leapfrog lost the same A/B and stays opt-in). Returns
+    (use_saved, chunk_cap) with chunk_cap bounding the live histories
+    to an ~6 GB HBM budget. ``DEVITO_FWI_TPU_SAVED3=0`` opts out."""
+    if not calc_grad or geometry.model.dim != 3:
+        return False, None
+    if os.environ.get("DEVITO_FWI_TPU_SAVED3", "1") != "1":
+        return False, None
+    try:
+        if jax.default_backend() != "tpu":
+            return False, None
+    except Exception:  # pragma: no cover
+        return False, None
+    per_shot = geometry.nt * int(np.prod(geometry.model.padded_shape)) * 4
+    budget = 6 << 30
+    if per_shot > budget:
+        return False, None
+    return True, max(1, budget // per_shot)
 
 
 def _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps, dtype):
@@ -736,6 +790,11 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     # geometries: 2-D f32 OT2, receivers on two z-planes; fs supported)
     z0, pallas_nck, stream, hist_dtype, cap = _pallas_route(
         geometry, statics["n_checkpoints"], statics["kernel"], calc_grad)
+    if z0 is None:
+        saved, saved_cap = _saved_route(geometry, calc_grad)
+        statics["saved"] = saved
+        if saved_cap is not None:
+            cap = saved_cap if cap is None else min(cap, saved_cap)
     chunk = min(nsrc, shot_chunk or nsrc)
     if cap is not None:
         chunk = min(chunk, cap)

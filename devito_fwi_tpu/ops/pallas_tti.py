@@ -18,10 +18,13 @@ with the reciprocal precomputed once); parity is pinned in
 tests/test_pallas_tti.py (interpret mode) against the XLA pair that is
 itself pinned to the saved-path ``jacobian_adjoint`` at 1e-12.
 
-Gated by ``DEVITO_FWI_TPU_PALLAS_TTI=1`` (default off until the on-chip
-A/B — the TPU tunnel was down when this was written; the bench's TTI
-config A/Bs it in tools/onchip_roundup.sh). Scope: 2-D f32, phi-less
-TTI, receivers on <= 2 z-planes.
+Default ON on TPU: the on-chip A/B (tools/onchip_roundup.sh step 5,
+bench TTI config, 4 shots vmapped) measured 0.0357 s vs 0.1957 s for
+the XLA segment-checkpointed path — 5.5x, 6.49 vs 1.18 Gcell-steps/s —
+and the on-chip parity test (test_tti_pallas_matches_xla_on_chip)
+passes. ``DEVITO_FWI_TPU_PALLAS_TTI=0`` opts out. Scope: 2-D f32,
+phi-less TTI, receivers on <= 2 z-planes (``tti_supported``);
+everything else falls back to the XLA pair.
 
 Reference semantics: ``seismic/tti/operators.py`` (kernel_centered_2d,
 600-640 for the gradient).
@@ -43,7 +46,7 @@ __all__ = ["enabled", "tti_supported", "forward_ckpt_pallas",
 
 
 def enabled():
-    if os.environ.get("DEVITO_FWI_TPU_PALLAS_TTI", "0") != "1":
+    if os.environ.get("DEVITO_FWI_TPU_PALLAS_TTI", "1") != "1":
         return False
     if env_interpret():
         return True
@@ -358,18 +361,10 @@ def jacobian_adjoint_pallas(mT, hdT, ehT, dhT, stT, ctT, injT, src_wav,
     )(wav, mT, hdT, ehT, dhT, stT, ctT, injT, seg_starts, res_rows)
 
 
-def tti_gradient_batched_pallas(vp, damp, epsilon, delta, theta, src_wav,
-                                s_idx, s_w, r_idx, r_w, obs, dt, *, nt,
-                                spacing, space_order, n_checkpoints,
-                                interpret=False):
-    """Batched TTI L2 gradient through the Pallas segment kernels:
-    checkpointed forward, residual vs ``obs`` (B, nt, nrec), reverse
-    gradient. Returns per-shot grads (B, nx, nz) — the drop-in twin of
-    vmapping ``tti.forward_ckpt`` + ``jacobian_adjoint_from_ckpt`` with
-    ``res = rec - obs`` (gate with ``tti_supported``/``enabled``)."""
+def _tti_operands(vp, damp, epsilon, delta, theta, s_idx, s_w, r_idx, dt,
+                  *, nt, spacing, space_order, n_checkpoints, interpret):
     from .acoustic import _ckpt_layout
-    from .pallas_acoustic import source_pattern, residual_rows
-    from ..fwi import _traces_from_rows
+    from .pallas_acoustic import source_pattern
 
     m = 1.0 / (vp * vp)
     s2 = float(dt) ** 2
@@ -386,14 +381,54 @@ def tti_gradient_batched_pallas(vp, damp, epsilon, delta, theta, src_wav,
     kw = dict(nt=nt, nx=nx, nz=nz, space_order=space_order,
               spacing=spacing, z0=z0, n_checkpoints=n_checkpoints,
               interpret=interpret)
+    return m, s2, (nsteps, seg, nseg), (mT, hdT, ehT, dhT, stT, ctT,
+                                        injT), z0, kw
 
-    rec_rows, seg_starts = forward_ckpt_pallas(
-        mT, hdT, ehT, dhT, stT, ctT, injT, src_wav, float(dt), **kw)
+
+def tti_gradient_batched_pallas(vp, damp, epsilon, delta, theta, src_wav,
+                                s_idx, s_w, r_idx, r_w, obs, dt, *, nt,
+                                spacing, space_order, n_checkpoints,
+                                interpret=False):
+    """Batched TTI L2 gradient through the Pallas segment kernels:
+    checkpointed forward, residual vs ``obs`` (B, nt, nrec), reverse
+    gradient. Returns per-shot grads (B, nx, nz) — the drop-in twin of
+    vmapping ``tti.forward_ckpt`` + ``jacobian_adjoint_from_ckpt`` with
+    ``res = rec - obs`` (gate with ``tti_supported``/``enabled``)."""
+    from .pallas_acoustic import residual_rows
+    from ..fwi import _traces_from_rows
+
+    m, s2, (nsteps, seg, nseg), ops, z0, kw = _tti_operands(
+        vp, damp, epsilon, delta, theta, s_idx, s_w, r_idx, dt, nt=nt,
+        spacing=spacing, space_order=space_order,
+        n_checkpoints=n_checkpoints, interpret=interpret)
+    rec_rows, seg_starts = forward_ckpt_pallas(*ops, src_wav, float(dt),
+                                               **kw)
     rec = _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps,
                             vp.dtype)
     res = rec - obs
     rows = residual_rows(res, r_idx, r_w, m, s2, z0, nsteps, seg, nseg)
-    gradT = jacobian_adjoint_pallas(
-        mT, hdT, ehT, dhT, stT, ctT, injT, src_wav, seg_starts, rows,
-        float(dt), **kw)
+    gradT = jacobian_adjoint_pallas(*ops, src_wav, seg_starts, rows,
+                                    float(dt), **kw)
+    return jnp.swapaxes(gradT, -1, -2) * jnp.float32(-1.0 / s2)
+
+
+def tti_gradient_residual_batched_pallas(vp, damp, epsilon, delta, theta,
+                                         src_wav, s_idx, s_w, r_idx, r_w,
+                                         res, dt, *, nt, spacing,
+                                         space_order, n_checkpoints,
+                                         interpret=False):
+    """Same as ``tti_gradient_batched_pallas`` but back-propagating a
+    GIVEN residual ``res`` (B, nt, nrec) — the
+    ``jacobian_adjoint_from_ckpt`` calling convention used by
+    ``AnisotropicWaveSolver.gradient_checkpointed``."""
+    from .pallas_acoustic import residual_rows
+
+    m, s2, (nsteps, seg, nseg), ops, z0, kw = _tti_operands(
+        vp, damp, epsilon, delta, theta, s_idx, s_w, r_idx, dt, nt=nt,
+        spacing=spacing, space_order=space_order,
+        n_checkpoints=n_checkpoints, interpret=interpret)
+    _, seg_starts = forward_ckpt_pallas(*ops, src_wav, float(dt), **kw)
+    rows = residual_rows(res, r_idx, r_w, m, s2, z0, nsteps, seg, nseg)
+    gradT = jacobian_adjoint_pallas(*ops, src_wav, seg_starts, rows,
+                                    float(dt), **kw)
     return jnp.swapaxes(gradT, -1, -2) * jnp.float32(-1.0 / s2)

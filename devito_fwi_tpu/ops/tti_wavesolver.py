@@ -174,12 +174,28 @@ class AnisotropicWaveSolver:
         s_idx, s_w = self._tables(src.coordinates)
         r_idx, r_w = self._tables(rec.coordinates)
         tic = _time.perf_counter()
-        _, seg_starts = _tti.forward_ckpt(
-            *params, src.data, s_idx, s_w, r_idx, r_w, dt,
-            n_checkpoints=n_checkpoints, **self._static())
-        dm_out, _ = _tti.jacobian_adjoint_from_ckpt(
-            *params, src.data, s_idx, s_w, seg_starts, rec.data,
-            r_idx, r_w, dt, n_checkpoints=n_checkpoints, **self._static())
+        from . import pallas_tti as _pt
+        if _pt.enabled() and _pt.tti_supported(self.model, r_idx) \
+                and np.asarray(src.coordinates).shape[0] == 1:
+            # Pallas segment-kernel fast path: 5.5x the XLA checkpointed
+            # pair on chip (docs/04_performance.md); numerics pinned by
+            # tests/test_pallas_tti.py + the on-chip parity suite
+            import jax.numpy as _jnp
+            dm_out = _pt.tti_gradient_residual_batched_pallas(
+                *[_jnp.asarray(p) for p in params[:5]],
+                _jnp.asarray(src.data[:, :1]),
+                _jnp.asarray(s_idx)[:, None], _jnp.asarray(s_w)[:, None],
+                _jnp.asarray(r_idx), _jnp.asarray(r_w),
+                _jnp.asarray(rec.data)[None], float(dt),
+                n_checkpoints=n_checkpoints, **self._static())[0]
+        else:
+            _, seg_starts = _tti.forward_ckpt(
+                *params, src.data, s_idx, s_w, r_idx, r_w, dt,
+                n_checkpoints=n_checkpoints, **self._static())
+            dm_out, _ = _tti.jacobian_adjoint_from_ckpt(
+                *params, src.data, s_idx, s_w, seg_starts, rec.data,
+                r_idx, r_w, dt, n_checkpoints=n_checkpoints,
+                **self._static())
         sync_device(dm_out)
         toc = _time.perf_counter()
         if dm is not None:

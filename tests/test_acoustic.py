@@ -365,3 +365,49 @@ def test_oob_points_below_origin_contribute_nothing():
     # arrives from the far boundary region by checking finiteness and
     # that the in-grid receiver's energy is far below the real source's
     assert np.isfinite(np.asarray(rec2)).all()
+
+
+def test_saved_history_objective_matches_ckpt_3d(monkeypatch):
+    """The 3-D saved-history objective route (fwi._saved_route: on-TPU
+    default, forced here) matches the segment-checkpointed path bit-for-
+    bit on CPU — same fval, gradient, and illumination."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu.models.geometry import AcquisitionGeometry
+    from devito_fwi_tpu.fwi import fm_multi, _shot_objective_batched, \
+        _misfit_jax
+    from devito_fwi_tpu.misfit import least_square
+    import devito_fwi_tpu.fwi as fwi_mod
+
+    kw = dict(shape=(24, 24, 24), spacing=(15., 15., 15.), space_order=4,
+              nbl=8, dt=1.5)
+    m1 = demo_model("layers-isotropic", nlayers=2, **kw)
+    m0 = demo_model("layers-isotropic", nlayers=1, **kw)
+    ext = m1.domain_size[0]
+    src = np.stack([np.linspace(0, ext, 2), np.full(2, ext / 2),
+                    np.full(2, 30.)], 1)
+    rec = np.stack([np.linspace(0, ext, 12), np.full(12, ext / 2),
+                    np.full(12, 30.)], 1)
+    g1 = AcquisitionGeometry(m1, rec, src, 0.0, 250.0, f0=0.015,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(m0, rec, src, 0.0, 250.0, f0=0.015,
+                             src_type="Ricker")
+    obs = fm_multi(g1)
+    obs_stack = jnp.asarray(np.stack([np.asarray(o.data) for o in obs]))
+    mj = _misfit_jax(least_square)
+    dw = jnp.zeros((2, 1, 1))
+
+    monkeypatch.setattr(fwi_mod, "_saved_route", lambda g, c: (True, 8))
+    f_s, g_s, il_s, _ = _shot_objective_batched(g0, obs_stack, mj, dw,
+                                                True)
+    monkeypatch.undo()
+    f_c, g_c, il_c, _ = _shot_objective_batched(g0, obs_stack, mj, dw,
+                                                True)
+    assert f_c > 0
+    assert abs(f_s - f_c) <= 1e-6 * abs(f_c)
+    scale = np.abs(np.asarray(g_c)).max()
+    assert scale > 0
+    assert np.abs(np.asarray(g_s) - np.asarray(g_c)).max() <= 2e-5 * scale
+    il_scale = np.abs(np.asarray(il_c)).max()
+    assert np.abs(np.asarray(il_s) - np.asarray(il_c)).max() \
+        <= 2e-5 * il_scale

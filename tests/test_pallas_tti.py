@@ -69,3 +69,29 @@ def test_tti_pallas_gradient_matches_xla_interpret(monkeypatch):
     scale = np.abs(ref).max()
     d = np.abs(np.asarray(g_p) - ref).max()
     assert d < 2e-5 * scale, d / scale
+
+
+def test_solver_gradient_checkpointed_routes_pallas(monkeypatch):
+    """AnisotropicWaveSolver.gradient_checkpointed takes the Pallas
+    segment-kernel path when enabled (default on TPU; forced here via
+    the interpreter) and matches the XLA checkpointed pair."""
+    from devito_fwi_tpu.models.geometry import setup_geometry
+    from devito_fwi_tpu.ops.tti_wavesolver import AnisotropicWaveSolver
+
+    model = demo_model("layers-tti", shape=(40, 36), spacing=(15., 15.),
+                       nbl=10, space_order=4, dtype=np.float32)
+    geometry = setup_geometry(model, 200.0)
+    solver = AnisotropicWaveSolver(model, geometry, space_order=4)
+    rec, _, _, _ = solver.forward()
+    rec.data[:] = 0.3 * rec.data  # synthetic residual
+
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS_TTI", "0")
+    g_xla, _ = solver.gradient_checkpointed(rec, n_checkpoints=6)
+
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS_TTI", "1")
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS_INTERPRET", "1")
+    g_pal, _ = solver.gradient_checkpointed(rec, n_checkpoints=6)
+
+    scale = np.abs(np.asarray(g_xla)).max()
+    d = np.abs(np.asarray(g_pal) - np.asarray(g_xla)).max()
+    assert d < 2e-5 * scale, d / scale

@@ -125,11 +125,14 @@ def main():
     rows = jax.block_until_ready(pa.residual_rows(
         res, r_idx, r_w, m, dt * dt, z0, nsteps, seg, nseg))
 
-    # 3. streamed reverse alone
-    rev = jax.jit(lambda: pa.gradient_stream_segments(
-        mT, hdT, hist, rows, dt, **kw))
-    jax.block_until_ready(rev())
-    t_rev = best_of(lambda: rev())
+    # 3. streamed reverse alone — hist/rows MUST be jit arguments, not
+    # closure captures: captured device arrays are lowered as program
+    # CONSTANTS (5.7 GB here), which the axon tunnel round-trips at
+    # minutes per compile
+    rev = jax.jit(lambda h, r: pa.gradient_stream_segments(
+        mT, hdT, h, r, dt, **kw))
+    jax.block_until_ready(rev(hist, rows))
+    t_rev = best_of(lambda: rev(hist, rows))
     print(f"3. streamed reverse:      {t_rev*1e3:7.1f} ms   "
           f"({B*nt*cells/t_rev/1e9:.1f} Gcs/s 1-sweep)")
 
@@ -156,10 +159,10 @@ def main():
         mT2, hdT2, wav_pad2, injT2, dt, **kwr))
     rows2 = jax.block_until_ready(pa.residual_rows(
         res, r_idx, r_w, m, dt * dt, z0, nsteps_r, seg_r, nseg_r))
-    rec5 = jax.jit(lambda: pa.gradient_segments(
-        mT2, hdT2, wav_pad2, injT2, starts2, rows2, dt, **kwr))
-    jax.block_until_ready(rec5())
-    t_rec = best_of(lambda: rec5())
+    rec5 = jax.jit(lambda st, r: pa.gradient_segments(
+        mT2, hdT2, wav_pad2, injT2, st, r, dt, **kwr))
+    jax.block_until_ready(rec5(starts2, rows2))
+    t_rec = best_of(lambda: rec5(starts2, rows2))
     print(f"5. recompute reverse:     {t_rec*1e3:7.1f} ms   "
           f"(2 sweeps: {2*B*nt*cells/t_rec/1e9:.1f} Gcs/s)")
 
