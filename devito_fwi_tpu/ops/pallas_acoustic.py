@@ -756,8 +756,10 @@ def pick_stream_checkpoints(nt, nx, nz, hist_dtype="float32"):
         return None
     # short segments pipeline the history DMA under the stencil compute;
     # 12 keeps the block DMA (~3.5 MB on the Marmousi bench) well under a
-    # segment's compute time
-    seg = min(seg_max, 12)
+    # segment's compute time. DEVITO_FWI_TPU_STREAM_SEG overrides the cap
+    # for one-process A/Bs (tools/audit_gradient.py).
+    seg_cap = int(os.environ.get("DEVITO_FWI_TPU_STREAM_SEG", "12"))
+    seg = min(seg_max, seg_cap)
     nsteps = nt - 2
     return max(int(-(-nsteps // seg)), 1)
 
