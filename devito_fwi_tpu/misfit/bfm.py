@@ -105,6 +105,117 @@ def _legendre_last_fast(u, s, max_tmp_elems=2_000_000, W=None, K=None):
         lambda a: _legendre_last(a[1], s, max_tmp_elems), (out_b, u))
 
 
+def _legendre_last_anchored(u, s, A=16, Wside=64,
+                            max_tmp_elems=32_000_000):
+    """Block-banded Legendre transform along the last axis with a
+    sampled-argmax certificate; returns ``(out, ok)`` where ``out``
+    equals ``_legendre_last(u, s)`` whenever ``ok`` — same f32
+    formula on a window that provably contains every argmax, so the
+    only deviation is compiler FMA contraction (the full transform's
+    ``s_i*s_j - u_j`` fuses into an FMA; here the product table is
+    hoisted), <= 1 ulp of ``s_i*s_j`` per element.
+
+    Because ``s_i s_j - u_j`` is supermodular in (i, j) for
+    nondecreasing ``s``, the (first and last) argmax over j is
+    nondecreasing in i. So: (1) an anchor pass computes the exact
+    full-range first/last argmax at every block edge i = k*A (cost
+    ~1/A of the full transform); (2) for every output in block k the
+    argmax is bracketed by [first(k*A), last((k+1)*A)]; the
+    certificate checks each bracket fits the static window
+    [k*A - Wside, k*A + A - 1 + Wside]; (3) the banded evaluation
+    gives each A-output block one shared window of width
+    W = 2*Wside + A, extracted by shifted RESHAPES of the padded row
+    (no gather — TPU element gathers are slow), against a hoisted
+    (nA, A, W) product table.
+
+    This supersedes the diagonal-band XLA forms (negative results in
+    ``_legendre_2d``): those shifted/re-read full-size operands per
+    offset; here the band is materialized once (~W/A x input size)
+    and the max fuses over it. Reference semantics: the c-transform
+    hulls of fot2d.c:50-178."""
+    n = s.shape[0]
+    lead = u.shape[:-1]
+    U = u.reshape(-1, n)
+    Rws = U.shape[0]
+    dtype = u.dtype
+    nA = -(-n // A)
+    npad = nA * A
+    W = -(-(2 * Wside + A) // A) * A
+    Wlo = Wside
+    big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+
+    # ---- anchor pass: exact first/last argmax at block edges ----
+    m_idx = jnp.minimum(jnp.arange(nA + 1) * A, n - 1)
+    s_anchor = s[m_idx]
+    blk = max(1, min(nA + 1, max_tmp_elems // max(Rws * n, 1)))
+    nblkA = -(-(nA + 1) // blk)
+    sa = jnp.pad(s_anchor, (0, nblkA * blk - (nA + 1)))
+    j_iota = jnp.arange(n, dtype=jnp.int32)
+
+    def abody(carry, s_m):
+        cand = s_m[:, None] * s[None, :] - U[:, None, :]
+        vmax = jnp.max(cand, axis=-1, keepdims=True)
+        hit = cand >= vmax
+        first = jnp.min(jnp.where(hit, j_iota, n), axis=-1)
+        last = jnp.max(jnp.where(hit, j_iota, -1), axis=-1)
+        return carry, (first, last)
+
+    _, (first, last) = jax.lax.scan(abody, None, sa.reshape(nblkA, blk))
+    first = jnp.moveaxis(first, 0, 1).reshape(Rws, -1)[:, :nA + 1]
+    last = jnp.moveaxis(last, 0, 1).reshape(Rws, -1)[:, :nA + 1]
+
+    kA = jnp.arange(nA, dtype=jnp.int32) * A
+    ok = jnp.all(first[:, :-1] >= kA[None, :] - Wlo) \
+        & jnp.all(last[:, 1:] <= kA[None, :] + (W - Wlo - 1)) \
+        & jnp.all(s[1:] >= s[:-1])        # monotone argmax needs sorted s
+
+    # ---- banded evaluation: one shared window per A-output block ----
+    # B[r, k, w] = U_pad[r, k*A + w] = U[r, k*A + w - Wlo] (big outside)
+    P = npad + W - A
+    U_pad = jnp.full((Rws, P), big, dtype).at[:, Wlo:Wlo + n].set(U)
+    s_pad = jnp.zeros((P,), dtype).at[Wlo:Wlo + n].set(s)
+
+    def band(x):
+        pieces = [x[..., c * A:c * A + npad] for c in range(W // A)]
+        pieces = [p.reshape(p.shape[:-1] + (nA, A)) for p in pieces]
+        return jnp.concatenate(pieces, axis=-1)     # (..., nA, W)
+
+    sB = band(s_pad)                                 # (nA, W)
+    sO = jnp.pad(s, (0, npad - n)).reshape(nA, A)
+    PK = sO[:, :, None] * sB[:, None, :]             # (nA, A, W)
+
+    rb = max(1, min(Rws, max_tmp_elems // max(nA * A * W, 1)))
+    nrb = -(-Rws // rb)
+    U_blk = jnp.pad(U_pad, ((0, nrb * rb - Rws), (0, 0))
+                    ).reshape(nrb, rb, P)
+
+    def obody(carry, Ub):
+        Bw = band(Ub)                                # (rb, nA, W)
+        o = jnp.max(PK[None] - Bw[:, :, None, :], axis=-1)
+        return carry, o                              # (rb, nA, A)
+
+    _, out = jax.lax.scan(obody, None, U_blk)
+    out = out.reshape(nrb * rb, npad)[:Rws, :n]
+    return out.reshape(lead + (n,)), ok
+
+
+def _legendre_last_anchor_fast(u, s, max_tmp_elems=32_000_000, A=None,
+                               Wside=None):
+    """Legendre transform via the anchored block-banded evaluation,
+    with the full blocked transform as the certificate-failure
+    fallback (``lax.cond`` — a real branch in the batch-native BFM).
+    Exact up to FMA contraction (see ``_legendre_last_anchored``)."""
+    n = s.shape[0]
+    if A is None:
+        A, Wside = (16, 64) if n >= 512 else (8, 32)
+    if n <= 2 * Wside + 2 * A:
+        return _legendre_last(u, s, max_tmp_elems)
+    out_b, ok = _legendre_last_anchored(u, s, A, Wside, max_tmp_elems)
+    return jax.lax.cond(
+        ok, lambda a: a[0],
+        lambda a: _legendre_last(a[1], s, max_tmp_elems), (out_b, u))
+
+
 def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=None):
     """2-D Legendre transform, separable (fot2d.c:151-173):
     out[..., iy, ix] = max_{jx, jy} (x_ix x_jx + y_iy y_jy - u[..., jy, jx]).
@@ -126,9 +237,13 @@ def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=None):
     default stays the full transform."""
     if banded is None:
         import os
-        banded = os.environ.get("DEVITO_FWI_TPU_BFM_LEGENDRE",
-                                "full") == "banded"
-    fn = _legendre_last_fast if banded else _legendre_last
+        banded = os.environ.get("DEVITO_FWI_TPU_BFM_LEGENDRE", "full")
+    if banded is True or banded == "banded":
+        fn = _legendre_last_fast
+    elif banded == "anchor":
+        fn = _legendre_last_anchor_fast
+    else:
+        fn = _legendre_last
     a = fn(u, sx, max_tmp_elems)                        # max over jx
     b = fn(-jnp.swapaxes(a, -1, -2), sy,
            max_tmp_elems)                               # max over jy
@@ -490,7 +605,7 @@ def _scatter_pushforward_batch(subs, n1, n2, chunk=8):
     return rho.reshape(nb * chunk, n2, n1)[:B]
 
 
-def _pallas_push(subs, n1, n2, G, dxmax, margin, R):
+def _pallas_push(subs, n1, n2, G, dxmax, margin, R, fold="loop"):
     """Pushforward through the Pallas slab kernel
     (``ops/pallas_bfm.pushforward_slabs``): preprocess the subsample
     planes into block-rebased (rel dy, dx, weight) form, run the kernel
@@ -543,6 +658,10 @@ def _pallas_push(subs, n1, n2, G, dxmax, margin, R):
         prep(wx1).astype(dtype), G=G, dxmax=dxmax, R=R,
         interpret=_pb.env_interpret())               # (B, nblk, R+G, lanes)
 
+    if fold == "vec":
+        return _fold_slabs_vec(slabs, bases, n1, n2, G=G, dxmax=dxmax,
+                               margin=margin, R=R)
+
     rho0 = jnp.zeros((B, n2p + 2 * margin + G, lanes), dtype)
 
     def place(k, acc):
@@ -558,6 +677,46 @@ def _pallas_push(subs, n1, n2, G, dxmax, margin, R):
 
     rho = jax.lax.fori_loop(0, B * nblk, place, rho0)
     return rho[:, margin:margin + n2, dxmax:dxmax + n1]
+
+
+def _fold_slabs_vec(slabs, bases, n1, n2, *, G, dxmax, margin, R):
+    """Overlap-add of per-block slabs at their runtime base offsets,
+    vectorized: rho[b, j*R + bases[b,j] + margin + t] += slabs[b,j,t].
+    The runtime part of the offset (``shift = bases + margin``, bounded
+    by the fold margin) becomes a per-block row GATHER into an S-row
+    window, the static ``j*R`` part a skewed-reshape diagonal fold over
+    whole R-row blocks (``_diag_fold``); same sums per output row.
+
+    NEGATIVE RESULT (live on-chip A/B, 29-shot Marmousi state): 83.0 vs
+    50.1 ms/pushforward against the ``fori_loop`` fold — the S-row
+    (S ~ 17*R) gather window reads the slab stack ~C/2 times over,
+    while the "serial" loop is only nblk (~85) iterations because the
+    dynamic_update_slices are batch-vectorized over shots. Kept as
+    DEVITO_FWI_TPU_BFM_FOLD=vec for re-A/Bs on other geometries."""
+    B, nblk, S0, lanes = slabs.shape
+    assert S0 == R + G
+    dtype = slabs.dtype
+    # window rows: runtime shift in [0, 2*margin - G] plus the slab's
+    # S0, rounded up to whole R-blocks for the diagonal fold
+    C = -(-(2 * margin - G + S0) // R)
+    S = C * R
+    shift = (bases + margin).astype(jnp.int32)          # (B, nblk)
+    t = jnp.arange(S, dtype=jnp.int32)
+    idx = t[None, None, :] - shift[:, :, None]          # (B, nblk, S)
+    valid = (idx >= 0) & (idx < S0)
+    rolled = jnp.take_along_axis(
+        slabs, jnp.clip(idx, 0, S0 - 1)[..., None], axis=2)
+    rolled = jnp.where(valid[..., None], rolled, jnp.zeros((), dtype))
+    # block j's window covers global row blocks k = j..j+C-1; fold the
+    # (nblk, C) diagonals with the same skew _diag_fold uses
+    x = rolled.reshape(B, nblk, C, R * lanes)
+    rows = _diag_fold(x).reshape(B, (nblk + C - 1) * R, lanes)
+    # global row of slab row 0 at shift 0 is 0 == rho row 0 of the loop
+    # form; the loop form's crop starts at `margin`
+    need = margin + n2
+    if rows.shape[1] < need:
+        rows = jnp.pad(rows, ((0, 0), (0, need - rows.shape[1]), (0, 0)))
+    return rows[:, margin:margin + n2, dxmax:dxmax + n1]
 
 
 def _dispatch_push(subs, n1, n2, dmax, push_backend=None):
@@ -593,11 +752,13 @@ def _dispatch_push(subs, n1, n2, dmax, push_backend=None):
     if push_backend is None:
         import os
         push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "pallas")
+    fold = "vec" if push_backend == "pallas-vecfold" else "loop"
+    is_pallas = push_backend in ("pallas", "pallas-vecfold")
     # Q <= 8: the slab kernel python-unrolls a G*DX*Q multiply-add chain
     # with Q*DX hoisted xsel buffers — at the adaptive hi pass's Q = 16
     # that is ~256 live (R, lanes) temps, the exact scoped-vmem OOM
     # pattern CLAUDE.md documents; route wide-Q batches to the XLA paths
-    if not (push_backend == "pallas" and _pb.available()
+    if not (is_pallas and _pb.available()
             and subs[2].dtype == jnp.float32 and subs[2].shape[1] <= 8):
         return xla_or_scatter(subs)
     pallas_ok = dx_ok & _local_band_ok(subs, G_local=24, dxmax=dxmax,
@@ -605,7 +766,7 @@ def _dispatch_push(subs, n1, n2, dmax, push_backend=None):
     return jax.lax.cond(
         pallas_ok,
         lambda s: _pallas_push(s, n1, n2, G=24, dxmax=dxmax,
-                               margin=margin, R=16),
+                               margin=margin, R=16, fold=fold),
         xla_or_scatter, subs)
 
 
@@ -689,12 +850,28 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
     import os
     if push_backend is None:
         push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "pallas")
+    if push_backend == "pallas":
+        # fold variant is part of the static backend key so same-process
+        # A/B toggles retrace instead of reusing the stale trace.
+        # Default "loop": the vectorized diagonal fold ("vec") LOST the
+        # live on-chip A/B (83.0 vs 50.1 ms/pushforward on the 29-shot
+        # Marmousi state — the runtime-shift row gather reads the slab
+        # stack ~C/2 times over; the serial fori of
+        # dynamic_update_slices is only ~85 iterations because it is
+        # batch-vectorized over shots). Kept as an opt-in for re-A/Bs.
+        fold = os.environ.get("DEVITO_FWI_TPU_BFM_FOLD", "loop")
+        if fold == "vec":
+            push_backend = "pallas-vecfold"
     if legendre_banded is None:
-        legendre_banded = os.environ.get(
-            "DEVITO_FWI_TPU_BFM_LEGENDRE", "full") == "banded"
+        legendre_banded = os.environ.get("DEVITO_FWI_TPU_BFM_LEGENDRE",
+                                         "full")
+    if legendre_banded is True:
+        legendre_banded = "banded"
+    elif legendre_banded is False:
+        legendre_banded = "full"
     return _bfm_jax_batch_core(f_b, g_b, num_steps, step_scale, nsub,
                                dmax, max_tmp_elems, push_backend,
-                               bool(legendre_banded), bool(return_carry))
+                               str(legendre_banded), bool(return_carry))
 
 
 @partial(jax.jit, static_argnames=("num_steps", "nsub", "dmax",

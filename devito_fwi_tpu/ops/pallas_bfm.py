@@ -249,55 +249,58 @@ def _push_kernel(rel_ref, dxr_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
     (inactive cells carry zero weights); dxr = xI - c + dxmax in
     [0, DX-2]. The slab is assembled as a sum of row-padded value
     concatenates — no sublane-offset read-modify-writes of refs."""
-    rel = rel_ref[0, 0]
-    dxr = dxr_ref[0, 0]
-    wy0 = wy0_ref[0, 0]
-    wy1 = wy1_ref[0, 0]
-    wx0 = wx0_ref[0, 0]
-    wx1 = wx1_ref[0, 0]
-    dtype = wy0.dtype
+    KB = rel_ref.shape[1]
+    for kb in range(KB):
+        rel = rel_ref[0, kb]
+        dxr = dxr_ref[0, kb]
+        wy0 = wy0_ref[0, kb]
+        wy1 = wy1_ref[0, kb]
+        wx0 = wx0_ref[0, kb]
+        wx1 = wx1_ref[0, kb]
+        dtype = wy0.dtype
 
-    # x-selection planes, hoisted out of the g loop:
-    # xsel[q][e] = (dxr_q == e) * wx0_q + (dxr_q == e-1) * wx1_q
-    xsel = []
-    for q in range(Q):
-        row = []
-        for e in range(DX):
-            sel = jnp.where(dxr[q] == e, wx0[q], jnp.zeros((), dtype))
-            if e >= 1:
-                sel = sel + jnp.where(dxr[q] == e - 1, wx1[q],
-                                      jnp.zeros((), dtype))
-            row.append(sel)
-        xsel.append(row)
+        # x-selection planes, hoisted out of the g loop:
+        # xsel[q][e] = (dxr_q == e) * wx0_q + (dxr_q == e-1) * wx1_q
+        xsel = []
+        for q in range(Q):
+            row = []
+            for e in range(DX):
+                sel = jnp.where(dxr[q] == e, wx0[q], jnp.zeros((), dtype))
+                if e >= 1:
+                    sel = sel + jnp.where(dxr[q] == e - 1, wx1[q],
+                                          jnp.zeros((), dtype))
+                row.append(sel)
+            xsel.append(row)
 
-    slab = None
-    for g in range(G):
-        m0 = [jnp.where(rel[q] == g, wy0[q], jnp.zeros((), dtype))
-              + jnp.where(rel[q] == g - 1, wy1[q], jnp.zeros((), dtype))
-              for q in range(Q)]
-        acc = None
-        for e in range(DX):
-            v = None
-            for q in range(Q):
-                t = xsel[q][e] * m0[q]
-                v = t if v is None else v + t
-            if e:
-                v = jnp.concatenate(
-                    [jnp.zeros((R, e), dtype), v[:, :lanes - e]], axis=1)
-            acc = v if acc is None else acc + v
-        # rows [g, g+R) of the slab (zero-size concat operands are
-        # rejected by Mosaic -> guard the g=0 piece; g <= G-1 so the
-        # tail piece is always non-empty)
-        parts = ([jnp.zeros((g, lanes), dtype)] if g else []) \
-            + [acc, jnp.zeros((G - g, lanes), dtype)]
-        padded = jnp.concatenate(parts, axis=0)
-        slab = padded if slab is None else slab + padded
-    slab_ref[0, 0] = slab
+        slab = None
+        for g in range(G):
+            m0 = [jnp.where(rel[q] == g, wy0[q], jnp.zeros((), dtype))
+                  + jnp.where(rel[q] == g - 1, wy1[q], jnp.zeros((), dtype))
+                  for q in range(Q)]
+            acc = None
+            for e in range(DX):
+                v = None
+                for q in range(Q):
+                    t = xsel[q][e] * m0[q]
+                    v = t if v is None else v + t
+                if e:
+                    v = jnp.concatenate(
+                        [jnp.zeros((R, e), dtype), v[:, :lanes - e]],
+                        axis=1)
+                acc = v if acc is None else acc + v
+            # rows [g, g+R) of the slab (zero-size concat operands are
+            # rejected by Mosaic -> guard the g=0 piece; g <= G-1 so the
+            # tail piece is always non-empty)
+            parts = ([jnp.zeros((g, lanes), dtype)] if g else []) \
+                + [acc, jnp.zeros((G - g, lanes), dtype)]
+            padded = jnp.concatenate(parts, axis=0)
+            slab = padded if slab is None else slab + padded
+        slab_ref[0, kb] = slab
 
 
-@partial(jax.jit, static_argnames=("G", "dxmax", "R", "interpret"))
+@partial(jax.jit, static_argnames=("G", "dxmax", "R", "interpret", "KB"))
 def pushforward_slabs(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
-                      interpret=False):
+                      interpret=False, KB=None):
     """Run the slab kernel over a (B, nblk) grid. Inputs are
     (B, nblk, Q, R, lanes) preprocessed planes; returns slabs
     (B, nblk, R+G, lanes) whose row 0 is the block's base target row."""
@@ -307,17 +310,30 @@ def pushforward_slabs(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
     B, nblk, Q, Rr, lanes = rel.shape
     assert Rr == R
     DX = 2 * dxmax + 2
-    ispec = pl.BlockSpec((1, 1, Q, R, lanes),
+    # KB row-blocks per grid step amortize the fixed per-step cost over
+    # the (B*nblk ~ 2465 on the Marmousi bench) grid; padded groups are
+    # all-zero-weight (prep pads weights with 0) so they add nothing
+    if KB is None:
+        KB = int(os.environ.get("DEVITO_FWI_TPU_BFM_KB", "4"))
+    KB = max(1, min(KB, nblk))
+    nblk_p = -(-nblk // KB) * KB
+    if nblk_p != nblk:
+        pads = [(0, 0), (0, nblk_p - nblk), (0, 0), (0, 0), (0, 0)]
+        rel, dxr, wy0, wy1, wx1 = (jnp.pad(a, pads)
+                                   for a in (rel, dxr, wy0, wy1, wx1))
+        wx0 = jnp.pad(wx0, pads, constant_values=1)
+    ispec = pl.BlockSpec((1, KB, Q, R, lanes),
                          lambda b, j: (b, j, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_push_kernel, Q=Q, R=R, G=G, DX=DX, lanes=lanes),
-        grid=(B, nblk),
+        grid=(B, nblk_p // KB),
         in_specs=(ispec,) * 6,
-        out_shape=jax.ShapeDtypeStruct((B, nblk, R + G, lanes),
+        out_shape=jax.ShapeDtypeStruct((B, nblk_p, R + G, lanes),
                                        wy0.dtype),
-        out_specs=pl.BlockSpec((1, 1, R + G, lanes),
+        out_specs=pl.BlockSpec((1, KB, R + G, lanes),
                                lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rel, dxr, wy0, wy1, wx0, wx1)
+    return out[:, :nblk]

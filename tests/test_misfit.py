@@ -381,3 +381,57 @@ def test_qwasserstein_gamma_mutation_retraces():
     # exactly the fresh instance's value
     assert l2 == pytest.approx(l2_ref, rel=1e-12)
     assert l2 != l1
+
+def test_legendre_anchor_exact_and_certificate():
+    """The anchored block-banded Legendre transform matches the full
+    transform to within FMA contraction (<= 1 ulp of s_i*s_j, i.e.
+    ~6e-8 absolute) whenever its sampled-argmax certificate passes, and
+    ``_legendre_last_anchor_fast`` is BIT-exact on certificate failure
+    (it takes the full-transform lax.cond branch)."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.misfit.bfm import (
+        _legendre_last, _legendre_last_anchored, _legendre_last_anchor_fast)
+    rng = np.random.RandomState(7)
+    # smooth near-quadratic potential: small displacement, certificate holds
+    n = 640
+    s = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    x = np.asarray(s)
+    u_s = np.stack([0.5 * x ** 2 + 1e-3 * np.sin(40 * x + p)
+                    for p in rng.uniform(0, 6, 5)]).astype(np.float32)
+    ref = _legendre_last(jnp.asarray(u_s), s)
+    out, ok = _legendre_last_anchored(jnp.asarray(u_s), s)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # adversarial potential: huge displacement, certificate must fail
+    # and the fast wrapper must still be exact via the fallback
+    u_r = rng.randn(5, n).astype(np.float32)
+    _, ok_r = _legendre_last_anchored(jnp.asarray(u_r), s)
+    assert not bool(ok_r)
+    fast = _legendre_last_anchor_fast(jnp.asarray(u_r), s)
+    assert np.array_equal(np.asarray(fast),
+                          np.asarray(_legendre_last(jnp.asarray(u_r), s)))
+    # leading batch dims + non-multiple-of-block lengths
+    u3 = rng.randn(2, 3, 333).astype(np.float32)
+    s3 = (jnp.arange(333, dtype=jnp.float32) + 0.5) / 333
+    assert np.array_equal(
+        np.asarray(_legendre_last_anchor_fast(jnp.asarray(u3), s3)),
+        np.asarray(_legendre_last(jnp.asarray(u3), s3)))
+
+
+def test_bfm_batch_legendre_anchor_end_to_end():
+    """legendre_banded='anchor' is a supported static mode of the batch
+    BFM and matches the full-transform solver."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.misfit.bfm import bfm_jax_batch
+    rng = np.random.RandomState(11)
+    n1, n2 = 20, 144
+    f = rng.rand(2, n2, n1).astype(np.float32) + 0.1
+    g = np.roll(f, 3, axis=1)
+    base = bfm_jax_batch(jnp.asarray(f), jnp.asarray(g), num_steps=4,
+                         push_backend="xla", legendre_banded="full")
+    alt = bfm_jax_batch(jnp.asarray(f), jnp.asarray(g), num_steps=4,
+                        push_backend="xla", legendre_banded="anchor")
+    assert np.allclose(np.asarray(base[0]), np.asarray(alt[0]), rtol=1e-5)
+    assert np.allclose(np.asarray(base[1]), np.asarray(alt[1]),
+                       rtol=1e-4, atol=1e-6)

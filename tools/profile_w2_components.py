@@ -147,6 +147,30 @@ def main():
     t, _ = best_of(lambda: leg20_full(phi), 3)
     print(f"  (banded disabled) x20:     {t:.3f} s  ({t/20*1e3:.1f} ms/call)")
 
+    # anchored block-banded mode + its certificates on the live state
+    @jax.jit
+    def leg20_anchor(u):
+        def body(c, _):
+            out = B._legendre_2d(c, xs, ys, 32_000_000, banded="anchor")
+            return 0.5 * c + 0.5 * out, None
+        c, _ = jax.lax.scan(body, u, None, length=20)
+        return jnp.sum(c)
+    t, _ = best_of(lambda: leg20_anchor(phi), 3)
+    print(f"  (anchor mode) x20:         {t:.3f} s  ({t/20*1e3:.1f} ms/call)")
+
+    @jax.jit
+    def anchor_ok(u):
+        _, ok1 = B._legendre_last_anchored(u, xs, A=8, Wside=32)
+        a = B._legendre_last(u, xs, 32_000_000)
+        _, ok2 = B._legendre_last_anchored(
+            -jnp.swapaxes(a, -1, -2), ys, A=16, Wside=64)
+        return jnp.stack([ok1, ok2])
+    oks = np.asarray(anchor_ok(phi))
+    oks2 = np.asarray(anchor_ok(dual))
+    print(f"  anchor certificates (live phi): jx={bool(oks[0])} "
+          f"jy={bool(oks[1])}; (live dual): jx={bool(oks2[0])} "
+          f"jy={bool(oks2[1])}")
+
     # component: one pushforward on the live (nu, phi), x10 chained
     @jax.jit
     def push10(dens, pot):
@@ -159,6 +183,22 @@ def main():
     t, _ = best_of(lambda: push10(nun, phi), 3)
     print(f"pushforward (live) x10:      {t:.3f} s  ({t/10*1e3:.1f} ms/call;"
           f" {2*nst} calls/bfm -> {2*nst/10*t:.2f} s)")
+
+    # fold A/B: vectorized diagonal-fold overlap-add vs the serial
+    # fori_loop of dynamic_update_slices (push_backend is a call-time
+    # static, so both variants get their own trace in this process)
+    @partial(jax.jit, static_argnames=("pb",))
+    def push10_pb(dens, pot, pb):
+        def body(c, _):
+            xm, ym = jax.vmap(lambda p: B._pushforward_map(p, n1, n2))(c)
+            r = B._sampling_pushforward_batch(dens, xm, ym, n1, n2, 2, 127,
+                                              push_backend=pb)
+            return c + 1e-7 * r, None
+        c, _ = jax.lax.scan(body, pot, None, length=10)
+        return jnp.sum(c)
+    for pb in ("pallas", "pallas-vecfold"):
+        t, _ = best_of(lambda: push10_pb(nun, phi, pb), 3)
+        print(f"  push [{pb:15s}] x10:  {t:.3f} s  ({t/10*1e3:.1f} ms/call)")
 
     # component: one H^-1 update (DCT poisson), x20 chained
     kx = 2.0 * n1 * n1 * (1 - jnp.cos(jnp.pi * jnp.arange(n1) / n1))
