@@ -175,6 +175,9 @@ def fm_multi(geometry, save=False):
     z0, nck, _, _, _ = _pallas_route(
         geometry, _default_checkpoints(geometry.nt), "OT2",
         calc_grad=False)
+    p3 = None
+    if z0 is None:
+        p3, _ = _pallas3_route(geometry, "OT2", calc_grad=False)
     if z0 is not None:
         rec_all = np.asarray(_fm_batch_pallas(
             vp, jnp.asarray(damp), jnp.asarray(src_wav),
@@ -182,6 +185,14 @@ def fm_multi(geometry, save=False):
             jnp.asarray(r_w), float(dt), nt=geometry.nt,
             spacing=model.spacing, space_order=model.space_order,
             n_checkpoints=nck, z0=z0, fs=model.fs))
+    elif p3 is not None:
+        rec_all = np.asarray(_fm_batch_pallas3(
+            vp, jnp.asarray(damp),
+            jnp.asarray(src_wav), jnp.asarray(s_idx), jnp.asarray(s_w),
+            jnp.asarray(r_idx), jnp.asarray(r_w), float(dt),
+            nt=geometry.nt, spacing=model.spacing,
+            space_order=model.space_order, z0=p3[0], R=p3[1],
+            fs=model.fs))
     else:
         rec_all = np.asarray(_fm_batch(
             vp, damp, jnp.asarray(src_wav), jnp.asarray(s_idx),
@@ -444,7 +455,9 @@ def _pallas_z0(geometry):
         return None
     model = geometry.model
     if model.dtype != np.float32 or model.dim != 2:
-        if on_tpu:
+        # 3-D geometries are not a cliff here: _pallas3_route owns them
+        # (and warns itself if they fall off the streaming kernels)
+        if on_tpu and model.dim != 3:
             _pallas_cliff_warn(f"dtype={np.dtype(model.dtype).name}, "
                                f"dim={model.dim}; need float32 2-D")
         return None
@@ -519,6 +532,145 @@ def _saved_route(geometry, calc_grad):
     if per_shot > budget:
         return False, None
     return True, max(1, budget // per_shot)
+
+
+def _pallas3_route(geometry, kernel, calc_grad):
+    """3-D Pallas streaming-kernel gating (``ops/pallas_acoustic3d``):
+    default-ON on TPU for f32 OT2 geometries with one source per shot
+    and all receivers between two adjacent z-planes, when the padded
+    grid admits a VMEM y-block. ``DEVITO_FWI_TPU_PALLAS3D=0`` opts out.
+    Returns ``(info, chunk_cap)`` where ``info`` is ``(z0, R,
+    hist_dtype)`` or None (XLA saved-history route)."""
+    model = geometry.model
+    if model.dim != 3 or kernel != "OT2":
+        return None, None
+    if os.environ.get("DEVITO_FWI_TPU_PALLAS3D", "1") == "0":
+        return None, None
+    from .ops.pallas_acoustic import env_interpret, stream_hist_dtype
+    if jax.default_backend() != "tpu" and not env_interpret():
+        return None, None
+    on_tpu = jax.default_backend() == "tpu"
+    if jax.config.jax_enable_x64 and not env_interpret():
+        if on_tpu:
+            _pallas_cliff_warn("jax_enable_x64 is on (3-D)")
+        return None, None
+    if model.dtype != np.float32:
+        if on_tpu:
+            _pallas_cliff_warn(f"3-D dtype={np.dtype(model.dtype).name};"
+                               " the streaming kernels need float32")
+        return None, None
+    from .ops import pallas_acoustic3d as _p3d
+    if not (_p3d.available() and _p3d.geometry_supported3(geometry)):
+        if on_tpu:
+            _pallas_cliff_warn(
+                "3-D geometry unsupported by the streaming kernels "
+                "(receivers must sit between two adjacent z-planes, "
+                "sources inside the y grid)")
+        return None, None
+    hist_dtype = stream_hist_dtype() if calc_grad else "float32"
+    nx_p, ny_p, nz_p = model.padded_shape
+    R = _p3d.pick_blocks3(ny_p, nz_p, nx_p,
+                          jnp.dtype(hist_dtype).itemsize)
+    if R is None:
+        if on_tpu:
+            _pallas_cliff_warn("3-D padded grid too large for the "
+                               "streaming kernels' VMEM blocks")
+        return None, None
+    r_idx, _ = interp_table(geometry.rec_positions, model.origin_pml,
+                            model.spacing, dtype=model.dtype)
+    z0 = int(np.asarray(r_idx)[..., 2].min())
+    cap = _p3d.stream_max_shots3(geometry.nt, ny_p, nz_p, nx_p,
+                                 hist_dtype=hist_dtype) \
+        if calc_grad else None
+    return (z0, R, hist_dtype), cap
+
+
+def _pallas3_operands(vp, damp, s_idx, s_w, src_wav, dt, nt, R):
+    """(m, m3, hd3, injp, iy, wav_pad) for the (ny, nz, nx)-transposed
+    3-D streaming kernels; the y axis is padded to whole R-blocks and
+    the trailing (z, x) dims to the Mosaic tile (``pad_shape3`` — the
+    kernels pin every pad cell to zero each step, preserving the XLA
+    zero-fill edge semantics)."""
+    from .ops import pallas_acoustic3d as _p3d
+    nx, ny, nz = vp.shape
+    nyp = -(-ny // R) * R
+    nzp, nxp = _p3d.pad_shape3(nz, nx)
+    pads = ((0, nyp - ny), (0, nzp - nz), (0, nxp - nx))
+    m = 1.0 / (vp * vp)
+    m3 = jnp.pad(m.transpose(1, 2, 0), pads, constant_values=1.0)
+    hd3 = jnp.pad(jnp.broadcast_to(dt * damp, vp.shape).transpose(1, 2, 0),
+                  pads)
+    injp, iy = _p3d.source_planes3(s_idx, s_w, m, dt * dt)
+    wav_pad = jnp.broadcast_to(src_wav[1:nt - 1, 0],
+                               (s_idx.shape[0], nt - 2))
+    return m, m3, hd3, injp, iy, wav_pad
+
+
+@partial(jax.jit, static_argnames=("nt", "spacing", "space_order", "z0",
+                                   "R", "dt", "fs"))
+def _fm_batch_pallas3(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt, *,
+                      nt, spacing, space_order, z0, R, fs=False):
+    """Pure 3-D forward modeling through the streaming receiver-slab
+    kernel (no dt2/illumination writes)."""
+    from .ops import pallas_acoustic3d as _p3d
+    nx, ny, nz = vp.shape
+    m, m3, hd3, injp, iy, wav_pad = _pallas3_operands(
+        vp, damp, s_idx, s_w, src_wav, dt, nt, R)
+    rec_slab = _p3d.forward_rec3(
+        m3, hd3, wav_pad, injp, iy, dt, nt=nt, ny=ny, nz=nz, nx=nx,
+        space_order=space_order, spacing=spacing, z0=z0, R=R, fs=fs)
+    return _p3d.traces_from_slabs3(rec_slab, r_idx, r_w, m, z0, nt,
+                                   nt - 2, vp.dtype)
+
+
+@partial(jax.jit, static_argnames=("misfit_jax", "misfit_batch",
+                                   "calc_grad", "nt", "spacing",
+                                   "space_order", "pads", "shape", "z0",
+                                   "R", "dt", "fs", "hist_dtype"))
+def _shots_fused_pallas3(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs,
+                         dw, src_pos, rec_positions, dt, *, misfit_jax,
+                         misfit_batch=None, calc_grad, nt, spacing,
+                         space_order, pads, shape, z0, R, fs=False,
+                         hist_dtype="float32"):
+    """All-shot fused 3-D objective on the streaming Pallas kernels:
+    forward with HBM-streamed d2u/dt2 history, traceable misfit, then
+    the reverse-sweep gradient — 2 stencil sweeps per time step, same
+    outputs as ``_shots_fused``. Callers bound the shot batch by
+    ``stream_max_shots3``."""
+    from .ops import pallas_acoustic3d as _p3d
+    nx, ny, nz = vp.shape
+    nsteps = nt - 2
+    m, m3, hd3, injp, iy, wav_pad = _pallas3_operands(
+        vp, damp, s_idx, s_w, src_wav, dt, nt, R)
+    kw = dict(nt=nt, ny=ny, nz=nz, nx=nx, space_order=space_order,
+              spacing=spacing, z0=z0, R=R, fs=fs)
+    mf = misfit_batch if misfit_batch is not None else jax.vmap(misfit_jax)
+    if not calc_grad:
+        rec_slab = _p3d.forward_rec3(m3, hd3, wav_pad, injp, iy, dt, **kw)
+        rec = _p3d.traces_from_slabs3(rec_slab, r_idx, r_w, m, z0, nt,
+                                      nsteps, vp.dtype)
+        fvals, res = mf(rec - dw, obs - dw)
+        return jnp.sum(fvals), res
+    rec_slab, dt2, illum = _p3d.forward_dt2_stream3(
+        m3, hd3, wav_pad, injp, iy, dt, hist_dtype=hist_dtype, **kw)
+    rec = _p3d.traces_from_slabs3(rec_slab, r_idx, r_w, m, z0, nt, nsteps,
+                                  vp.dtype)
+    fvals, res = mf(rec - dw, obs - dw)
+    fval = jnp.sum(fvals)
+    res_slab = _p3d.residual_slabs3(res, r_idx, r_w, m, dt * dt, z0,
+                                    nsteps, m3.shape[0])
+    grad = _p3d.gradient_stream3(m3, hd3, dt2, res_slab, dt, **kw)
+
+    def fix(g, il, sp):
+        gc = _fix_illum_jax(_crop(g, pads, shape), sp, rec_positions,
+                            spacing, shape)
+        ic = _fix_illum_jax(_crop(il, pads, shape), sp, rec_positions,
+                            spacing, shape)
+        return gc, ic
+
+    back = lambda f: f[:, :ny, :nz, :nx].transpose(0, 3, 1, 2)  # noqa: E731
+    crops, ilc = jax.vmap(fix)(back(grad), back(illum), src_pos)
+    return fval, res, jnp.sum(crops, axis=0), jnp.sum(ilc, axis=0)
 
 
 def _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps, dtype):
@@ -790,11 +942,18 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     # geometries: 2-D f32 OT2, receivers on two z-planes; fs supported)
     z0, pallas_nck, stream, hist_dtype, cap = _pallas_route(
         geometry, statics["n_checkpoints"], statics["kernel"], calc_grad)
+    p3 = None
     if z0 is None:
-        saved, saved_cap = _saved_route(geometry, calc_grad)
-        statics["saved"] = saved
-        if saved_cap is not None:
-            cap = saved_cap if cap is None else min(cap, saved_cap)
+        p3, p3_cap = _pallas3_route(geometry, statics["kernel"],
+                                    calc_grad)
+        if p3 is not None:
+            if p3_cap is not None:
+                cap = p3_cap if cap is None else min(cap, p3_cap)
+        else:
+            saved, saved_cap = _saved_route(geometry, calc_grad)
+            statics["saved"] = saved
+            if saved_cap is not None:
+                cap = saved_cap if cap is None else min(cap, saved_cap)
     chunk = min(nsrc, shot_chunk or nsrc)
     if cap is not None:
         chunk = min(chunk, cap)
@@ -834,6 +993,18 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
                 shape=statics["shape"],
                 n_checkpoints=pallas_nck, z0=z0, fs=statics["fs"],
                 stream=stream, hist_dtype=hist_dtype)
+        elif p3 is not None:
+            out = _shots_fused_pallas3(
+                vp, damp, src_wav,
+                s_idx[lo:hi], s_w[lo:hi], r_idx, r_w,
+                obs_stack[lo:hi], dw_full[lo:hi], src_pos_all[lo:hi],
+                rec_positions, float(dt), misfit_jax=statics["misfit_jax"],
+                misfit_batch=statics["misfit_batch"],
+                calc_grad=calc_grad, nt=statics["nt"],
+                spacing=statics["spacing"],
+                space_order=statics["space_order"], pads=statics["pads"],
+                shape=statics["shape"], z0=p3[0], R=p3[1],
+                fs=statics["fs"], hist_dtype=p3[2])
         else:
             out = _shots_fused(vp, damp, src_wav, s_idx[lo:hi],
                                s_w[lo:hi], r_idx, r_w, obs_stack[lo:hi],

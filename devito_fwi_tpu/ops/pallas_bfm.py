@@ -310,11 +310,15 @@ def pushforward_slabs(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
     B, nblk, Q, Rr, lanes = rel.shape
     assert Rr == R
     DX = 2 * dxmax + 2
-    # KB row-blocks per grid step amortize the fixed per-step cost over
-    # the (B*nblk ~ 2465 on the Marmousi bench) grid; padded groups are
-    # all-zero-weight (prep pads weights with 0) so they add nothing
+    # KB row-blocks per grid step would amortize the fixed per-step cost
+    # over the (B*nblk ~ 2465 on the Marmousi bench) grid — MEASURED A
+    # WASH on chip (tools/bench_push_kb.py, live shapes: 3.13 / 3.21 /
+    # 3.17 / 3.14 ms/call at KB=1/2/4/8 — the kernel is compute-bound,
+    # not dispatch-bound, at this grid size). Default 1; the knob stays
+    # for re-A/Bs at other shapes. Padded groups are all-zero-weight
+    # (prep pads weights with 0) so they add nothing.
     if KB is None:
-        KB = int(os.environ.get("DEVITO_FWI_TPU_BFM_KB", "4"))
+        KB = int(os.environ.get("DEVITO_FWI_TPU_BFM_KB", "1"))
     KB = max(1, min(KB, nblk))
     nblk_p = -(-nblk // KB) * KB
     if nblk_p != nblk:

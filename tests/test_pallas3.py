@@ -91,6 +91,11 @@ def test_forward3_and_gradient_match_xla(monkeypatch):
                                        True, calc_grad=True)
 
     monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS3", "1")
+    # pin the objective to the XLA machinery + step3 hook: the streaming
+    # 3-D route (pallas_acoustic3d, default-on under interpret) would
+    # otherwise take the geometry first and this test would no longer
+    # exercise the per-step kernel's integration
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS3D", "0")
     monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS_INTERPRET", "1")
     jax.clear_caches()            # the env gate is read at trace time
     assert p3.enabled()

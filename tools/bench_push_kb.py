@@ -24,23 +24,28 @@ w = [jnp.asarray(rng.rand(B, nblk, Q, R, lanes), jnp.float32) for _ in range(4)]
 
 _fetch = jax.jit(lambda x: x.ravel()[0])
 
+@partial(jax.jit, static_argnames=("kb",))
+def chain(r, d, w0, w1, w2, w3, kb):
+    # big operands as ARGUMENTS: closure captures lower as program
+    # constants and blow the remote-compile request (CLAUDE.md)
+    def body(c, _):
+        s = pb.pushforward_slabs(c, d, w0, w1, w2, w3,
+                                 G=G, dxmax=dxmax, R=R, KB=kb)
+        # data-dependent feedback, keep rel in range
+        c = jnp.minimum(c + (s[:, :, None, :R].astype(jnp.int32) & 0),
+                        G - 2)
+        return c, None
+    c, _ = jax.lax.scan(body, r, None, length=10)
+    return jnp.sum(c)
+
+
 for KB in (1, 2, 4, 8):
-    @partial(jax.jit, static_argnames=("kb",))
-    def chain(r, kb):
-        def body(c, _):
-            s = pb.pushforward_slabs(c, dxr, w[0], w[1], w[2], w[3],
-                                     G=G, dxmax=dxmax, R=R, KB=kb)
-            # data-dependent feedback, keep rel in range
-            c = jnp.minimum(c + (s[:, :, None, :R].astype(jnp.int32) & 0),
-                            G - 2)
-            return c, None
-        c, _ = jax.lax.scan(body, r, None, length=10)
-        return jnp.sum(c)
-    t0 = time.perf_counter(); float(_fetch(chain(rel, KB)))
+    t0 = time.perf_counter()
+    float(_fetch(chain(rel, dxr, w[0], w[1], w[2], w[3], kb=KB)))
     comp = time.perf_counter() - t0
     ts = []
     for _ in range(4):
         t0 = time.perf_counter()
-        float(_fetch(chain(rel, KB)))
+        float(_fetch(chain(rel, dxr, w[0], w[1], w[2], w[3], kb=KB)))
         ts.append(time.perf_counter() - t0)
     print(f"KB={KB}: {min(ts)/10*1e3:.2f} ms/call  (compile {comp:.1f}s)")
