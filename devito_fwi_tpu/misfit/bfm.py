@@ -231,13 +231,15 @@ def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=None):
     (per-step accumulator HBM round trips) and 71.1 ms/call as an
     unrolled maximum chain (2W+1 shifted re-reads of u), vs 44.7 ms for
     the full transform. The Pallas kernel's first cut also does not pay
-    yet (~40 ms/pass incl. certificate vs 44.7 ms for BOTH passes of
-    the full transform) — route through it with
-    DEVITO_FWI_TPU_BFM_LEGENDRE=banded while it is being tuned; the
-    default stays the full transform."""
+    (~40 ms/pass incl. certificate vs 44.7 ms for BOTH passes of the
+    full transform) and stays opt-in (DEVITO_FWI_TPU_BFM_LEGENDRE=
+    banded). The ANCHORED block-banded XLA form
+    (``_legendre_last_anchor_fast``) beats both — it materializes the
+    band once per A-output block instead of per offset — and is the
+    default (live on-chip A/B: W2 objective 2.58 s vs 4.34 s full)."""
     if banded is None:
         import os
-        banded = os.environ.get("DEVITO_FWI_TPU_BFM_LEGENDRE", "full")
+        banded = os.environ.get("DEVITO_FWI_TPU_BFM_LEGENDRE", "anchor")
     if banded is True or banded == "banded":
         fn = _legendre_last_fast
     elif banded == "anchor":
@@ -863,8 +865,14 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
         if fold == "vec":
             push_backend = "pallas-vecfold"
     if legendre_banded is None:
+        # "anchor" (the XLA anchored block-banded transform,
+        # _legendre_last_anchor_fast) won the live on-chip A/B: the
+        # 29-shot SMARMN W2 gradient objective runs 2.58 s vs 4.34 s
+        # with the full transform (10.7x vs 18.1x L2,
+        # tools/bench_w2_variants.py) — certificate-guarded, so
+        # out-of-band states fall back to the exact full transform
         legendre_banded = os.environ.get("DEVITO_FWI_TPU_BFM_LEGENDRE",
-                                         "full")
+                                         "anchor")
     if legendre_banded is True:
         legendre_banded = "banded"
     elif legendre_banded is False:

@@ -74,13 +74,22 @@ def main():
                                 calc_grad=True)
         return jnp.float32(f)
 
+    # every variant sets BOTH env vars explicitly — the in-repo defaults
+    # have changed across rounds (push defaults to "pallas" on TPU now),
+    # so an empty env would silently re-measure the default
     variants = [
-        ("push=xla leg=full", {}),
-        ("push=pallas leg=full", {"DEVITO_FWI_TPU_BFM_PUSH": "pallas"}),
+        ("push=pallas leg=full", {"DEVITO_FWI_TPU_BFM_PUSH": "pallas",
+                                  "DEVITO_FWI_TPU_BFM_LEGENDRE": "full"}),
+        ("push=pallas leg=anchor", {"DEVITO_FWI_TPU_BFM_PUSH": "pallas",
+                                    "DEVITO_FWI_TPU_BFM_LEGENDRE":
+                                    "anchor"}),
+        ("push=xla leg=full", {"DEVITO_FWI_TPU_BFM_PUSH": "xla",
+                               "DEVITO_FWI_TPU_BFM_LEGENDRE": "full"}),
+        ("push=xla leg=anchor", {"DEVITO_FWI_TPU_BFM_PUSH": "xla",
+                                 "DEVITO_FWI_TPU_BFM_LEGENDRE": "anchor"}),
         ("push=pallas leg=banded", {"DEVITO_FWI_TPU_BFM_PUSH": "pallas",
                                     "DEVITO_FWI_TPU_BFM_LEGENDRE":
                                     "banded"}),
-        ("push=xla leg=banded", {"DEVITO_FWI_TPU_BFM_LEGENDRE": "banded"}),
     ]
     results = {}
     for name, env in variants:
