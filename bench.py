@@ -16,9 +16,9 @@ Additional per-config figures (BASELINE.json configs):
     fused gradient evaluation and its ratio to the L2 one;
   * config 4 — TTI multi-shot gradient (layers preset, all shots
     vmapped through the segment-checkpointed path);
-  * config 5 — 3-D acoustic multi-shot gradient (layers preset, XLA
-    path — the Pallas segment kernels are 2-D-only, so this is the
-    honest throughput of the 3-D fallback).
+  * config 5 — 3-D acoustic multi-shot gradient (layers preset; routes
+    like production — the 3-D streaming Pallas kernels when the
+    geometry qualifies, else the XLA saved-history route).
 
 ``vs_baseline`` ratios:
   * ``vs_cpu_same_code`` — MEASURED: this repo's own XLA scan path on the
@@ -293,9 +293,10 @@ def _bench_tti():
 
 
 def _bench_3d():
-    """Config 5: 3-D acoustic multi-shot L2 gradient (layers preset, XLA
-    scan path — the Pallas segment kernels are 2-D-only, so this records
-    the honest 3-D throughput of the fallback path)."""
+    """Config 5: 3-D acoustic multi-shot L2 gradient (layers preset).
+    Routes like production: the 3-D streaming Pallas kernels
+    (``ops/pallas_acoustic3d``) when the geometry qualifies, else the
+    XLA saved-history route."""
     from devito_fwi_tpu.models.presets import demo_model
     from devito_fwi_tpu import AcquisitionGeometry
 
@@ -386,7 +387,7 @@ def main():
         configs.update({k: float(v) for k, v in _bench_tti().items()})
     except Exception as e:  # pragma: no cover
         errors["tti"] = repr(e)[:120]
-    # config 5: 3-D acoustic gradient (XLA path — Pallas is 2-D-only)
+    # config 5: 3-D acoustic gradient (production routing)
     try:
         configs.update({k: float(v) for k, v in _bench_3d().items()})
     except Exception as e:  # pragma: no cover
