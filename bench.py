@@ -259,7 +259,7 @@ def _bench_tti():
     obs = jax.block_until_ready(obs)
 
     from devito_fwi_tpu.ops import pallas_tti as pt
-    if pt.enabled() and pt.tti_supported(model, r_idx):
+    if pt.enabled() and pt.tti_supported(model, r_idx, nt=geometry.nt):
         # Pallas segment-kernel twin (DEVITO_FWI_TPU_PALLAS_TTI=1): same
         # ckpt forward + reverse gradient, residual = rec - 0.999*obs.
         @jax.jit
@@ -286,10 +286,14 @@ def _bench_tti():
     t = _time_best(one, n_iters=1, n_repeats=4)
     nt = geometry.nt
     cells = np.prod(model.padded_shape)
-    # fwd + segment-recompute + adjoint = 3 propagations of 2 coupled
-    # fields each
+    # CONVENTION (changed in round 3 with the streamed-history TTI
+    # route): count only the invariant fwd + adjoint work — 2
+    # propagations of 2 coupled fields = 4 field-sweeps — like the
+    # acoustic metric, NOT the recompute sweep a particular route may
+    # or may not do. (The round-2 figure 6.49 counted 6 sweeps; its
+    # 4-sweep equivalent is 4.33.)
     return {"tti_multishot_gradient_s": t,
-            "tti_gradient_cell_steps_per_s": 6.0 * nsrc * nt * cells / t}
+            "tti_gradient_cell_steps_per_s": 4.0 * nsrc * nt * cells / t}
 
 
 def _bench_3d():

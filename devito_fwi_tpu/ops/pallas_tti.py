@@ -20,11 +20,30 @@ itself pinned to the saved-path ``jacobian_adjoint`` at 1e-12.
 
 Default ON on TPU: the on-chip A/B (tools/onchip_roundup.sh step 5,
 bench TTI config, 4 shots vmapped) measured 0.0357 s vs 0.1957 s for
-the XLA segment-checkpointed path — 5.5x, 6.49 vs 1.18 Gcell-steps/s —
-and the on-chip parity test (test_tti_pallas_matches_xla_on_chip)
-passes. ``DEVITO_FWI_TPU_PALLAS_TTI=0`` opts out. Scope: 2-D f32,
-phi-less TTI, receivers on <= 2 z-planes (``tti_supported``);
-everything else falls back to the XLA pair.
+the XLA segment-checkpointed path — 5.5x — and the on-chip parity test
+(test_tti_pallas_matches_xla_on_chip) passes.
+``DEVITO_FWI_TPU_PALLAS_TTI=0`` opts out. Scope: 2-D f32, phi-less
+TTI, receivers on <= 2 z-planes (``tti_supported``); everything else
+falls back to the XLA pair.
+
+Round-3 additions, both measured by tools/bench_tti_stream.py on chip:
+
+* **Streamed-history gradient** (``forward_dt2_pallas`` +
+  ``gradient_stream_pallas``, default-on via ``_stream_route``,
+  ``DEVITO_FWI_TPU_TTI_STREAM=0`` opts out): the forward streams BOTH
+  fields' d2/dt2 histories to HBM as pipelined output blocks (bf16 by
+  default on TPU, ``pallas_acoustic.stream_hist_dtype``) and the
+  reverse sweep consumes them — 2 coupled sweeps per step instead of
+  3. Marmousi-scale A/B (300x106+nbl40, so=8, 4 shots, nt=4003):
+  0.154 vs 0.219 s = **1.42x**, bf16-history gradient deviation
+  3.2e-4 max-rel (f32 history is exact: interpret parity test).
+* **Raised 96 MB scoped-vmem limit** (``_compiler_params``): the
+  rotated gxx/gzz chains keep ~60 field-sized temporaries live on the
+  Mosaic stack — at Marmousi grids (186x380 transposed) that is ~17 MB
+  and the default 16 MB limit rejected the kernels REGARDLESS of
+  segment length. With the raise (v5e has 128 MB physical VMEM; same
+  fix as the 3-D kernels) the recompute pair also runs Marmousi-scale
+  TTI at 31 Gcs/s (6-sweep count).
 
 Reference semantics: ``seismic/tti/operators.py`` (kernel_centered_2d,
 600-640 for the gradient).
@@ -42,7 +61,9 @@ from ..utils.fd import fd_weights, second_derivative_weights
 from .pallas_acoustic import env_interpret
 
 __all__ = ["enabled", "tti_supported", "forward_ckpt_pallas",
-           "jacobian_adjoint_pallas"]
+           "jacobian_adjoint_pallas", "forward_dt2_pallas",
+           "gradient_stream_pallas", "pick_stream_checkpoints_tti",
+           "stream_max_shots_tti"]
 
 
 def enabled():
@@ -56,7 +77,7 @@ def enabled():
         return False
 
 
-def tti_supported(model, rec_idx):
+def tti_supported(model, rec_idx, nt=None):
     if model.dim != 2 or model.dtype != np.float32:
         return False
     zplanes = np.unique(np.asarray(rec_idx)[..., 1])
@@ -65,7 +86,14 @@ def tti_supported(model, rec_idx):
     # the kernels' static 2-row receiver slice must fit the grid (a
     # z-edge geometry would clamp it to one row and crash the trace)
     z0 = int(zplanes.min())
-    return 0 <= z0 and z0 + 2 <= model.padded_shape[1]
+    if not (0 <= z0 and z0 + 2 <= model.padded_shape[1]):
+        return False
+    if nt is not None:
+        # even a 2-step recompute segment must fit VMEM
+        nx, nz = model.padded_shape
+        if pick_n_checkpoints_tti(nt, nx, nz) is None:
+            return False
+    return True
 
 
 def _make_ops_t(w1, r1, w2, ihx, ihz, nx, nz):
@@ -252,6 +280,126 @@ def _grad_kernel(wav_ref, m_ref, hd_ref, eh_ref, dh_ref, st_ref, ct_ref,
     jax.lax.fori_loop(0, seg, rev_body, 0)
 
 
+def _compiler_params():
+    """v5e has 128 MB of physical VMEM; the default 16 MB scoped limit
+    rejects the rotated-chain TEMPORARIES at Marmousi-scale grids (the
+    gxx/gzz evaluation keeps ~60 field-sized temps live on the Mosaic
+    stack — measured 16.7-17.4M scoped at 186x380 regardless of segment
+    length). 96 MB matches the 3-D kernels' raised limit; the pick_*
+    budgets below keep 1/3 headroom under it."""
+    import jax.experimental.pallas.tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20)
+
+
+def _fwd_dt2_kernel(wav_ref, m_ref, hd_ref, eh_ref, dh_ref, st_ref, ct_ref,
+                    inj_ref, udt2_ref, vdt2_ref, rec_ref, u_ref, up_ref,
+                    v_ref, vp_ref, *, seg, nx, nz, w1, r1, w2, ihx, ihz,
+                    z0):
+    """One (shot b, segment j) grid step of the history-streaming TTI
+    forward: identical coupled leapfrog to ``_fwd_kernel``, but instead
+    of segment-start checkpoints it emits BOTH fields' d2/dt2 histories
+    (un - 2u + up) as pipelined output blocks — the acoustic
+    ``_fwd_dt2_kernel`` pattern on the coupled system."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    base = j * seg
+    m = m_ref[:]
+    hd = hd_ref[:]
+    inv_mhd = 1.0 / (m + hd)
+    two_m_hd = 2.0 * m + hd
+    eh = eh_ref[:]
+    dh = dh_ref[:]
+    inj = inj_ref[:]
+    gzz, gxx = _make_ops_t(w1, r1, w2, ihx, ihz, nx, nz)(st_ref[:],
+                                                         ct_ref[:])
+
+    @pl.when(j == 0)
+    def _():
+        for ref in (u_ref, up_ref, v_ref, vp_ref):
+            ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    s2 = wav_ref[0]                        # slot 0 holds dt^2
+
+    def body(i, _):
+        u = u_ref[:]
+        up = up_ref[:]
+        v = v_ref[:]
+        vp = vp_ref[:]
+        rec_ref[i] = u[z0:z0 + 2, :] + v[z0:z0 + 2, :]
+        Gxx_u = gxx(u)
+        Gzz_v = gzz(v)
+        w_t = wav_ref[base + i + 1]
+        un = (s2 * (eh * Gxx_u + dh * Gzz_v) + two_m_hd * u - m * up) \
+            * inv_mhd + w_t * inj
+        vn = (s2 * (dh * Gxx_u + Gzz_v) + two_m_hd * v - m * vp) \
+            * inv_mhd + w_t * inj
+        # cast is a no-op for the f32 history; bf16 halves the streamed
+        # HBM traffic (pallas_acoustic.stream_hist_dtype)
+        udt2_ref[i] = (un - 2.0 * u + up).astype(udt2_ref.dtype)
+        vdt2_ref[i] = (vn - 2.0 * v + vp).astype(vdt2_ref.dtype)
+        u_ref[:] = un
+        up_ref[:] = u
+        v_ref[:] = vn
+        vp_ref[:] = v
+        return 0
+
+    jax.lax.fori_loop(0, seg, body, 0)
+
+
+def _grad_stream_kernel(m_ref, hd_ref, eh_ref, dh_ref, st_ref, ct_ref,
+                        udt2_ref, vdt2_ref, res_ref, grad_ref, du_ref,
+                        dun_ref, dv_ref, dvn_ref, *, seg, nsteps, nx, nz,
+                        w1, r1, w2, ihx, ihz, z0, s2):
+    """One (shot b, reversed-segment j) grid step of the streamed-history
+    TTI gradient: the adjoint sweep of ``_grad_kernel`` with the forward
+    recompute removed — both fields' d2/dt2 histories arrive as pipelined
+    input blocks. Accumulation order matches ``_grad_kernel`` exactly."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    nseg = pl.num_programs(1)
+    k = nseg - 1 - j
+    base = k * seg
+    m = m_ref[:]
+    hd = hd_ref[:]
+    inv_mhd = 1.0 / (m + hd)
+    two_m_hd = 2.0 * m + hd
+    eh = eh_ref[:]
+    dh = dh_ref[:]
+    gzz, gxx = _make_ops_t(w1, r1, w2, ihx, ihz, nx, nz)(st_ref[:],
+                                                         ct_ref[:])
+
+    @pl.when(j == 0)
+    def _():
+        for ref in (du_ref, dun_ref, dv_ref, dvn_ref, grad_ref):
+            ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    def rev_body(i, _):
+        jj = seg - 1 - i
+
+        @pl.when(base + jj < nsteps)
+        def _():
+            du = du_ref[:]
+            dv = dv_ref[:]
+            grad_ref[:] = grad_ref[:] \
+                + udt2_ref[jj].astype(jnp.float32) * du \
+                + vdt2_ref[jj].astype(jnp.float32) * dv
+            H0 = gxx(eh * du + dh * dv)
+            Hz = gzz(dh * du + dv)
+            du_ref[:] = (s2 * H0 + two_m_hd * du - m * dun_ref[:]) \
+                * inv_mhd
+            dv_ref[:] = (s2 * Hz + two_m_hd * dv - m * dvn_ref[:]) \
+                * inv_mhd
+            du_ref[z0:z0 + 2, :] = du_ref[z0:z0 + 2, :] + res_ref[jj]
+            dv_ref[z0:z0 + 2, :] = dv_ref[z0:z0 + 2, :] + res_ref[jj]
+            dun_ref[:] = du
+            dvn_ref[:] = dv
+        return 0
+
+    jax.lax.fori_loop(0, seg, rev_body, 0)
+
+
 def _pack_wav(src_wav, s2, nt, total):
     """Wavelet padded to the segment layout with dt^2 in slot 0 (the
     kernels read steps at base+i+1)."""
@@ -312,6 +460,7 @@ def forward_ckpt_pallas(mT, hdT, ehT, dhT, stT, ctT, injT, src_wav, dt, *,
             jax.ShapeDtypeStruct((B, nseg, seg, 2, nx), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32)] * 4,
+        compiler_params=_compiler_params(),
         interpret=env_interpret(interpret),
     )(wav, mT, hdT, ehT, dhT, stT, ctT, injT)
     return rec_rows, seg_starts
@@ -357,8 +506,172 @@ def jacobian_adjoint_pallas(mT, hdT, ehT, dhT, stT, ctT, injT, src_wav,
         out_shape=jax.ShapeDtypeStruct((B, nz, nx), jnp.float32),
         scratch_shapes=[pltpu.VMEM((seg, nz, nx), jnp.float32)] * 2 +
                        [pltpu.VMEM((nz, nx), jnp.float32)] * 8,
+        compiler_params=_compiler_params(),
         interpret=env_interpret(interpret),
     )(wav, mT, hdT, ehT, dhT, stT, ctT, injT, seg_starts, res_rows)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "n_checkpoints",
+                                   "dt", "interpret", "hist_dtype"))
+def forward_dt2_pallas(mT, hdT, ehT, dhT, stT, ctT, injT, src_wav, dt, *,
+                       nt, nx, nz, space_order, spacing, z0,
+                       n_checkpoints, interpret=False,
+                       hist_dtype="float32"):
+    """Batched TTI forward on the segment grid that streams BOTH fields'
+    d2/dt2 histories to HBM as pipelined output blocks. Returns
+    (rec_rows (B, nseg, seg, 2, nx), udt2, vdt2 (B, nseg, seg, nz, nx));
+    the in-VMEM arithmetic stays f32 regardless of ``hist_dtype``."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+    from .acoustic import _ckpt_layout
+
+    w1, r1, w2, ihx, ihz = _statics(space_order, spacing)
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    B = injT.shape[0]
+    wav = _pack_wav(src_wav, float(dt) ** 2, nt, nseg * seg)
+    kern = partial(_fwd_dt2_kernel, seg=seg, nx=nx, nz=nz, w1=w1, r1=r1,
+                   w2=w2, ihx=ihx, ihz=ihz, z0=z0)
+    hdtype = jnp.dtype(hist_dtype)
+    udt2, vdt2, rec_rows = pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 +
+                 [pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((None, None, seg, nz, nx),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, seg, nz, nx),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, seg, 2, nx),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nseg, seg, nz, nx), hdtype),
+            jax.ShapeDtypeStruct((B, nseg, seg, nz, nx), hdtype),
+            jax.ShapeDtypeStruct((B, nseg, seg, 2, nx), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32)] * 4,
+        compiler_params=_compiler_params(),
+        interpret=env_interpret(interpret),
+    )(wav, mT, hdT, ehT, dhT, stT, ctT, injT)
+    return rec_rows, udt2, vdt2
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "n_checkpoints",
+                                   "dt", "interpret"))
+def gradient_stream_pallas(mT, hdT, ehT, dhT, stT, ctT, udt2, vdt2,
+                           res_rows, dt, *, nt, nx, nz, space_order,
+                           spacing, z0, n_checkpoints, interpret=False):
+    """Reverse-sweep TTI gradient from the streamed d2/dt2 histories
+    (``forward_dt2_pallas`` output) — no forward recompute: 2 coupled
+    stencil sweeps per step instead of 3. Returns gradT (B, nz, nx),
+    UNSCALED like ``jacobian_adjoint_pallas`` (callers apply -1/s^2 and
+    transpose)."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+    from .acoustic import _ckpt_layout
+
+    w1, r1, w2, ihx, ihz = _statics(space_order, spacing)
+    nsteps, seg, nseg = _ckpt_layout(nt, n_checkpoints)
+    B = udt2.shape[0]
+    kern = partial(_grad_stream_kernel, seg=seg, nsteps=nsteps, nx=nx,
+                   nz=nz, w1=w1, r1=r1, w2=w2, ihx=ihx, ihz=ihz, z0=z0,
+                   s2=float(dt) ** 2)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 +
+                 [pl.BlockSpec((None, None, seg, nz, nx),
+                               lambda b, j: (b, nseg - 1 - j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, None, seg, nz, nx),
+                               lambda b, j: (b, nseg - 1 - j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, None, seg, 2, nx),
+                               lambda b, j: (b, nseg - 1 - j, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nz, nx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32)] * 4,
+        compiler_params=_compiler_params(),
+        interpret=env_interpret(interpret),
+    )(mT, hdT, ehT, dhT, stT, ctT, udt2, vdt2, res_rows)
+
+
+def pick_n_checkpoints_tti(nt, nx, nz):
+    """Smallest checkpoint count whose recompute segment fits VMEM: the
+    TTI grad kernel keeps BOTH fields' recomputed dt2 histories
+    (seg, nz, nx) f32 in scratch next to ~60 field-sized rotated-chain
+    temporaries and the double-buffered checkpoint blocks, under the
+    raised 96 MB scoped-vmem limit with 1/3 headroom. Returns None when
+    even a 2-step segment cannot fit (grid too large for the VMEM
+    kernels — fall back to the XLA pair)."""
+    from .pallas_acoustic import _padded_field_bytes
+
+    field = _padded_field_bytes(nx, nz)
+    budget = 64 * 2 ** 20 - 80 * field
+    seg_max = min(budget // (2 * field), 32)
+    if seg_max < 2:
+        return None
+    nsteps = nt - 2
+    return max(int(-(-nsteps // seg_max)), 1)
+
+
+def pick_stream_checkpoints_tti(nt, nx, nz, hist_dtype="float32"):
+    """Checkpoint count for the streamed TTI kernels: TWO double-
+    buffered (seg, nz, nx) history blocks next to the ~60 field-sized
+    rotated-chain temporaries, under the raised 96 MB scoped-vmem limit
+    with 1/3 headroom. Returns None when even a 4-step segment cannot
+    fit (fall back to the recompute kernels)."""
+    from .pallas_acoustic import _padded_field_bytes
+
+    itemsize = jnp.dtype(hist_dtype).itemsize
+    field = _padded_field_bytes(nx, nz)
+    hist_field = _padded_field_bytes(nx, nz, itemsize)
+    budget = 64 * 2 ** 20 - 80 * field
+    seg_max = budget // (4 * hist_field)
+    if seg_max < 4:
+        return None
+    seg_cap = int(os.environ.get("DEVITO_FWI_TPU_STREAM_SEG", "12"))
+    seg = min(seg_max, seg_cap)
+    nsteps = nt - 2
+    return max(int(-(-nsteps // seg)), 1)
+
+
+def stream_max_shots_tti(nt, nx, nz, hbm_budget_bytes=8 << 30,
+                         hist_dtype="float32"):
+    """Largest shot batch whose TWO streamed d2/dt2 histories fit the
+    HBM budget."""
+    from .pallas_acoustic import _padded_field_bytes
+
+    itemsize = jnp.dtype(hist_dtype).itemsize
+    per_shot = 2 * (nt - 2) * _padded_field_bytes(nx, nz, itemsize)
+    return max(1, int(hbm_budget_bytes // max(per_shot, 1)))
+
+
+def _stream_route(nt, nx, nz, B):
+    """(n_checkpoints, hist_dtype) for the streamed TTI gradient, or
+    (None, None) to use the recompute kernels.
+    ``DEVITO_FWI_TPU_TTI_STREAM=0`` opts out (the recompute pair stays
+    the certified fallback)."""
+    from .pallas_acoustic import stream_hist_dtype
+
+    if os.environ.get("DEVITO_FWI_TPU_TTI_STREAM", "1") != "1":
+        return None, None
+    hist_dtype = stream_hist_dtype()
+    snck = pick_stream_checkpoints_tti(nt, nx, nz, hist_dtype)
+    if snck is None or B > stream_max_shots_tti(nt, nx, nz,
+                                                hist_dtype=hist_dtype):
+        return None, None
+    return snck, hist_dtype
 
 
 def _tti_operands(vp, damp, epsilon, delta, theta, s_idx, s_w, r_idx, dt,
@@ -388,27 +701,61 @@ def _tti_operands(vp, damp, epsilon, delta, theta, s_idx, s_w, r_idx, dt,
 def tti_gradient_batched_pallas(vp, damp, epsilon, delta, theta, src_wav,
                                 s_idx, s_w, r_idx, r_w, obs, dt, *, nt,
                                 spacing, space_order, n_checkpoints,
-                                interpret=False):
+                                interpret=False, stream=None):
     """Batched TTI L2 gradient through the Pallas segment kernels:
-    checkpointed forward, residual vs ``obs`` (B, nt, nrec), reverse
-    gradient. Returns per-shot grads (B, nx, nz) — the drop-in twin of
-    vmapping ``tti.forward_ckpt`` + ``jacobian_adjoint_from_ckpt`` with
-    ``res = rec - obs`` (gate with ``tti_supported``/``enabled``)."""
+    forward, residual vs ``obs`` (B, nt, nrec), reverse gradient.
+    Returns per-shot grads (B, nx, nz) — the drop-in twin of vmapping
+    ``tti.forward_ckpt`` + ``jacobian_adjoint_from_ckpt`` with
+    ``res = rec - obs`` (gate with ``tti_supported``/``enabled``).
+
+    ``stream=None`` auto-routes: when both fields' streamed d2/dt2
+    histories fit VMEM blocks and the HBM budget, the forward streams
+    them and the reverse sweep skips the recompute (2 coupled sweeps per
+    step instead of 3 — the acoustic streamed-history pattern);
+    otherwise, or under ``DEVITO_FWI_TPU_TTI_STREAM=0``, the
+    checkpoint+recompute pair runs. ``stream=False`` forces recompute,
+    ``stream=True`` asserts the streamed route fits."""
     from .pallas_acoustic import residual_rows
     from ..fwi import _traces_from_rows
+
+    nx, nz = vp.shape
+    B = int(s_idx.shape[0])
+    snck, hist_dtype = _stream_route(nt, nx, nz, B)
+    use_stream = (snck is not None) if stream is None else bool(stream)
+    if use_stream:
+        assert snck is not None, "streamed TTI route does not fit"
+        n_checkpoints = snck
+    else:
+        # the recompute kernel's two (seg, nz, nx) dt2 scratch histories
+        # must fit VMEM: raise the checkpoint count when the caller's
+        # choice would make segments too long (the acoustic
+        # pick_n_checkpoints analog)
+        nck_min = pick_n_checkpoints_tti(nt, nx, nz)
+        assert nck_min is not None, "grid too large for the VMEM kernels"
+        n_checkpoints = max(n_checkpoints, nck_min)
 
     m, s2, (nsteps, seg, nseg), ops, z0, kw = _tti_operands(
         vp, damp, epsilon, delta, theta, s_idx, s_w, r_idx, dt, nt=nt,
         spacing=spacing, space_order=space_order,
         n_checkpoints=n_checkpoints, interpret=interpret)
-    rec_rows, seg_starts = forward_ckpt_pallas(*ops, src_wav, float(dt),
-                                               **kw)
-    rec = _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps,
-                            vp.dtype)
-    res = rec - obs
-    rows = residual_rows(res, r_idx, r_w, m, s2, z0, nsteps, seg, nseg)
-    gradT = jacobian_adjoint_pallas(*ops, src_wav, seg_starts, rows,
-                                    float(dt), **kw)
+    if use_stream:
+        rec_rows, udt2, vdt2 = forward_dt2_pallas(
+            *ops, src_wav, float(dt), hist_dtype=hist_dtype, **kw)
+        rec = _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps,
+                                vp.dtype)
+        rows = residual_rows(rec - obs, r_idx, r_w, m, s2, z0, nsteps,
+                             seg, nseg)
+        gradT = gradient_stream_pallas(*ops[:6], udt2, vdt2, rows,
+                                       float(dt), **kw)
+    else:
+        rec_rows, seg_starts = forward_ckpt_pallas(*ops, src_wav,
+                                                   float(dt), **kw)
+        rec = _traces_from_rows(rec_rows, r_idx, r_w, z0, nt, nsteps,
+                                vp.dtype)
+        rows = residual_rows(rec - obs, r_idx, r_w, m, s2, z0, nsteps,
+                             seg, nseg)
+        gradT = jacobian_adjoint_pallas(*ops, src_wav, seg_starts, rows,
+                                        float(dt), **kw)
     return jnp.swapaxes(gradT, -1, -2) * jnp.float32(-1.0 / s2)
 
 
@@ -416,19 +763,43 @@ def tti_gradient_residual_batched_pallas(vp, damp, epsilon, delta, theta,
                                          src_wav, s_idx, s_w, r_idx, r_w,
                                          res, dt, *, nt, spacing,
                                          space_order, n_checkpoints,
-                                         interpret=False):
+                                         interpret=False, stream=None):
     """Same as ``tti_gradient_batched_pallas`` but back-propagating a
     GIVEN residual ``res`` (B, nt, nrec) — the
     ``jacobian_adjoint_from_ckpt`` calling convention used by
-    ``AnisotropicWaveSolver.gradient_checkpointed``."""
+    ``AnisotropicWaveSolver.gradient_checkpointed``. Auto-routes through
+    the streamed-history kernels like ``tti_gradient_batched_pallas``."""
     from .pallas_acoustic import residual_rows
+
+    nx, nz = vp.shape
+    B = int(s_idx.shape[0])
+    snck, hist_dtype = _stream_route(nt, nx, nz, B)
+    use_stream = (snck is not None) if stream is None else bool(stream)
+    if use_stream:
+        assert snck is not None, "streamed TTI route does not fit"
+        n_checkpoints = snck
+    else:
+        # the recompute kernel's two (seg, nz, nx) dt2 scratch histories
+        # must fit VMEM: raise the checkpoint count when the caller's
+        # choice would make segments too long (the acoustic
+        # pick_n_checkpoints analog)
+        nck_min = pick_n_checkpoints_tti(nt, nx, nz)
+        assert nck_min is not None, "grid too large for the VMEM kernels"
+        n_checkpoints = max(n_checkpoints, nck_min)
 
     m, s2, (nsteps, seg, nseg), ops, z0, kw = _tti_operands(
         vp, damp, epsilon, delta, theta, s_idx, s_w, r_idx, dt, nt=nt,
         spacing=spacing, space_order=space_order,
         n_checkpoints=n_checkpoints, interpret=interpret)
-    _, seg_starts = forward_ckpt_pallas(*ops, src_wav, float(dt), **kw)
     rows = residual_rows(res, r_idx, r_w, m, s2, z0, nsteps, seg, nseg)
-    gradT = jacobian_adjoint_pallas(*ops, src_wav, seg_starts, rows,
-                                    float(dt), **kw)
+    if use_stream:
+        _, udt2, vdt2 = forward_dt2_pallas(
+            *ops, src_wav, float(dt), hist_dtype=hist_dtype, **kw)
+        gradT = gradient_stream_pallas(*ops[:6], udt2, vdt2, rows,
+                                       float(dt), **kw)
+    else:
+        _, seg_starts = forward_ckpt_pallas(*ops, src_wav, float(dt),
+                                            **kw)
+        gradT = jacobian_adjoint_pallas(*ops, src_wav, seg_starts, rows,
+                                        float(dt), **kw)
     return jnp.swapaxes(gradT, -1, -2) * jnp.float32(-1.0 / s2)

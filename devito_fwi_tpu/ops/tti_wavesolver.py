@@ -175,7 +175,8 @@ class AnisotropicWaveSolver:
         r_idx, r_w = self._tables(rec.coordinates)
         tic = _time.perf_counter()
         from . import pallas_tti as _pt
-        if _pt.enabled() and _pt.tti_supported(self.model, r_idx) \
+        if _pt.enabled() and _pt.tti_supported(self.model, r_idx,
+                                               nt=self.nt) \
                 and np.asarray(src.coordinates).shape[0] == 1:
             # Pallas segment-kernel fast path: 5.5x the XLA checkpointed
             # pair on chip (docs/04_performance.md); numerics pinned by

@@ -71,6 +71,63 @@ def test_tti_pallas_gradient_matches_xla_interpret(monkeypatch):
     assert d < 2e-5 * scale, d / scale
 
 
+def test_tti_streamed_matches_recompute_interpret(monkeypatch):
+    """The streamed-history TTI gradient (forward_dt2_pallas +
+    gradient_stream_pallas, f32 history) matches the checkpoint+recompute
+    pair exactly — same update formula, same accumulation order, only
+    the history transport differs."""
+    monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS_INTERPRET", "1")
+    model = demo_model("layers-tti", shape=(50, 40), spacing=(10., 10.),
+                       nbl=10, space_order=4, dtype=np.float32)
+    nsrc, nrec = 2, 30
+    srcs = np.empty((nsrc, 2))
+    srcs[:, 0] = np.linspace(100, 350, nsrc)
+    srcs[:, 1] = 20.0
+    rec = np.empty((nrec, 2))
+    rec[:, 0] = np.linspace(0, model.domain_size[0], nrec)
+    rec[:, 1] = 20.0
+    geom = AcquisitionGeometry(model, rec, srcs, 0.0, 200.0, f0=0.012,
+                               src_type="Ricker")
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    s_idx_b = jnp.asarray(s_idx)[:, None]
+    s_w_b = jnp.asarray(s_w)[:, None]
+    args = (jnp.asarray(model.vp), jnp.asarray(model.damp),
+            jnp.asarray(model.epsilon), jnp.asarray(model.delta),
+            jnp.asarray(model.theta))
+    wav = jnp.asarray(geom.src.data[:, :1])
+    dt = float(model.critical_dt)
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=4,
+              n_checkpoints=6, interpret=True)
+    # synthetic observed data: zeros, so res = rec (nonzero everywhere)
+    obs = jnp.zeros((nsrc, geom.nt, nrec), jnp.float32)
+
+    g_re = pt.tti_gradient_batched_pallas(
+        *args, wav, s_idx_b, s_w_b, jnp.asarray(r_idx),
+        jnp.asarray(r_w), obs, dt, stream=False, **kw)
+    g_st = pt.tti_gradient_batched_pallas(
+        *args, wav, s_idx_b, s_w_b, jnp.asarray(r_idx),
+        jnp.asarray(r_w), obs, dt, stream=True, **kw)
+
+    ref = np.asarray(g_re)
+    d = np.abs(np.asarray(g_st) - ref).max()
+    assert d <= 1e-6 * np.abs(ref).max(), d / np.abs(ref).max()
+
+
+def test_tti_stream_budget_helpers():
+    """pick_stream_checkpoints_tti / stream_max_shots_tti size the TWO
+    double-buffered history blocks: a huge grid must decline, a small
+    one must stream, and the bf16 history must nearly double the shot
+    cap (the 16-row bf16 sublane padding shaves it below exactly 2x)."""
+    assert pt.pick_stream_checkpoints_tti(500, 160, 120) is not None
+    assert pt.pick_stream_checkpoints_tti(500, 4000, 4000) is None
+    f32 = pt.stream_max_shots_tti(1000, 300, 200, hist_dtype="float32")
+    bf16 = pt.stream_max_shots_tti(1000, 300, 200, hist_dtype="bfloat16")
+    assert f32 >= 1 and bf16 >= int(1.7 * f32)
+
+
 def test_solver_gradient_checkpointed_routes_pallas(monkeypatch):
     """AnisotropicWaveSolver.gradient_checkpointed takes the Pallas
     segment-kernel path when enabled (default on TPU; forced here via
