@@ -175,9 +175,18 @@ class AnisotropicWaveSolver:
         r_idx, r_w = self._tables(rec.coordinates)
         tic = _time.perf_counter()
         from . import pallas_tti as _pt
-        if _pt.enabled() and _pt.tti_supported(self.model, r_idx,
-                                               nt=self.nt) \
-                and np.asarray(src.coordinates).shape[0] == 1:
+        use_pallas = _pt.enabled() and \
+            _pt.tti_supported(self.model, r_idx, nt=self.nt) and \
+            np.asarray(src.coordinates).shape[0] == 1
+        if _pt.enabled() and not use_pallas:
+            # loud once-per-reason cliff warning, acoustic convention
+            # (fwi._pallas_cliff_warn): the XLA pair is ~5x slower
+            from ..fwi import _pallas_cliff_warn
+            _pallas_cliff_warn(
+                "TTI geometry unsupported by the Pallas segment kernels "
+                "(need 2-D f32, receivers on <=2 z-planes, single "
+                "source, grid fitting VMEM)")
+        if use_pallas:
             # Pallas segment-kernel fast path: 5.5x the XLA checkpointed
             # pair on chip (docs/04_performance.md); numerics pinned by
             # tests/test_pallas_tti.py + the on-chip parity suite

@@ -32,6 +32,12 @@ timeout 2400 python tools/bench_w2_variants.py 2>&1 | tee /tmp/roundup/w2_varian
 echo "== 4. gradient roofline audit =="
 timeout 1800 python tools/audit_gradient.py 2>&1 | tee /tmp/roundup/audit.log | tail -14
 
+echo "== 4b. TTI streamed-vs-recompute A/B (small + Marmousi scale) =="
+timeout 1200 python tools/bench_tti_stream.py 2>&1 \
+    | tee /tmp/roundup/tti_stream_small.log | tail -2
+timeout 1200 python tools/bench_tti_stream.py --shape 300 106 --nbl 40 \
+    --nsrc 4 --tn 4000 2>&1 | tee /tmp/roundup/tti_stream_marm.log | tail -2
+
 echo "== 5. TTI Pallas segment-kernel A/B =="
 timeout 1800 python - <<'EOF' 2>&1 | tee /tmp/roundup/pallas_tti.log | tail -6
 import os, sys
