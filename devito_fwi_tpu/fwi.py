@@ -339,11 +339,12 @@ def fwi_obj_single(geometry, obs, misfit_func, direct_wave=None,
                                    "calc_grad", "nt",
                                    "spacing", "space_order", "kernel", "fs",
                                    "pads", "shape", "n_checkpoints",
-                                   "saved"))
+                                   "saved", "save_dtype", "rec_box"))
 def _shots_fused(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
                  src_pos, rec_positions, dt, *, misfit_jax,
                  misfit_batch=None, calc_grad, nt, spacing, space_order,
-                 kernel, fs, pads, shape, n_checkpoints, saved=False):
+                 kernel, fs, pads, shape, n_checkpoints, saved=False,
+                 save_dtype=None, rec_box=None):
     """All-shot fused objective: one TPU program vmapping the forward and
     gradient sweeps over the shot axis, with the misfit applied at BATCH
     level between them, and reducing on device. Batching shots amortizes
@@ -358,24 +359,28 @@ def _shots_fused(vp, damp, src_wav, s_idx, s_w, r_idx, r_w, obs, dw,
     mf = misfit_batch if misfit_batch is not None else jax.vmap(misfit_jax)
     if calc_grad and saved:
         # saved-history route (3-D on TPU): forward(save=True) streams
-        # the full wavefield to HBM and the reverse sweep reads it back
-        # — 2 sweeps/step instead of the ckpt path's 3. Measured on the
-        # bench 3-D config (96^3 padded, 4 shots): 12.1 vs 7.4 Gcs/s
-        # (tools/bench_3d_variants.py). The 2-D XLA path keeps ckpt
-        # (2-D sweeps are VMEM-fast; the HBM history round-trip loses
-        # there — docs/04_performance.md item 6), and 2-D TPU runs the
-        # Pallas streamed kernels anyway.
+        # the full wavefield to HBM (``save_dtype`` — bf16 by default,
+        # halving the stream and doubling the chunk) and the reverse
+        # sweep reads it back — 2 sweeps/step instead of the ckpt
+        # path's 3, with illumination accumulated from the same reads
+        # and the residual injected as a pad-fused static slab
+        # (``rec_box``, 3.1x the per-step scatter —
+        # tools/bench_3d_fusion.py). The 2-D XLA path keeps ckpt (2-D
+        # sweeps are VMEM-fast; the HBM history round-trip loses there
+        # — docs/04_performance.md item 6), and 2-D TPU runs the Pallas
+        # streamed kernels anyway.
         rec, u_hist = jax.vmap(
             lambda si, sw: _ac.forward(vp, damp, src_wav, si, sw, r_idx,
-                                       r_w, dt, save=True, **static)
+                                       r_w, dt, save=True,
+                                       save_dtype=save_dtype, **static)
         )(s_idx, s_w)
         fvals, res = mf(rec - dw, obs - dw)
         fval = jnp.sum(fvals)
 
         def grad_one_saved(si, sw, u, r, sp):
-            grad, _ = _ac.gradient(vp, damp, u, r, r_idx, r_w, dt,
-                                   **static)
-            ilp = jnp.sum(u * u, axis=0)
+            grad, _, ilp = _ac.gradient(vp, damp, u, r, r_idx, r_w, dt,
+                                        rec_box=rec_box, with_illum=True,
+                                        **static)
             crop = _fix_illum_jax(_crop(grad, pads, shape), sp,
                                   rec_positions, spacing, shape)
             illum = _fix_illum_jax(_crop(ilp, pads, shape), sp,
@@ -515,23 +520,56 @@ def _saved_route(geometry, calc_grad):
     TPU run forward(save=True) + the 2-sweep reverse instead of the
     3-sweep segment recompute — measured 12.1 vs 7.4 Gcell-steps/s on
     the bench 3-D config (tools/bench_3d_variants.py; the per-step
-    Pallas leapfrog lost the same A/B and stays opt-in). Returns
-    (use_saved, chunk_cap) with chunk_cap bounding the live histories
-    to an ~6 GB HBM budget. ``DEVITO_FWI_TPU_SAVED3=0`` opts out."""
+    Pallas leapfrog lost the same A/B and stays opt-in).
+
+    Returns ``(use_saved, chunk_cap, save_dtype, rec_box)``:
+    ``chunk_cap`` bounds the live histories to an ~6 GB HBM budget;
+    ``save_dtype`` is the history element type (the 2-D kernels'
+    ``stream_hist_dtype`` — bf16 by default on TPU, halving the history
+    stream and doubling the chunk); ``rec_box`` is the static
+    trailing-axis window-start tuple for the pad-fused slab residual
+    injection in ``ops.acoustic.gradient`` (3.1x the per-step scatter on
+    the reverse sweep, tools/bench_3d_fusion.py), or None when the
+    receiver corners don't fit 2-wide windows.
+    ``DEVITO_FWI_TPU_SAVED3=0`` opts out."""
     if not calc_grad or geometry.model.dim != 3:
-        return False, None
+        return False, None, None, None
     if os.environ.get("DEVITO_FWI_TPU_SAVED3", "1") != "1":
-        return False, None
+        return False, None, None, None
     try:
         if jax.default_backend() != "tpu":
-            return False, None
+            return False, None, None, None
     except Exception:  # pragma: no cover
-        return False, None
-    per_shot = geometry.nt * int(np.prod(geometry.model.padded_shape)) * 4
+        return False, None, None, None
+    from .ops.pallas_acoustic import stream_hist_dtype
+    save_dtype = stream_hist_dtype()
+    itemsize = jnp.dtype(save_dtype).itemsize
+    model = geometry.model
+    per_shot = geometry.nt * int(np.prod(model.padded_shape)) * itemsize
     budget = 6 << 30
     if per_shot > budget:
-        return False, None
-    return True, max(1, budget // per_shot)
+        return False, None, None, None
+    # slab-injection gating (the geometry_supported analog): every
+    # receiver corner must fit a static 2-wide window in each trailing
+    # axis, with the window inside the padded grid.
+    # DEVITO_FWI_TPU_SLAB3=0 opts out (per-step scatter fallback).
+    box = []
+    if os.environ.get("DEVITO_FWI_TPU_SLAB3", "1") == "1":
+        r_idx, _ = interp_table(geometry.rec_positions, model.origin_pml,
+                                model.spacing, dtype=model.dtype)
+        idx = np.asarray(r_idx)
+        for d in range(1, model.dim):
+            vals = np.unique(idx[..., d])
+            lo = int(vals.min())
+            if (len(vals) > 2 or vals.max() > lo + 1 or lo < 0
+                    or lo + 2 > model.padded_shape[d]):
+                box = None
+                break
+            box.append(lo)
+    else:
+        box = None
+    rec_box = tuple(box) if box is not None else None
+    return True, max(1, budget // per_shot), save_dtype, rec_box
 
 
 def _pallas3_route(geometry, kernel, calc_grad):
@@ -944,16 +982,34 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
         geometry, statics["n_checkpoints"], statics["kernel"], calc_grad)
     p3 = None
     if z0 is None:
-        p3, p3_cap = _pallas3_route(geometry, statics["kernel"],
-                                    calc_grad)
-        if p3 is not None:
-            if p3_cap is not None:
-                cap = p3_cap if cap is None else min(cap, p3_cap)
-        else:
-            saved, saved_cap = _saved_route(geometry, calc_grad)
-            statics["saved"] = saved
+        # 3-D route order (one-process A/B, tools/bench_3d_saved_ab.py,
+        # 96^3 bench config): saved-history with pad-fused slab
+        # injection + bf16 history + fused illum 0.264 s < 3-D Pallas
+        # streaming kernels 0.291 s < saved with per-step scatter
+        # 0.309 s. Gradients therefore prefer the slab-saved route when
+        # the receiver box applies; Pallas owns calc_grad=False
+        # (streaming forward) and slab-less gradient geometries.
+        saved, saved_cap, save_dtype, rec_box = _saved_route(
+            geometry, calc_grad)
+        if saved and rec_box is not None:
+            statics["saved"] = True
+            statics["save_dtype"] = save_dtype
+            statics["rec_box"] = rec_box
             if saved_cap is not None:
                 cap = saved_cap if cap is None else min(cap, saved_cap)
+        else:
+            p3, p3_cap = _pallas3_route(geometry, statics["kernel"],
+                                        calc_grad)
+            if p3 is not None:
+                if p3_cap is not None:
+                    cap = p3_cap if cap is None else min(cap, p3_cap)
+            else:
+                statics["saved"] = saved
+                if saved:
+                    statics["save_dtype"] = save_dtype
+                    statics["rec_box"] = rec_box
+                if saved_cap is not None:
+                    cap = saved_cap if cap is None else min(cap, saved_cap)
     chunk = min(nsrc, shot_chunk or nsrc)
     if cap is not None:
         chunk = min(chunk, cap)

@@ -12,9 +12,11 @@ never race block writes; the sequential TPU grid orders time steps.
 
 Layout is (ny, nz, nx) — y on the leading (untiled) axis so halo slices
 and slab DMAs are leading-axis offsets (dynamic leading-axis indexing
-lowers; dynamic sublane/lane offsets do not), z on sublanes so the
-two receiver z-planes are static 2-row slices (same trick as 2-D), x on
-lanes. The model's (nx, ny, nz) fields transpose via (1, 2, 0).
+lowers; dynamic sublane/lane offsets do not), z on sublanes so the two
+receiver z-planes are static accesses — through the tile-ALIGNED band
+helpers ``_extract_zpair``/``_inject_zpair``, because a bare 2-wide
+sublane window at in-tile offsets 3..7 aborts the Mosaic compiler — x
+on lanes. The model's (nx, ny, nz) fields transpose via (1, 2, 0).
 
 The d2u/dt2 gradient history streams to HBM exactly like the 2-D
 ``forward_dt2_segments`` (bf16 by default on TPU); illumination and the
@@ -131,6 +133,56 @@ def _mask3(R, y0, ny, nz_r, nx_r, nzp, nxp, dtype=jnp.float32):
     return m
 
 
+def _zpair_band(z0):
+    """(zb, o, L): the tile-aligned sublane band holding rows
+    [z0, z0+2) — start zb (multiple of 8), in-band offset o, length L
+    (8, or 16 when the pair straddles a tile edge). Mosaic ABORTS on a
+    2-wide sublane window at most in-tile offsets (``lower_to_llo.cc``
+    'Check failed: d >> 32 == 0 (-1 vs. 0)'; measured: offsets 0 and 2
+    lower, 3..7 crash the remote compiler), so every kernel-side
+    receiver-plane access goes through an aligned whole-tile band.
+    z0+2 <= nzp (a multiple of 8) guarantees zb+L <= nzp."""
+    o = z0 % 8
+    zb = z0 - o
+    return zb, o, (8 if o <= 6 else 16)
+
+
+def _extract_zpair(u, z0):
+    """u[:, z0:z0+2, :] of a (R, nz, nx) value without an unaligned
+    sublane slice: aligned whole-tile band + one-hot sublane
+    reductions (~0.6% of the step's VPU work at L=8)."""
+    zb, o, L = _zpair_band(z0)
+    band = u[:, zb:zb + L, :]
+    zi = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
+    r0 = jnp.sum(jnp.where(zi == o, band, 0.0), axis=1, keepdims=True)
+    r1 = jnp.sum(jnp.where(zi == o + 1, band, 0.0), axis=1,
+                 keepdims=True)
+    return jnp.concatenate([r0, r1], 1)
+
+
+def _zpair_addend(res, z0):
+    """(zb, L, addend): the two rows of ``res`` zero-placed at in-band
+    offset o of the aligned L-row band (zero-size concat pieces
+    guarded)."""
+    zb, o, L = _zpair_band(z0)
+    R, _, nx = res.shape
+    pieces = []
+    if o:
+        pieces.append(jnp.zeros((R, o, nx), res.dtype))
+    pieces.append(res)
+    if L - o - 2:
+        pieces.append(jnp.zeros((R, L - o - 2, nx), res.dtype))
+    addend = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 1)
+    return zb, L, addend
+
+
+def _inject_zpair(slab, res, z0):
+    """slab[:, z0:z0+2, :] += res on a scratch ref without an unaligned
+    sublane window: whole-tile read-modify-write of the aligned band."""
+    zb, L, addend = _zpair_addend(res, z0)
+    slab[:, zb:zb + L, :] = slab[:, zb:zb + L, :] + addend
+
+
 # ---------------------------------------------------------------------------
 # forward: streamed dt2 history + receiver slabs + illumination
 # ---------------------------------------------------------------------------
@@ -186,7 +238,7 @@ def _fwd3_kernel(wav_ref, m_ref, hd_ref, injp_ref, iy_ref, ub_ref,
         dup.wait()
 
     u = us[H:H + R]
-    rec_ref[:] = u[:, z0:z0 + 2, :]
+    rec_ref[:] = _extract_zpair(u, z0)
     lap = _lap3_slab(us[:], w, ih2x, ih2y, ih2z, R, H, fs)
     un = (lap + two_m_hd * u - m * up[:]) * denom
     un = un * _mask3(R, y0, ny, nz_r, nx_r, nz, nx)
@@ -349,7 +401,7 @@ def _rec3_kernel(wav_ref, m_ref, hd_ref, injp_ref, iy_ref, ub_ref,
         dup.wait()
 
     u = us[H:H + R]
-    rec_ref[:] = u[:, z0:z0 + 2, :]
+    rec_ref[:] = _extract_zpair(u, z0)
     lap = _lap3_slab(us[:], w, ih2x, ih2y, ih2z, R, H, fs)
     un = (lap + two_m_hd * u - m * up[:]) * denom
     un = un * _mask3(R, y0, ny, nz_r, nx_r, nz, nx)
@@ -502,7 +554,7 @@ def _grad3_kernel(m_ref, hd_ref, dt2_ref, res_ref, vb_ref, grad_ref,
     vnew = (lap + two_m_hd * v - m * vn[:]) * denom
     vnew = vnew * _mask3(R, y0, ny, nz_r, nx_r, nz, nx)
     slab[:] = vnew
-    slab[:, z0:z0 + 2, :] = slab[:, z0:z0 + 2, :] + res_ref[:]
+    _inject_zpair(slab, res_ref[:], z0)
     dout = pltpu.make_async_copy(
         slab, vbout_ref.at[j % 2, pl.ds(y0 + H, R)], sem_out)
     dout.start()

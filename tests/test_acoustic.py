@@ -267,6 +267,111 @@ def test_ot4_checkpointed_gradient_matches_saved(fs):
     assert np.abs(np.asarray(g_ck) - np.asarray(g_saved)).max() < 1e-12 * scale
 
 
+@pytest.mark.parametrize('dim', [2, 3])
+def test_gradient_rec_box_slab_matches_scatter(dim):
+    """The pad-fused slab residual injection (``rec_box``) and the fused
+    illumination (``with_illum``) of the saved-history gradient must
+    reproduce the per-step scatter form and ``sum(u*u)`` exactly — the
+    3.1x-on-chip reverse-sweep rewrite (tools/bench_3d_fusion.py) is a
+    reassociation-free transformation."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu import AcquisitionGeometry
+    from devito_fwi_tpu.ops.interp import interp_table
+    from devito_fwi_tpu.ops import acoustic as ac
+    from devito_fwi_tpu.fwi import _solver_dt
+
+    shape = (28,) * dim
+    model = demo_model('layers-isotropic', nlayers=3, shape=shape,
+                       spacing=(15.,) * dim, space_order=4, nbl=8,
+                       dt=1.5)
+    ext = model.domain_size[0]
+    nrec = 12
+    if dim == 3:
+        src = np.array([[ext / 2, ext / 2, 30.0]])
+        rec = np.stack([np.linspace(0, ext, nrec), np.full(nrec, ext / 2),
+                        np.full(nrec, 30.0)], 1)
+    else:
+        src = np.array([[ext / 2, 30.0]])
+        rec = np.stack([np.linspace(0, ext, nrec),
+                        np.full(nrec, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0.0, 150.0, f0=0.015,
+                               src_type="Ricker")
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    vp, damp = jnp.asarray(model.vp), jnp.asarray(model.damp)
+    dt = float(_solver_dt(geom))
+    st = dict(nt=geom.nt, spacing=model.spacing, space_order=4,
+              kernel="OT2", fs=False)
+    r_idx_j, r_w_j = jnp.asarray(r_idx), jnp.asarray(r_w)
+    rec_d, u = ac.forward(vp, damp, jnp.asarray(geom.src.data),
+                          jnp.asarray(s_idx), jnp.asarray(s_w), r_idx_j,
+                          r_w_j, dt, save=True, **st)
+    res = 0.3 * rec_d
+    g0, _ = ac.gradient(vp, damp, u, res, r_idx_j, r_w_j, dt, **st)
+    box = tuple(int(np.unique(np.asarray(r_idx)[..., d]).min())
+                for d in range(1, dim))
+    g1, _, il1 = ac.gradient(vp, damp, u, res, r_idx_j, r_w_j, dt,
+                             rec_box=box, with_illum=True, **st)
+    gs = np.abs(np.asarray(g0)).max()
+    assert np.abs(np.asarray(g1) - np.asarray(g0)).max() < 2e-6 * gs
+    il0 = np.asarray(jnp.sum(u.astype(jnp.float32) ** 2, axis=0))
+    assert np.abs(np.asarray(il1) - il0).max() < 2e-6 * np.abs(il0).max()
+
+    # reduced-precision saved history: runs, documented ~1e-3 deviation
+    _, u16 = ac.forward(vp, damp, jnp.asarray(geom.src.data),
+                        jnp.asarray(s_idx), jnp.asarray(s_w), r_idx_j,
+                        r_w_j, dt, save=True, save_dtype="bfloat16", **st)
+    assert u16.dtype == jnp.bfloat16
+    g2, _, _ = ac.gradient(vp, damp, u16, res, r_idx_j, r_w_j, dt,
+                           rec_box=box, with_illum=True, **st)
+    assert np.abs(np.asarray(g2) - np.asarray(g0)).max() < 5e-3 * gs
+
+
+def test_saved_route_rec_box_gating():
+    """_saved_route returns a rec_box only when every receiver corner
+    fits static 2-wide trailing windows, honors the dtype env, and the
+    slab opt-out env disables the box."""
+    import os
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu import AcquisitionGeometry
+
+    model = demo_model('layers-isotropic', nlayers=3, shape=(24,) * 3,
+                       spacing=(15.,) * 3, space_order=4, nbl=8, dt=1.5)
+    ext = model.domain_size[0]
+    rec = np.stack([np.linspace(0, ext, 8), np.full(8, ext / 2),
+                    np.full(8, 30.0)], 1)
+    src = np.array([[ext / 2, ext / 2, 30.0]])
+    geom = AcquisitionGeometry(model, rec, src, 0.0, 100.0, f0=0.015,
+                               src_type="Ricker")
+    # off-TPU the route itself declines (backend gate) — exercise the
+    # box logic directly instead
+    import devito_fwi_tpu.fwi as F
+    import jax as _jax
+    orig = _jax.default_backend
+    try:
+        _jax.default_backend = lambda: "tpu"
+        use, cap, sdt, box = F._saved_route(geom, True)
+        assert use and cap >= 1 and box is not None and len(box) == 2
+        os.environ["DEVITO_FWI_TPU_SLAB3"] = "0"
+        try:
+            _, _, _, box0 = F._saved_route(geom, True)
+            assert box0 is None
+        finally:
+            os.environ.pop("DEVITO_FWI_TPU_SLAB3", None)
+        # scattered receivers in depth -> no box
+        rec2 = rec.copy()
+        rec2[:, 2] = np.linspace(30.0, 200.0, 8)
+        geom2 = AcquisitionGeometry(model, rec2, src, 0.0, 100.0,
+                                    f0=0.015, src_type="Ricker")
+        _, _, _, box2 = F._saved_route(geom2, True)
+        assert box2 is None
+    finally:
+        _jax.default_backend = orig
+
+
 def test_ot4_free_surface_stability():
     """OT4 with a free surface: antisymmetric mirror applied in both the
     laplacian and the biharmonic correction (reference operators.py:38-56
@@ -397,17 +502,32 @@ def test_saved_history_objective_matches_ckpt_3d(monkeypatch):
     mj = _misfit_jax(least_square)
     dw = jnp.zeros((2, 1, 1))
 
-    monkeypatch.setattr(fwi_mod, "_saved_route", lambda g, c: (True, 8))
+    from devito_fwi_tpu.ops.interp import interp_table
+    r_idx, _ = interp_table(g0.rec_positions, m0.origin_pml, m0.spacing,
+                            dtype=m0.dtype)
+    box = tuple(int(np.unique(np.asarray(r_idx)[..., d]).min())
+                for d in (1, 2))
+
+    # scatter form (rec_box=None, f32 history)
+    monkeypatch.setattr(fwi_mod, "_saved_route",
+                        lambda g, c: (True, 8, None, None))
     f_s, g_s, il_s, _ = _shot_objective_batched(g0, obs_stack, mj, dw,
+                                                True)
+    # slab form (pad-fused residual injection + fused illumination)
+    monkeypatch.setattr(fwi_mod, "_saved_route",
+                        lambda g, c: (True, 8, None, box))
+    f_b, g_b, il_b, _ = _shot_objective_batched(g0, obs_stack, mj, dw,
                                                 True)
     monkeypatch.undo()
     f_c, g_c, il_c, _ = _shot_objective_batched(g0, obs_stack, mj, dw,
                                                 True)
     assert f_c > 0
-    assert abs(f_s - f_c) <= 1e-6 * abs(f_c)
     scale = np.abs(np.asarray(g_c)).max()
-    assert scale > 0
-    assert np.abs(np.asarray(g_s) - np.asarray(g_c)).max() <= 2e-5 * scale
     il_scale = np.abs(np.asarray(il_c)).max()
-    assert np.abs(np.asarray(il_s) - np.asarray(il_c)).max() \
-        <= 2e-5 * il_scale
+    assert scale > 0
+    for f_x, g_x, il_x in ((f_s, g_s, il_s), (f_b, g_b, il_b)):
+        assert abs(f_x - f_c) <= 1e-6 * abs(f_c)
+        assert np.abs(np.asarray(g_x) - np.asarray(g_c)).max() \
+            <= 2e-5 * scale
+        assert np.abs(np.asarray(il_x) - np.asarray(il_c)).max() \
+            <= 2e-5 * il_scale

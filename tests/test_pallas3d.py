@@ -20,7 +20,7 @@ from devito_fwi_tpu.models.geometry import AcquisitionGeometry  # noqa: E402
 from devito_fwi_tpu.models.presets import demo_model  # noqa: E402
 
 
-def _geom3(fs=False, tn=150.0):
+def _geom3(fs=False, tn=150.0, rec_depth=37.0):
     kw = dict(shape=(24, 20, 16), spacing=(15., 15., 15.), space_order=4,
               nbl=8, dt=1.5, dtype=np.float32, fs=fs)
     model = demo_model("layers-isotropic", nlayers=3, **kw)
@@ -32,7 +32,7 @@ def _geom3(fs=False, tn=150.0):
                     np.full(nsrc, 30.0)], 1)
     rec = np.stack([np.linspace(0, ext, nrec),
                     np.linspace(0, eyt, nrec),
-                    np.full(nrec, 37.0)], 1)  # off-node z: two planes
+                    np.full(nrec, rec_depth)], 1)  # off-node z: two planes
     return AcquisitionGeometry(model, rec, src, 0.0, tn, f0=0.015,
                                src_type="Ricker")
 
@@ -49,9 +49,12 @@ def _operands(geom):
 
 
 @pytest.mark.parametrize("fs", [False, True])
-@pytest.mark.parametrize("R", [8, 16])
-def test_stream3_forward_and_gradient_match_xla(fs, R):
-    geom = _geom3(fs)
+# rec_depth 107 puts the receiver pair at z0=15 — sublane-tile offset 7,
+# the straddling L=16 band of the aligned zpair helpers (a bare 2-wide
+# window at offsets 3..7 aborts the Mosaic compiler on chip)
+@pytest.mark.parametrize("R,rec_depth", [(8, 37.0), (16, 107.0)])
+def test_stream3_forward_and_gradient_match_xla(fs, R, rec_depth):
+    geom = _geom3(fs, rec_depth=rec_depth)
     model = geom.model
     assert p3d.geometry_supported3(geom)
     (s_idx, s_w, r_idx, r_w, wav, dt, nt, vp, damp, m,
@@ -211,3 +214,28 @@ def test_routing_helpers3():
     g2 = AcquisitionGeometry(model, rec, geom.src_positions, 0.0, 150.0,
                              f0=0.015, src_type="Ricker")
     assert not p3d.geometry_supported3(g2)
+
+
+def test_zpair_band_helpers_all_offsets():
+    """The aligned-band zpair helpers reproduce the plain 2-row slice /
+    2-row add at EVERY sublane-tile offset — Mosaic aborts on a bare
+    2-wide sublane window at in-tile offsets 3..7 (measured on chip:
+    'Check failed: d >> 32 == 0 (-1 vs. 0)'), so the kernels must only
+    ever touch aligned whole tiles."""
+    rng = np.random.RandomState(3)
+    nz = 32
+    u = jnp.asarray(rng.randn(4, nz, 8).astype(np.float32))
+    res = jnp.asarray(rng.randn(4, 2, 8).astype(np.float32))
+    for z0 in range(0, nz - 2):
+        zb, o, L = p3d._zpair_band(z0)
+        assert zb % 8 == 0 and zb + L <= nz and zb + o == z0
+        assert o + 2 <= L
+        got = np.asarray(p3d._extract_zpair(u, z0))
+        np.testing.assert_allclose(got, np.asarray(u)[:, z0:z0 + 2, :],
+                                   rtol=0, atol=0)
+        zb2, L2, addend = p3d._zpair_addend(res, z0)
+        full = np.zeros((4, nz, 8), np.float32)
+        full[:, zb2:zb2 + L2, :] = np.asarray(addend)
+        want = np.zeros_like(full)
+        want[:, z0:z0 + 2, :] = np.asarray(res)
+        np.testing.assert_allclose(full, want, rtol=0, atol=0)

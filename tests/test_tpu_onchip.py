@@ -90,6 +90,44 @@ def test_pallas_matches_xla_objective_on_chip(workload):
     assert np.isclose(f_x, f_p, rtol=1e-4)
 
 
+def test_saved3d_slab_matches_ckpt_on_chip():
+    """The 3-D slab-saved gradient route (pad-fused residual slabs +
+    bf16 history + fused illumination — the round-3 default) matches
+    the XLA segment-checkpointed route on the real chip."""
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu import AcquisitionGeometry
+    from devito_fwi_tpu.fwi import fm_multi
+    from devito_fwi_tpu.misfit import least_square
+
+    kw = dict(shape=(40, 40, 40), spacing=(15.,) * 3, space_order=8,
+              nbl=12, dt=1.5)
+    m1 = demo_model("layers-isotropic", nlayers=3, **kw)
+    m0 = demo_model("layers-isotropic", nlayers=1, **kw)
+    ext = m1.domain_size[0]
+    nsrc, nrec = 2, 24
+    src = np.stack([np.linspace(0, ext, nsrc), np.full(nsrc, ext / 2),
+                    np.full(nsrc, 30.0)], 1)
+    rec = np.stack([np.linspace(0, ext, nrec), np.full(nrec, ext / 2),
+                    np.full(nrec, 30.0)], 1)
+    g1 = AcquisitionGeometry(m1, rec, src, 0.0, 300.0, f0=0.012,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(m0, rec, src, 0.0, 300.0, f0=0.012,
+                             src_type="Ricker")
+    obs = fm_multi(g1)
+    # ckpt reference: both fast 3-D routes disabled
+    f_c, g_c = _grad(g0, obs, least_square, DEVITO_FWI_TPU_SAVED3="0",
+                     DEVITO_FWI_TPU_PALLAS3D="0")
+    # the default (slab-saved, bf16 history)
+    f_s, g_s = _grad(g0, obs, least_square)
+    assert np.isclose(f_c, f_s, rtol=1e-4)
+    scale = np.abs(g_c).max()
+    # interior cells (the objective returns the gradient flattened):
+    # near-source f32 cancellation dominates any cross-path comparison
+    # (docs/04_performance.md); bf16 history adds ~1e-3
+    d = np.abs(g_s - g_c).reshape(m0.shape)
+    assert d[2:-2, 2:-2, 2:-2].max() < 5e-3 * scale
+
+
 def test_tti_pallas_matches_xla_on_chip():
     """Mosaic TTI segment kernels vs the XLA ckpt pair on the real
     chip (the interpreter twin is tests/test_pallas_tti.py)."""
