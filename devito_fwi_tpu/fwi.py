@@ -105,11 +105,16 @@ def fm_single(geometry, save=False):
 
 
 def _shot_geometry(geometry, i):
-    return AcquisitionGeometry(geometry.model, geometry.rec_positions,
-                               geometry.src_positions[i, :], geometry.t0,
-                               geometry.tn, f0=geometry.f0,
-                               src_type=geometry.src_type,
-                               filter=geometry._filter)
+    sub = AcquisitionGeometry(geometry.model, geometry.rec_positions,
+                              geometry.src_positions[i, :], geometry.t0,
+                              geometry.tn, f0=geometry.f0,
+                              src_type=geometry.src_type,
+                              a=geometry._a, t0w=geometry._t0w,
+                              src_data=geometry._src_data,
+                              filter=geometry._filter)
+    if geometry.dt != sub.dt:
+        sub.resample(geometry.dt)
+    return sub
 
 
 def _batched_tables(geometry):
@@ -282,6 +287,55 @@ def _fix_illum_jax(g, src_pos, rec_positions, spacing, shape):
 # objective + gradient (reference fwi.py:131-234)
 # ---------------------------------------------------------------------------
 
+def _misfit_config_key(misfit):
+    """Hashable value snapshot of a misfit object's scalar config."""
+    items = tuple(sorted(
+        (k, v) for k, v in vars(misfit).items()
+        if isinstance(v, (bool, int, float, str, bytes, type(None)))))
+    extra = ()
+    if getattr(misfit, "method", None) == "2d" and \
+            getattr(misfit, "bfm_backend", None) == "jax":
+        # the BFM's env-selected backends are read inside the fused
+        # objective's trace; snapshot them here so toggling the
+        # DEVITO_FWI_TPU_BFM_* vars between calls retraces (same-process
+        # A/B guarantee, see bfm.resolve_backends)
+        from .misfit.bfm import resolve_backends
+        extra = resolve_backends()
+    return (type(misfit).__module__, type(misfit).__qualname__, items,
+            extra)
+
+
+class _TraceableMisfit:
+    """Makes a bound misfit method safe as a ``jit`` static argument.
+
+    A bare bound method hashes and compares by instance identity, so
+    mutating the misfit's config between objective calls (e.g.
+    ``misfit.gamma = 2.0`` in a gamma-continuation loop) would silently
+    reuse the stale compiled trace — the jit footgun already fixed in
+    ``qWasserstein.__call__``. Equality/hash here key on a value
+    snapshot of the instance's scalar attributes taken when the
+    objective is entered, so config mutations force a retrace.
+    (Non-scalar config — arrays, callables — is not snapshotted; keep
+    misfit configuration in scalar attributes.)"""
+
+    __slots__ = ("_fn", "_key")
+
+    def __init__(self, fn):
+        self._fn = fn
+        func = getattr(fn, "__func__", fn)
+        self._key = (func, _misfit_config_key(fn.__self__)) \
+            if hasattr(fn, "__self__") else (fn,)
+
+    def __call__(self, *args, **kwargs):
+        return self._fn(*args, **kwargs)
+
+    def __eq__(self, other):
+        return type(other) is _TraceableMisfit and self._key == other._key
+
+    def __hash__(self):
+        return hash(self._key)
+
+
 def _misfit_jax(misfit_func):
     """Return a traceable (syn, obs) -> (fval, residual) function."""
     from .misfit.w2 import least_square_jax
@@ -289,7 +343,7 @@ def _misfit_jax(misfit_func):
     if misfit_func is least_square or misfit_func is None:
         return least_square_jax
     if hasattr(misfit_func, "jax"):
-        return misfit_func.jax
+        return _TraceableMisfit(misfit_func.jax)
     return None
 
 
@@ -1398,6 +1452,10 @@ def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
         misfit_jax = None
     elif getattr(misfit_func, "method", None) == "2d":
         misfit_batch = getattr(misfit_func, "jax_batch", None)
+        if misfit_batch is not None:
+            # static-arg safety: key the trace cache on the misfit's
+            # config values, not the instance (see _TraceableMisfit)
+            misfit_batch = _TraceableMisfit(misfit_batch)
         if misfit_batch is None:
             # the BFM's scatter-heavy pushforward faults the TPU worker
             # at large vmap widths; chunk the fused program conservatively
@@ -1407,6 +1465,14 @@ def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
 
     if misfit_jax is not None:
         obs_stack = _device_stack(obs)
+        if obs_stack.shape[1] != geometry.nt:
+            # e.g. obs modeled on a geometry with a different critical
+            # dt; the per-trace misfits would quietly mis-pair samples
+            raise ValueError(
+                "observed data has %d time samples but the geometry's "
+                "time axis has %d — resample the traces or rebuild the "
+                "geometry with a matching dt" %
+                (obs_stack.shape[1], geometry.nt))
         if direct_wave is not None:
             dw_stack = _device_stack(direct_wave)
         else:
@@ -1453,11 +1519,17 @@ def _subset_geometry(geometry, shot_indices):
     """Geometry restricted to a shot subset (host-misfit random-batch
     path)."""
     idx = np.asarray(shot_indices, dtype=np.int64)
-    return AcquisitionGeometry(
+    sub = AcquisitionGeometry(
         geometry.model, geometry.rec_positions,
         np.asarray(geometry.src_positions)[idx], geometry.t0, geometry.tn,
         f0=geometry.f0, src_type=geometry.src_type,
+        a=geometry._a, t0w=geometry._t0w, src_data=geometry._src_data,
         filter=geometry._filter)
+    # preserve a resampled time axis (the constructor resets dt to the
+    # model's critical dt)
+    if geometry.dt != sub.dt:
+        sub.resample(geometry.dt)
+    return sub
 
 
 def fwi_loss(x, geometry, obs, misfit_func, direct_wave=None, mask=None,

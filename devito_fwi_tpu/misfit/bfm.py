@@ -849,6 +849,19 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
     core, so toggling the env vars between calls retraces instead of
     silently hitting the stale compiled variant (the footgun that would
     otherwise invalidate same-process A/B timings)."""
+    push_backend, legendre_banded = resolve_backends(push_backend,
+                                                     legendre_banded)
+    return _bfm_jax_batch_core(f_b, g_b, num_steps, step_scale, nsub,
+                               dmax, max_tmp_elems, push_backend,
+                               legendre_banded, bool(return_carry))
+
+
+def resolve_backends(push_backend=None, legendre_banded=None):
+    """Resolve the (pushforward, Legendre) backend selection — env vars
+    consulted HERE, at call time, never inside a trace. Callers that jit
+    around the BFM must run this outside their jit and pass the result
+    as static args (see ``fwi._misfit_config_key``, which folds this
+    into the fused objective's trace key)."""
     import os
     if push_backend is None:
         push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "pallas")
@@ -877,9 +890,7 @@ def bfm_jax_batch(f_b, g_b, num_steps=10, step_scale=1.0, nsub=2,
         legendre_banded = "banded"
     elif legendre_banded is False:
         legendre_banded = "full"
-    return _bfm_jax_batch_core(f_b, g_b, num_steps, step_scale, nsub,
-                               dmax, max_tmp_elems, push_backend,
-                               str(legendre_banded), bool(return_carry))
+    return push_backend, str(legendre_banded)
 
 
 @partial(jax.jit, static_argnames=("num_steps", "nsub", "dmax",
@@ -1007,12 +1018,18 @@ def _bfm_jax_batch_core(f_b, g_b, num_steps, step_scale, nsub, dmax,
     return jnp.where(live, wd, 0.0), grad
 
 
-@partial(jax.jit, static_argnames=("num_steps", "nsub"))
-def bfm_jax(f, g, num_steps=10, step_scale=1.0, nsub=2):
+def bfm_jax(f, g, num_steps=10, step_scale=1.0, nsub=2,
+            push_backend=None, legendre_banded=None):
     """Single-gather quadratic-Wasserstein distance and gradient — thin
-    wrapper over the batch solver (see ``bfm_jax_batch``)."""
+    wrapper over the batch solver (see ``bfm_jax_batch``). Deliberately
+    NOT jitted itself: an outer jit would freeze the env-var backend
+    selection into its own trace key-less cache (the jitted core already
+    carries the backends as static args, so this wrapper adds only two
+    eager index ops when called from the host)."""
     wd, grad = bfm_jax_batch(f[None], g[None], num_steps=num_steps,
-                             step_scale=step_scale, nsub=nsub)
+                             step_scale=step_scale, nsub=nsub,
+                             push_backend=push_backend,
+                             legendre_banded=legendre_banded)
     return wd[0], grad[0]
 
 

@@ -102,9 +102,13 @@ def w2_1d_jax(f, g):
 
 
 def _qw_jax_impl(f, g, *, trans_type, gamma, method, num_steps,
-                 step_scale, bfm_backend):
+                 step_scale, bfm_backend, push_backend=None,
+                 legendre_banded=None):
     """Traceable qWasserstein body (configuration as explicit args so
-    the jitted form caches correctly — see qWasserstein.__call__)."""
+    the jitted form caches correctly — see qWasserstein.__call__).
+    ``push_backend``/``legendre_banded`` are the BFM backend statics,
+    resolved from the env by the CALLER outside any jit
+    (``bfm.resolve_backends``) so env toggles retrace."""
     mu, nu, d = transform_jax(f, g, trans_type, gamma)
     if method == "1d":
         losses, grads = jax.vmap(w2_1d_jax, in_axes=1, out_axes=(0, 1))(
@@ -113,7 +117,12 @@ def _qw_jax_impl(f, g, *, trans_type, gamma, method, num_steps,
     # reference misfit.py:73 computes mass from the TRANSFORMED
     # density (its `_2d_calculator(f=mu, ...)` receives mu), not the
     # raw traces
+    # dead-gather guard: an all-zero mu (fully muted shot with the
+    # default linear transform) has mass 0; the BFM already returns
+    # loss 0 / grad 0 for it, and dividing that zero gradient by a
+    # zero mass would resurrect it as NaN
     mass = jnp.sum(mu) / mu.size
+    mass = jnp.where(mass > 0, mass, 1.0)
     if bfm_backend == "native":
         # host callback into the C++ OpenMP BFM: the TPU program
         # pauses, ships the (batched under vmap) densities to the
@@ -123,14 +132,26 @@ def _qw_jax_impl(f, g, *, trans_type, gamma, method, num_steps,
     else:
         from .bfm import bfm_jax
         loss, grad = bfm_jax(mu, nu, num_steps=num_steps,
-                             step_scale=step_scale)
+                             step_scale=step_scale,
+                             push_backend=push_backend,
+                             legendre_banded=legendre_banded)
     return loss, (grad / mass) * d
 
 
 _qw_jitted = jax.jit(_qw_jax_impl,
                      static_argnames=("trans_type", "gamma", "method",
                                       "num_steps", "step_scale",
-                                      "bfm_backend"))
+                                      "bfm_backend", "push_backend",
+                                      "legendre_banded"))
+
+
+def _bfm_statics(method, bfm_backend):
+    """Call-time BFM backend statics for the jitted qWasserstein paths
+    (None when the BFM is not in play, to avoid spurious retraces)."""
+    if method != "2d" or bfm_backend == "native":
+        return None, None
+    from .bfm import resolve_backends
+    return resolve_backends()
 
 
 class qWasserstein:
@@ -154,11 +175,13 @@ class qWasserstein:
 
     # ------------------------------------------------------------------ jax
     def jax(self, f, g):
+        push, leg = _bfm_statics(self.method, self.bfm_backend)
         return _qw_jax_impl(f, g, trans_type=self.trans_type,
                             gamma=self.gamma, method=self.method,
                             num_steps=self.num_steps,
                             step_scale=self.step_scale,
-                            bfm_backend=self.bfm_backend)
+                            bfm_backend=self.bfm_backend,
+                            push_backend=push, legendre_banded=leg)
 
     def jax_batch(self, f_b, g_b):
         """Traceable batched misfit over a (B, nt, ntraces) shot stack:
@@ -173,9 +196,15 @@ class qWasserstein:
             lambda f, g: transform_jax(f, g, self.trans_type, self.gamma)
         )(f_b, g_b)
         mass = jnp.sum(mus, axis=(1, 2)) / (mus.shape[1] * mus.shape[2])
+        # per-shot dead-gather guard (see _qw_jax_impl): keep the BFM's
+        # zero gradient zero instead of 0/0 = NaN poisoning the batch
+        mass = jnp.where(mass > 0, mass, 1.0)
         from .bfm import bfm_jax_batch
+        push, leg = _bfm_statics(self.method, self.bfm_backend)
         losses, grads = bfm_jax_batch(mus, nus, num_steps=self.num_steps,
-                                      step_scale=self.step_scale)
+                                      step_scale=self.step_scale,
+                                      push_backend=push,
+                                      legendre_banded=leg)
         return losses, (grads / mass[:, None, None]) * ds
 
     # ---------------------------------------------------------------- numpy
@@ -196,6 +225,8 @@ class qWasserstein:
             mu, nu, d = transform_jax(jnp.asarray(f), jnp.asarray(g),
                                       self.trans_type, self.gamma)
             mass = float(np.sum(np.asarray(mu)) / mu.size)
+            if mass <= 0:  # dead gather: native BFM returns grad 0
+                mass = 1.0
             loss, grad = bfm_gradient(np.asarray(mu), np.asarray(nu),
                                       num_steps=self.num_steps,
                                       step_scale=self.step_scale)
@@ -209,11 +240,13 @@ class qWasserstein:
         # stale trace. (A per-instance ``jax.jit(self.jax)`` does NOT
         # achieve this: jit keys its global cache on the bound method,
         # and the attribute values read at trace time go stale.)
+        push, leg = _bfm_statics(self.method, self.bfm_backend)
         loss, grad = _qw_jitted(
             jnp.asarray(f), jnp.asarray(g), trans_type=self.trans_type,
             gamma=self.gamma, method=self.method,
             num_steps=self.num_steps, step_scale=self.step_scale,
-            bfm_backend=self.bfm_backend)
+            bfm_backend=self.bfm_backend,
+            push_backend=push, legendre_banded=leg)
         return float(loss), np.asarray(grad).reshape(shape)
 
     def batch(self, f_b, g_b):
@@ -230,6 +263,7 @@ class qWasserstein:
                                             self.gamma)
             mass = mu.reshape(mu.shape[0], -1).sum(axis=1) \
                 / float(mu[0].size)
+            mass = np.where(mass > 0, mass, 1.0)  # dead-gather guard
             losses, grads = bfm_gradient_batch(
                 mu, nu, num_steps=self.num_steps,
                 step_scale=self.step_scale)

@@ -49,7 +49,18 @@ class Writer:
         self.filename = os.path.join(path, "optim_info")
         if os.path.exists(self.filename) and not preserve:
             os.remove(self.filename)
-        if not (preserve and os.path.exists(self.filename)):
+        if preserve and os.path.exists(self.filename):
+            # resume: continue ITER numbering from the existing table
+            # instead of restarting at 1
+            with open(self.filename) as fileobj:
+                for row in fileobj:
+                    head = row[:10].strip()
+                    if head and head != "ITER" and not head.startswith("="):
+                        try:
+                            self.iter = max(self.iter, int(head))
+                        except ValueError:
+                            pass
+        else:
             self.write_header()
 
     def __call__(self, steplen=None, funcval=None):

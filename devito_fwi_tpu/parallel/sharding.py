@@ -286,30 +286,25 @@ def _fwi_obj_sharded_pallas(geometry, misfit_jax, calc_grad, mesh, ndev, z0,
     (fval, grad, illum) triple over the 'shots' axis. Returns device
     arrays, or None when the kernels don't fit (caller falls back to the
     XLA scan path)."""
-    import os
     from ..ops import pallas_acoustic as _pa
     from ..ops.acoustic import _ckpt_layout
     from ..fwi import (_pallas_operands, _traces_from_rows, _fix_illum_jax,
-                       _crop, _default_checkpoints)
+                       _crop, _default_checkpoints, _pallas_route)
 
     model = geometry.model
     nx, nz = model.padded_shape
     nt, fs, so = static["nt"], static["fs"], static["space_order"]
-    nck = _pa.pick_n_checkpoints(nt, nx, nz)
+    # shared route gating (fwi._pallas_route) — per-device blocks cannot
+    # chunk, so a streamed history that exceeds the HBM budget drops to
+    # the checkpoint-recompute kernels instead of capping the chunk
+    _, nck, stream, hist_dtype, cap = _pallas_route(
+        geometry, _default_checkpoints(nt), "OT2", calc_grad)
     if nck is None:
         return None
-    nck = max(nck, _default_checkpoints(nt))
     Bp = s_idx_p.shape[0] // ndev
-    stream = False
-    hist_dtype = "float32"
-    if calc_grad and os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
-        hist_dtype = _pa.stream_hist_dtype()
-        snck = _pa.pick_stream_checkpoints(nt, nx, nz,
-                                           hist_dtype=hist_dtype)
-        if snck is not None and Bp <= _pa.stream_max_shots(
-                nt, nx, nz, hist_dtype=hist_dtype):
-            stream = True
-            nck = max(snck, _default_checkpoints(nt))
+    if stream and cap is not None and Bp > cap:
+        _, nck, stream, hist_dtype, _ = _pallas_route(
+            geometry, _default_checkpoints(nt), "OT2", False)
     nsteps, seg, nseg = _ckpt_layout(nt, nck)
     r_idx_j = jnp.asarray(r_idx)
     r_w_j = jnp.asarray(r_w)
@@ -384,9 +379,7 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
     checkpoint/history buffer stays bounded for large surveys."""
     from ..fwi import (_batched_tables, _solver_dt, _fix_illum_jax,
                        _default_checkpoints, _host_misfit_chunk, _pads,
-                       _crop, _pallas_z0, _pallas_fwd_core,
-                       _pallas_grad_core)
-    from ..ops import pallas_acoustic as _pa
+                       _crop, _pallas_fwd_core, _pallas_grad_core)
 
     model = geometry.model
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
@@ -406,29 +399,12 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
     ndev = mesh.devices.size
     nsrc = geometry.nsrc
 
-    # Pallas gating — identical to the single-chip host-misfit path
-    z0 = _pallas_z0(geometry) if static["kernel"] == "OT2" else None
-    pallas_nck = None
-    stream = False
-    hist_dtype = "float32"
-    per_dev_cap = 32  # bounds the per-device checkpoint buffer
-    if z0 is not None:
-        nx_p, nz_p = model.padded_shape
-        pallas_nck = _pa.pick_n_checkpoints(geometry.nt, nx_p, nz_p)
-        pallas_nck = max(pallas_nck or 0, nck) \
-            if pallas_nck is not None else None
-        if pallas_nck is None:
-            z0 = None
-    if z0 is not None and calc_grad and \
-            os.environ.get("DEVITO_FWI_TPU_STREAM", "1") != "0":
-        hist_dtype = _pa.stream_hist_dtype()
-        snck = _pa.pick_stream_checkpoints(geometry.nt, nx_p, nz_p,
-                                           hist_dtype=hist_dtype)
-        if snck is not None:
-            stream = True
-            pallas_nck = max(snck, nck)
-            per_dev_cap = _pa.stream_max_shots(geometry.nt, nx_p, nz_p,
-                                               hist_dtype=hist_dtype)
+    # Pallas gating — the shared fwi._pallas_route helper (this block
+    # used to be a hand copy of the single-chip gating and had drifted)
+    from ..fwi import _pallas_route
+    z0, pallas_nck, stream, hist_dtype, cap = _pallas_route(
+        geometry, nck, static["kernel"], calc_grad)
+    per_dev_cap = _PER_DEV_CAP if cap is None else cap
     pallas_statics = dict(
         nt=static["nt"], spacing=static["spacing"],
         space_order=static["space_order"], n_checkpoints=pallas_nck,

@@ -317,3 +317,31 @@ def test_residual_rows_drops_oob_corners():
     # its two in-grid corners (0.25 each on x = nx-1 of both planes)
     assert np.allclose(flat[0, 0, 0, nx - 1], 0.25)
     assert np.allclose(flat[0, 0, 1, nx - 1], 0.25)
+
+
+def test_subset_and_shot_geometry_preserve_wavelet_params():
+    """_subset_geometry/_shot_geometry must carry the full source
+    signature (a, t0w, src_data) and a resampled dt — dropping them made
+    the random-batch/per-shot wavelet differ from the full geometry's."""
+    from devito_fwi_tpu import demo_model, AcquisitionGeometry
+    from devito_fwi_tpu.fwi import _subset_geometry, _shot_geometry
+    model = demo_model("layers-isotropic", shape=(31, 21),
+                       spacing=(10., 10.), nbl=10, space_order=4)
+    src = np.stack([np.linspace(0, model.domain_size[0], 3),
+                    np.full(3, 20.0)], 1)
+    rec = np.stack([np.linspace(0, model.domain_size[0], 5),
+                    np.full(5, 20.0)], 1)
+    wav = np.linspace(0., 1., 7)
+    geo = AcquisitionGeometry(model, rec, src, 0.0, 200.0, f0=0.015,
+                              src_type="Ricker", a=2.5, t0w=0.08,
+                              src_data=wav)
+    geo.resample(geo.dt * 0.5)
+    for sub in (_subset_geometry(geo, [0, 2]), _shot_geometry(geo, 1)):
+        assert sub._a == geo._a
+        assert sub._t0w == geo._t0w
+        assert sub._src_data is wav
+        assert sub.dt == geo.dt
+    # the custom-amplitude wavelet actually differs from the default one
+    base = AcquisitionGeometry(model, rec, src[:1], 0.0, 200.0, f0=0.015,
+                               src_type="Ricker").resample(geo.dt)
+    assert not np.allclose(_shot_geometry(geo, 0).src.data, base.src.data)

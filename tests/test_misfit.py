@@ -435,3 +435,79 @@ def test_bfm_batch_legendre_anchor_end_to_end():
     assert np.allclose(np.asarray(base[0]), np.asarray(alt[0]), rtol=1e-5)
     assert np.allclose(np.asarray(base[1]), np.asarray(alt[1]),
                        rtol=1e-4, atol=1e-6)
+
+
+def test_qwasserstein_2d_dead_gather_no_nan():
+    """The 2-D qWasserstein's grad/mass division must not resurrect the
+    BFM's zero dead-gather gradient as 0/0 = NaN (all four mass sites:
+    jax, jax_batch, __call__, batch)."""
+    rng = np.random.RandomState(7)
+    n1, n2 = 16, 60
+    f = rng.rand(2, n2, n1).astype(np.float32) + 0.1
+    g = rng.rand(2, n2, n1).astype(np.float32) + 0.1
+    f[1] = 0.0
+    g[1] = 0.0
+    w2 = qWasserstein(method="2d", num_steps=4)
+    losses, grads = w2.jax_batch(jnp.asarray(f), jnp.asarray(g))
+    assert np.isfinite(np.asarray(losses)).all()
+    assert np.isfinite(np.asarray(grads)).all()
+    assert float(losses[1]) == 0.0
+    assert np.all(np.asarray(grads[1]) == 0.0)
+    loss1, grad1 = w2.jax(jnp.asarray(f[1]), jnp.asarray(g[1]))
+    assert float(loss1) == 0.0
+    assert np.all(np.isfinite(np.asarray(grad1)))
+    loss_h, grad_h = w2(f[1], g[1])
+    assert loss_h == 0.0
+    assert np.all(np.isfinite(grad_h))
+
+
+def test_misfit_config_key_tracks_mutation_and_env(monkeypatch):
+    """fwi's _TraceableMisfit wrapper must change its jit static key when
+    the misfit's scalar config mutates or a BFM backend env var toggles
+    (the bound-method staleness footgun)."""
+    from devito_fwi_tpu.fwi import _TraceableMisfit
+    w2 = qWasserstein(method="1d", gamma=1.0)
+    k1 = _TraceableMisfit(w2.jax)
+    k2 = _TraceableMisfit(w2.jax)
+    assert k1 == k2 and hash(k1) == hash(k2)
+    w2.gamma = 2.0
+    k3 = _TraceableMisfit(w2.jax)
+    assert k3 != k1
+    # an equal-config distinct instance shares the key (cache reuse)
+    w2b = qWasserstein(method="1d", gamma=2.0)
+    assert _TraceableMisfit(w2b.jax) == k3
+    # BFM env toggles enter the key only for the 2d/jax configuration
+    w2c = qWasserstein(method="2d", bfm_backend="jax")
+    ka = _TraceableMisfit(w2c.jax_batch)
+    monkeypatch.setenv("DEVITO_FWI_TPU_BFM_PUSH", "xla")
+    kb = _TraceableMisfit(w2c.jax_batch)
+    assert ka != kb
+
+
+def test_fused_objective_misfit_mutation_retraces():
+    """End-to-end: mutating the misfit between fwi_obj_multi calls must
+    retrace the fused objective, not reuse the stale trace."""
+    from devito_fwi_tpu import demo_model, AcquisitionGeometry
+    from devito_fwi_tpu.fwi import fm_multi, fwi_obj_multi
+    model = demo_model("layers-isotropic", shape=(41, 31),
+                       spacing=(10., 10.), nbl=10, space_order=4,
+                       nlayers=2, dt=1.5)
+    model0 = demo_model("layers-isotropic", shape=(41, 31),
+                        spacing=(10., 10.), nbl=10, space_order=4,
+                        nlayers=1, dt=1.5)
+    src = np.array([[200.0, 20.0]])
+    rec = np.stack([np.linspace(0, model.domain_size[0], 21),
+                    np.full(21, 20.0)], 1)
+    geo = AcquisitionGeometry(model, rec, src, 0.0, 200.0, f0=0.015,
+                              src_type="Ricker")
+    geo0 = AcquisitionGeometry(model0, rec, src, 0.0, 200.0, f0=0.015,
+                               src_type="Ricker")
+    obs = fm_multi(geo)
+    w2 = qWasserstein(trans_type="exp", gamma=0.01, method="1d")
+    f1, _, _ = fwi_obj_multi(geo0, obs, w2)
+    w2.gamma = 0.05
+    f2, _, _ = fwi_obj_multi(geo0, obs, w2)
+    w2_fresh = qWasserstein(trans_type="exp", gamma=0.05, method="1d")
+    f2_ref, _, _ = fwi_obj_multi(geo0, obs, w2_fresh)
+    assert f2 == pytest.approx(f2_ref, rel=1e-12)
+    assert f2 != f1

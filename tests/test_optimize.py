@@ -239,3 +239,19 @@ def test_minimize_random_batch_converges(tmp_path):
         m.reshape(geometry0.model.shape)))
     f_end, _, _ = fwi_obj_multi(geometry0, obs, least_square)
     assert f_end < 0.7 * f_start
+
+
+def test_writer_resume_continues_iter_numbering(tmp_path):
+    """A preserved optim_info must continue ITER numbering on resume
+    instead of restarting at 1."""
+    from devito_fwi_tpu.optimize.line_search import Writer
+    w = Writer(str(tmp_path))
+    w(0.0, 10.0)          # ITER 1
+    w(0.5, 9.0)           # continuation row
+    w(0.0, 8.0)           # ITER 2
+    w2 = Writer(str(tmp_path), preserve=True)
+    assert w2.iter == 2
+    w2(0.0, 7.0)          # must be ITER 3
+    rows = [r for r in open(w2.filename)
+            if r[:10].strip().isdigit()]
+    assert [int(r[:10]) for r in rows] == [1, 2, 3]
