@@ -193,3 +193,37 @@ def test_host_misfit_matches_fused_on_chip(workload):
     assert np.isclose(f_d, f_h, rtol=1e-5)
     scale = np.abs(g_d).max()
     assert np.abs(g_h - g_d).max() < 1e-4 * scale
+
+
+def test_unaligned_receiver_offset_on_chip():
+    """2-D Pallas kernels at a receiver z-plane with z0 % 8 = 5 (an
+    in-tile sublane offset the 3-D kernels could NOT lower — see the
+    CLAUDE.md Mosaic rule). The 2-D kernels' 2-wide value slices and
+    scratch read-modify-writes DO lower at every offset (verified on
+    chip at offsets 3/5/6/7); this pins that so a Mosaic regression or
+    a kernel rewrite that breaks unaligned offsets is caught."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.models.presets import demo_model
+    from devito_fwi_tpu import AcquisitionGeometry
+    from devito_fwi_tpu.fwi import fm_multi, fwi_obj_multi, _pallas_z0
+    from devito_fwi_tpu.misfit import least_square
+
+    kw = dict(shape=(120, 80), spacing=(10., 10.), nbl=40, space_order=8,
+              dt=1.2)
+    m1 = demo_model("layers-isotropic", nlayers=3, **kw)
+    m0 = demo_model("layers-isotropic", nlayers=1, **kw)
+    nsrc, nrec = 2, 60
+    src = np.stack([np.linspace(0, m1.domain_size[0], nsrc),
+                    np.full(nsrc, 20.0)], 1)
+    rec = np.stack([np.linspace(0, m1.domain_size[0], nrec),
+                    np.full(nrec, 130.0)], 1)  # z0 = 40 + 13 -> offset 5
+    g1 = AcquisitionGeometry(m1, rec, src, 0.0, 400.0, f0=0.015,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(m0, rec, src, 0.0, 400.0, f0=0.015,
+                             src_type="Ricker")
+    assert _pallas_z0(g1) is not None and _pallas_z0(g1) % 8 == 5
+    obs = fm_multi(g1)
+    f, g, _ = fwi_obj_multi(g0, obs, least_square, None, None, True,
+                            calc_grad=True)
+    assert np.isfinite(f) and f > 0
+    assert np.isfinite(g).all()
