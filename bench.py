@@ -342,10 +342,40 @@ def _probe_devices(timeout_s=120):
     return None
 
 
+def _arm_watchdog(seconds, partial):
+    """Hang guard: the axon tunnel can wedge MID-RUN (observed this
+    round: compiles and device->host fetches block forever while
+    jax.devices() still answers). Emit an honest error line with any
+    partial results instead of hanging the round driver."""
+    import threading
+
+    def fire():
+        out = {
+            "metric": "marmousi_fwi_gradient_cell_steps_per_sec_per_chip",
+            "value": 0.0, "unit": "grid-point time-steps/s/chip",
+            "vs_baseline": 0.0,
+            "error": "bench watchdog fired after %ds (TPU tunnel wedged "
+                     "mid-run?)" % seconds,
+        }
+        out.update(partial)
+        print(json.dumps(out), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     if "--cpu-denominator" in sys.argv:
         cpu_denominator_main()
         return
+
+    partial = {}
+    watchdog = _arm_watchdog(
+        float(os.environ.get("DEVITO_FWI_TPU_BENCH_TIMEOUT", "5400")),
+        partial)
 
     backend = _probe_devices()
     if backend is None:
@@ -362,9 +392,12 @@ def main():
                                               2.95, 4000.0)
     t_grad, t_obj, value, obs = _grad_throughput(geometry0, geometry1)
     iters_per_hour = 3600.0 / (t_grad + 3 * t_obj)
+    partial["value"] = float(value)
+    partial["fwi_iters_per_hour"] = float(iters_per_hour)
 
     configs = {}
     errors = {}
+    partial["configs"] = configs
     # config 2: Marmousi2 L2 gradient
     try:
         g0m2, g1m2 = _marmousi_workload("SMARM2", (340, 140), 31, 3.0,
@@ -412,6 +445,7 @@ def main():
         out["vs_cpu_same_code"] = float(value / cpu)
     if errors:
         out["errors"] = errors
+    watchdog.cancel()
     print(json.dumps(out))
 
 
