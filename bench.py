@@ -350,16 +350,29 @@ def _arm_watchdog(seconds, partial):
     import threading
 
     def fire():
-        out = {
-            "metric": "marmousi_fwi_gradient_cell_steps_per_sec_per_chip",
-            "value": 0.0, "unit": "grid-point time-steps/s/chip",
-            "vs_baseline": 0.0,
-            "error": "bench watchdog fired after %ds (TPU tunnel wedged "
-                     "mid-run?)" % seconds,
-        }
-        out.update(partial)
-        print(json.dumps(out), flush=True)
-        os._exit(2)
+        try:
+            out = {
+                "metric":
+                    "marmousi_fwi_gradient_cell_steps_per_sec_per_chip",
+                "value": 0.0, "unit": "grid-point time-steps/s/chip",
+                "vs_baseline": 0.0,
+                "error": "bench watchdog fired after %ds (TPU tunnel "
+                         "wedged mid-run?)" % seconds,
+            }
+            try:
+                # completed measurements, kept under a separate key so
+                # the error record stays internally consistent; the live
+                # dicts can race the main thread, so snapshot defensively
+                import copy
+                out["partial"] = copy.deepcopy(partial)
+                json.dumps(out["partial"])
+            except Exception:
+                out.pop("partial", None)
+            print(json.dumps(out), flush=True)
+        except Exception:
+            pass
+        finally:
+            os._exit(2)
 
     t = threading.Timer(seconds, fire)
     t.daemon = True

@@ -105,16 +105,18 @@ def fm_single(geometry, save=False):
 
 
 def _shot_geometry(geometry, i):
-    sub = AcquisitionGeometry(geometry.model, geometry.rec_positions,
-                              geometry.src_positions[i, :], geometry.t0,
-                              geometry.tn, f0=geometry.f0,
-                              src_type=geometry.src_type,
-                              a=geometry._a, t0w=geometry._t0w,
-                              src_data=geometry._src_data,
-                              filter=geometry._filter)
-    if geometry.dt != sub.dt:
-        sub.resample(geometry.dt)
-    return sub
+    # NOTE: deliberately NOT carrying a resampled geometry.dt — these
+    # geometries feed PROPAGATION, which always steps at the model's
+    # critical dt (_solver_dt); trace resampling for the misfit happens
+    # downstream via the resample_dt argument. A resampled dt here
+    # would stretch the source wavelet against the solver's time axis.
+    return AcquisitionGeometry(geometry.model, geometry.rec_positions,
+                               geometry.src_positions[i, :], geometry.t0,
+                               geometry.tn, f0=geometry.f0,
+                               src_type=geometry.src_type,
+                               a=geometry._a, t0w=geometry._t0w,
+                               src_data=geometry._src_data,
+                               filter=geometry._filter)
 
 
 def _batched_tables(geometry):
@@ -294,7 +296,7 @@ def _misfit_config_key(misfit):
         if isinstance(v, (bool, int, float, str, bytes, type(None)))))
     extra = ()
     if getattr(misfit, "method", None) == "2d" and \
-            getattr(misfit, "bfm_backend", None) == "jax":
+            getattr(misfit, "bfm_backend", None) != "native":
         # the BFM's env-selected backends are read inside the fused
         # objective's trace; snapshot them here so toggling the
         # DEVITO_FWI_TPU_BFM_* vars between calls retraces (same-process
@@ -1519,17 +1521,13 @@ def _subset_geometry(geometry, shot_indices):
     """Geometry restricted to a shot subset (host-misfit random-batch
     path)."""
     idx = np.asarray(shot_indices, dtype=np.int64)
-    sub = AcquisitionGeometry(
+    # dt deliberately not carried — see _shot_geometry
+    return AcquisitionGeometry(
         geometry.model, geometry.rec_positions,
         np.asarray(geometry.src_positions)[idx], geometry.t0, geometry.tn,
         f0=geometry.f0, src_type=geometry.src_type,
         a=geometry._a, t0w=geometry._t0w, src_data=geometry._src_data,
         filter=geometry._filter)
-    # preserve a resampled time axis (the constructor resets dt to the
-    # model's critical dt)
-    if geometry.dt != sub.dt:
-        sub.resample(geometry.dt)
-    return sub
 
 
 def fwi_loss(x, geometry, obs, misfit_func, direct_wave=None, mask=None,

@@ -1021,15 +1021,24 @@ def _bfm_jax_batch_core(f_b, g_b, num_steps, step_scale, nsub, dmax,
 def bfm_jax(f, g, num_steps=10, step_scale=1.0, nsub=2,
             push_backend=None, legendre_banded=None):
     """Single-gather quadratic-Wasserstein distance and gradient — thin
-    wrapper over the batch solver (see ``bfm_jax_batch``). Deliberately
-    NOT jitted itself: an outer jit would freeze the env-var backend
-    selection into its own trace key-less cache (the jitted core already
-    carries the backends as static args, so this wrapper adds only two
-    eager index ops when called from the host)."""
-    wd, grad = bfm_jax_batch(f[None], g[None], num_steps=num_steps,
-                             step_scale=step_scale, nsub=nsub,
-                             push_backend=push_backend,
-                             legendre_banded=legendre_banded)
+    wrapper over the batch solver (see ``bfm_jax_batch``). The wrapper
+    itself is NOT jitted — an outer jit would freeze the env-var
+    backend selection into its trace (the toggle-retraces guarantee) —
+    but it resolves the backends at call time and dispatches ONE jitted
+    program, so host callers pay a single tunnel round trip."""
+    push_backend, legendre_banded = resolve_backends(push_backend,
+                                                     legendre_banded)
+    return _bfm_jax_single(f, g, num_steps, step_scale, nsub,
+                           push_backend, legendre_banded)
+
+
+@partial(jax.jit, static_argnames=("num_steps", "nsub", "push_backend",
+                                   "legendre_banded"))
+def _bfm_jax_single(f, g, num_steps, step_scale, nsub, push_backend,
+                    legendre_banded):
+    wd, grad = _bfm_jax_batch_core(
+        f[None], g[None], num_steps, step_scale, nsub, 127, 32_000_000,
+        push_backend, legendre_banded, False)
     return wd[0], grad[0]
 
 

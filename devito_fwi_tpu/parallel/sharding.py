@@ -177,7 +177,7 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
          jnp.asarray(geometry.src_positions, dtype=model.dtype)],
         geometry.nsrc, ndev, model.dtype)
 
-    from ..fwi import _default_checkpoints, _pallas_z0
+    from ..fwi import _default_checkpoints, _pallas_route
     nck = _default_checkpoints(geometry.nt)
 
     # Pallas fast path per shard: the same gated VMEM segment kernels as
@@ -185,27 +185,35 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
     # device's shot block (pallas_call is a per-device program, so the
     # only collective is the existing psum). Validated on the virtual
     # CPU mesh via DEVITO_FWI_TPU_PALLAS_INTERPRET=1.
+    # One shared route computation (fwi._pallas_route) for all chunks.
+    route = _pallas_route(geometry, nck, static["kernel"], calc_grad)
+    z0, _, _, _, cap = route
+
     # chunk the (padded) shot axis so the per-device checkpoint /
     # history buffers stay bounded at large surveys (the single-chip
     # fused path chunks at shot_chunk=32 and the host path at
     # per_dev_cap=32; the device-misfit paths used to vmap ALL local
-    # shots at once). Each chunk is a whole multiple of ndev.
+    # shots at once). Each chunk is a whole multiple of ndev; the
+    # streamed-history HBM budget (route cap) shrinks it further so
+    # large local blocks keep the 2-sweep streamed kernels instead of
+    # dropping to the 3-sweep recompute.
     nsrc_p = int(s_idx_p.shape[0])
-    chunk_len = min(nsrc_p, ndev * _PER_DEV_CAP)
+    per_dev = _PER_DEV_CAP if cap is None else max(1, min(_PER_DEV_CAP,
+                                                          cap))
+    chunk_len = min(nsrc_p, ndev * per_dev)
 
     def _chunks(*arrs):
         for lo in range(0, nsrc_p, chunk_len):
             hi = min(lo + chunk_len, nsrc_p)
             yield tuple(a[lo:hi] for a in arrs)
 
-    z0 = _pallas_z0(geometry) if static["kernel"] == "OT2" else None
     if z0 is not None:
         fval, grad, illum = 0.0, None, None
         ok = True
         for ck in _chunks(s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid):
             out = _fwi_obj_sharded_pallas(
-                geometry, misfit_jax, calc_grad, mesh, ndev, z0, vp, damp,
-                src_wav, *ck[:5], ck[5], r_idx, r_w,
+                geometry, misfit_jax, calc_grad, mesh, ndev, route, vp,
+                damp, src_wav, *ck[:5], ck[5], r_idx, r_w,
                 float(dt), static, pads, shape, spacing, rec_positions)
             if out is None:          # kernels don't fit: XLA fallback
                 ok = False
@@ -276,10 +284,10 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
     return fval, grad
 
 
-def _fwi_obj_sharded_pallas(geometry, misfit_jax, calc_grad, mesh, ndev, z0,
-                            vp, damp, src_wav, s_idx_p, s_w_p, obs_p, dw_p,
-                            sp_p, valid, r_idx, r_w, dtf, static, pads,
-                            shape, spacing, rec_positions):
+def _fwi_obj_sharded_pallas(geometry, misfit_jax, calc_grad, mesh, ndev,
+                            route, vp, damp, src_wav, s_idx_p, s_w_p,
+                            obs_p, dw_p, sp_p, valid, r_idx, r_w, dtf,
+                            static, pads, shape, spacing, rec_positions):
     """Per-shard Pallas body of ``fwi_obj_sharded``: each device runs its
     local shot block through the VMEM segment kernels (streamed-history
     gradient when the per-shard d2u/dt2 history fits HBM), then psums the
@@ -294,11 +302,11 @@ def _fwi_obj_sharded_pallas(geometry, misfit_jax, calc_grad, mesh, ndev, z0,
     model = geometry.model
     nx, nz = model.padded_shape
     nt, fs, so = static["nt"], static["fs"], static["space_order"]
-    # shared route gating (fwi._pallas_route) — per-device blocks cannot
-    # chunk, so a streamed history that exceeds the HBM budget drops to
-    # the checkpoint-recompute kernels instead of capping the chunk
-    _, nck, stream, hist_dtype, cap = _pallas_route(
-        geometry, _default_checkpoints(nt), "OT2", calc_grad)
+    # route computed ONCE by the caller (fwi._pallas_route); the caller
+    # also chunks the shot axis to the streamed-history HBM budget, but
+    # guard against an oversized local block anyway (shards cannot
+    # chunk, so drop to the checkpoint-recompute kernels)
+    z0, nck, stream, hist_dtype, cap = route
     if nck is None:
         return None
     Bp = s_idx_p.shape[0] // ndev

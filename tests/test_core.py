@@ -340,8 +340,10 @@ def test_subset_and_shot_geometry_preserve_wavelet_params():
         assert sub._a == geo._a
         assert sub._t0w == geo._t0w
         assert sub._src_data is wav
-        assert sub.dt == geo.dt
+        # propagation geometries stay on the solver's critical-dt axis;
+        # a resampled parent dt must NOT leak into the source wavelet
+        assert sub.dt == model.critical_dt
     # the custom-amplitude wavelet actually differs from the default one
     base = AcquisitionGeometry(model, rec, src[:1], 0.0, 200.0, f0=0.015,
-                               src_type="Ricker").resample(geo.dt)
+                               src_type="Ricker")
     assert not np.allclose(_shot_geometry(geo, 0).src.data, base.src.data)
