@@ -195,6 +195,31 @@ def test_host_misfit_matches_fused_on_chip(workload):
     assert np.abs(g_h - g_d).max() < 1e-4 * scale
 
 
+def test_w2_bfm_fast_paths_match_xla_on_chip(workload):
+    """The W2-2d BFM's default TPU fast paths (Pallas pushforward slab
+    kernel + anchored block-banded Legendre) vs the exact XLA baseline
+    (push=xla, legendre=full) on the real chip, through the full fused
+    gradient objective. Both fast paths are certificate-guarded exact
+    rewrites, so the objective values must agree to f32 fusion noise;
+    the gradients run the SAME propagation kernels and differ only via
+    the adjoint source, so interior parity is tight (the interpreter
+    twins are tests/test_pallas_bfm.py)."""
+    from devito_fwi_tpu.misfit import qWasserstein
+
+    g0, obs = workload
+    w2 = qWasserstein(trans_type="linear", gamma=1.01, method="2d",
+                      num_steps=10, step_scale=1.0, bfm_backend="jax")
+    f_x, g_x = _grad(g0, obs, w2, DEVITO_FWI_TPU_BFM_PUSH="xla",
+                     DEVITO_FWI_TPU_BFM_LEGENDRE="full")
+    f_p, g_p = _grad(g0, obs, w2, DEVITO_FWI_TPU_BFM_PUSH="pallas",
+                     DEVITO_FWI_TPU_BFM_LEGENDRE="anchor")
+    assert np.isfinite(f_x) and f_x > 0
+    assert np.isclose(f_x, f_p, rtol=1e-4)
+    scale = np.abs(g_x).max()
+    d = np.abs(g_p - g_x).reshape(g0.model.shape)
+    assert d[4:-4, 4:-4].max() < 1e-3 * scale
+
+
 def test_unaligned_receiver_offset_on_chip():
     """2-D Pallas kernels at a receiver z-plane with z0 % 8 = 5 (an
     in-tile sublane offset the 3-D kernels could NOT lower — see the
