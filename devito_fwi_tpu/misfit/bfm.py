@@ -24,6 +24,7 @@ replacement for the reference's MPI ``mpibfm2d`` binary.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -238,7 +239,6 @@ def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=None):
     band once per A-output block instead of per offset — and is the
     default (live on-chip A/B: W2 objective 2.58 s vs 4.34 s full)."""
     if banded is None:
-        import os
         banded = os.environ.get("DEVITO_FWI_TPU_BFM_LEGENDRE", "anchor")
     if banded is True or banded == "banded":
         fn = _legendre_last_fast
@@ -607,16 +607,25 @@ def _scatter_pushforward_batch(subs, n1, n2, chunk=8):
     return rho.reshape(nb * chunk, n2, n1)[:B]
 
 
-def _pallas_push(subs, n1, n2, G, dxmax, margin, R, fold="loop"):
+def _pallas_push(subs, n1, n2, G, dxmax, margin, R, fold="loop",
+                 prep_mode=None):
     """Pushforward through the Pallas slab kernel
-    (``ops/pallas_bfm.pushforward_slabs``): preprocess the subsample
-    planes into block-rebased (rel dy, dx, weight) form, run the kernel
-    over a (B, nblk) grid, and overlap-add the slabs at their runtime
-    base offsets. Exact same additions as the scatter; valid when
-    ``_local_band_ok(subs, G, row_block=R)`` and the dx predicate hold
-    (caller guards)."""
+    (``ops/pallas_bfm.pushforward_slabs[_nat]``): preprocess the
+    subsample planes into block-rebased (rel dy, dx, weight) form, run
+    the kernel over a (B, nblk) grid, and overlap-add the slabs at their
+    runtime base offsets. Exact same additions as the scatter; valid
+    when ``_local_band_ok(subs, G, row_block=R)`` and the dx predicate
+    hold (caller guards).
+
+    ``prep_mode`` (env ``DEVITO_FWI_TPU_BFM_PREP``): "nat" (default)
+    hands the kernel naturally-laid-out (B, Q, n2p, lanes) planes and
+    lets the BlockSpec index maps do the row-block slicing; "blocked"
+    is the original six-re-layout host-side prep (measured ~60 ms of a
+    ~63 ms call on the live Marmousi state — kept for A/Bs)."""
     from ..ops import pallas_bfm as _pb
 
+    if prep_mode is None:
+        prep_mode = os.environ.get("DEVITO_FWI_TPU_BFM_PREP", "nat")
     xI, xO, xf, yI, yO, yf, mass = subs
     B, Q, n2s, n1s = mass.shape
     # the kernel writes source column c at output column c + dx + dxmax
@@ -644,21 +653,40 @@ def _pallas_push(subs, n1, n2, G, dxmax, margin, R, fold="loop"):
     wx1 = jnp.where(xclip, 0.0, xf)
     dxr = jnp.clip(xI - c + dxmax, 0, 2 * dxmax + 1)
 
-    def prep(a, fill=0):
-        a = jnp.pad(a, pad, constant_values=fill)
-        a = jnp.moveaxis(a, 1, 2).reshape(B, nblk, R, Q, lanes)
-        return jnp.swapaxes(a, 2, 3)                # (B, nblk, Q, R, lanes)
+    if prep_mode == "nat":
+        # pads only (contiguous copies that XLA fuses with the weight
+        # elementwise math) — the kernel's index maps do the blocking
+        def prep(a, fill=0):
+            return jnp.pad(a, pad, constant_values=fill)
 
-    dy_b = prep(dy, margin)
-    bases = jnp.min(dy_b.reshape(B, nblk, -1), axis=-1)
-    bases = jnp.clip(jnp.where(bases == margin, 0, bases),
-                     -margin, margin - G)            # (B, nblk)
-    rel = (dy_b - bases[:, :, None, None, None]).astype(jnp.int32)
-    slabs = _pb.pushforward_slabs(
-        rel, prep(dxr).astype(jnp.int32), prep(wy0).astype(dtype),
-        prep(wy1).astype(dtype), prep(wx0, 1).astype(dtype),
-        prep(wx1).astype(dtype), G=G, dxmax=dxmax, R=R,
-        interpret=_pb.env_interpret())               # (B, nblk, R+G, lanes)
+        dy_p = prep(dy, margin)                      # (B, Q, n2p, lanes)
+        bases = jnp.min(dy_p.reshape(B, Q, nblk, R * lanes),
+                        axis=(1, 3))
+        bases = jnp.clip(jnp.where(bases == margin, 0, bases),
+                         -margin, margin - G)        # (B, nblk)
+        base_rows = jnp.repeat(bases, R, axis=1)     # (B, n2p)
+        rel = (dy_p - base_rows[:, None, :, None]).astype(jnp.int32)
+        slabs = _pb.pushforward_slabs_nat(
+            rel, prep(dxr).astype(jnp.int32), prep(wy0).astype(dtype),
+            prep(wy1).astype(dtype), prep(wx0, 1).astype(dtype),
+            prep(wx1).astype(dtype), G=G, dxmax=dxmax, R=R,
+            interpret=_pb.env_interpret())           # (B, nblk, R+G, lanes)
+    else:
+        def prep(a, fill=0):
+            a = jnp.pad(a, pad, constant_values=fill)
+            a = jnp.moveaxis(a, 1, 2).reshape(B, nblk, R, Q, lanes)
+            return jnp.swapaxes(a, 2, 3)            # (B, nblk, Q, R, lanes)
+
+        dy_b = prep(dy, margin)
+        bases = jnp.min(dy_b.reshape(B, nblk, -1), axis=-1)
+        bases = jnp.clip(jnp.where(bases == margin, 0, bases),
+                         -margin, margin - G)        # (B, nblk)
+        rel = (dy_b - bases[:, :, None, None, None]).astype(jnp.int32)
+        slabs = _pb.pushforward_slabs(
+            rel, prep(dxr).astype(jnp.int32), prep(wy0).astype(dtype),
+            prep(wy1).astype(dtype), prep(wx0, 1).astype(dtype),
+            prep(wx1).astype(dtype), G=G, dxmax=dxmax, R=R,
+            interpret=_pb.env_interpret())           # (B, nblk, R+G, lanes)
 
     if fold == "vec":
         return _fold_slabs_vec(slabs, bases, n1, n2, G=G, dxmax=dxmax,
@@ -752,10 +780,12 @@ def _dispatch_push(subs, n1, n2, dmax, push_backend=None):
             lambda t: _scatter_pushforward_batch(t, n1, n2), s)
 
     if push_backend is None:
-        import os
-        push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "pallas")
-    fold = "vec" if push_backend == "pallas-vecfold" else "loop"
-    is_pallas = push_backend in ("pallas", "pallas-vecfold")
+        push_backend = resolve_backends()[0]
+    prep_mode = "blocked" if push_backend.endswith("-blockedprep") \
+        else "nat"
+    base_backend = push_backend.replace("-blockedprep", "")
+    fold = "vec" if base_backend == "pallas-vecfold" else "loop"
+    is_pallas = base_backend in ("pallas", "pallas-vecfold")
     # Q <= 8: the slab kernel python-unrolls a G*DX*Q multiply-add chain
     # with Q*DX hoisted xsel buffers — at the adaptive hi pass's Q = 16
     # that is ~256 live (R, lanes) temps, the exact scoped-vmem OOM
@@ -768,7 +798,8 @@ def _dispatch_push(subs, n1, n2, dmax, push_backend=None):
     return jax.lax.cond(
         pallas_ok,
         lambda s: _pallas_push(s, n1, n2, G=24, dxmax=dxmax,
-                               margin=margin, R=16, fold=fold),
+                               margin=margin, R=16, fold=fold,
+                               prep_mode=prep_mode),
         xla_or_scatter, subs)
 
 
@@ -862,7 +893,6 @@ def resolve_backends(push_backend=None, legendre_banded=None):
     around the BFM must run this outside their jit and pass the result
     as static args (see ``fwi._misfit_config_key``, which folds this
     into the fused objective's trace key)."""
-    import os
     if push_backend is None:
         push_backend = os.environ.get("DEVITO_FWI_TPU_BFM_PUSH", "pallas")
     if push_backend == "pallas":
@@ -877,6 +907,13 @@ def resolve_backends(push_backend=None, legendre_banded=None):
         fold = os.environ.get("DEVITO_FWI_TPU_BFM_FOLD", "loop")
         if fold == "vec":
             push_backend = "pallas-vecfold"
+    if push_backend.startswith("pallas"):
+        # prep layout is likewise trace-time state: "nat" (default)
+        # hands the kernel natural-layout planes and lets the BlockSpec
+        # index maps do the blocking; "blocked" is the original
+        # six-re-layout host prep, kept for A/Bs.
+        if os.environ.get("DEVITO_FWI_TPU_BFM_PREP", "nat") == "blocked":
+            push_backend += "-blockedprep"
     if legendre_banded is None:
         # "anchor" (the XLA anchored block-banded transform,
         # _legendre_last_anchor_fast) won the live on-chip A/B: the

@@ -52,7 +52,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["available", "env_interpret", "legendre_banded",
-           "pushforward_slabs"]
+           "pushforward_slabs", "pushforward_slabs_nat"]
 
 
 def available():
@@ -242,60 +242,74 @@ def legendre_banded(u, W, K, interpret=False):
 # local-base banded pushforward slabs
 # ---------------------------------------------------------------------------
 
+def _push_block(rel, dxr, wy0, wy1, wx0, wx1, *, Q, R, G, DX, lanes):
+    """One (shot, row-block): accumulate bilinear contributions into the
+    returned (R+G, lanes) slab. rel = dy - base in [0, G-2] for active
+    cells (inactive cells carry zero weights); dxr = xI - c + dxmax in
+    [0, DX-2]. Every operand is a (Q, R, lanes) value. The slab is
+    assembled as a sum of row-padded value concatenates — no
+    sublane-offset read-modify-writes of refs."""
+    dtype = wy0.dtype
+
+    # x-selection planes, hoisted out of the g loop:
+    # xsel[q][e] = (dxr_q == e) * wx0_q + (dxr_q == e-1) * wx1_q
+    xsel = []
+    for q in range(Q):
+        row = []
+        for e in range(DX):
+            sel = jnp.where(dxr[q] == e, wx0[q], jnp.zeros((), dtype))
+            if e >= 1:
+                sel = sel + jnp.where(dxr[q] == e - 1, wx1[q],
+                                      jnp.zeros((), dtype))
+            row.append(sel)
+        xsel.append(row)
+
+    slab = None
+    for g in range(G):
+        m0 = [jnp.where(rel[q] == g, wy0[q], jnp.zeros((), dtype))
+              + jnp.where(rel[q] == g - 1, wy1[q], jnp.zeros((), dtype))
+              for q in range(Q)]
+        acc = None
+        for e in range(DX):
+            v = None
+            for q in range(Q):
+                t = xsel[q][e] * m0[q]
+                v = t if v is None else v + t
+            if e:
+                v = jnp.concatenate(
+                    [jnp.zeros((R, e), dtype), v[:, :lanes - e]],
+                    axis=1)
+            acc = v if acc is None else acc + v
+        # rows [g, g+R) of the slab (zero-size concat operands are
+        # rejected by Mosaic -> guard the g=0 piece; g <= G-1 so the
+        # tail piece is always non-empty)
+        parts = ([jnp.zeros((g, lanes), dtype)] if g else []) \
+            + [acc, jnp.zeros((G - g, lanes), dtype)]
+        padded = jnp.concatenate(parts, axis=0)
+        slab = padded if slab is None else slab + padded
+    return slab
+
+
 def _push_kernel(rel_ref, dxr_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
                  slab_ref, *, Q, R, G, DX, lanes):
-    """One (shot, row-block): accumulate bilinear contributions into the
-    (R+G, lanes) slab. rel = dy - base in [0, G-2] for active cells
-    (inactive cells carry zero weights); dxr = xI - c + dxmax in
-    [0, DX-2]. The slab is assembled as a sum of row-padded value
-    concatenates — no sublane-offset read-modify-writes of refs."""
+    """Blocked-layout kernel: each grid step sees KB pre-transposed
+    (Q, R, lanes) row-blocks."""
     KB = rel_ref.shape[1]
     for kb in range(KB):
-        rel = rel_ref[0, kb]
-        dxr = dxr_ref[0, kb]
-        wy0 = wy0_ref[0, kb]
-        wy1 = wy1_ref[0, kb]
-        wx0 = wx0_ref[0, kb]
-        wx1 = wx1_ref[0, kb]
-        dtype = wy0.dtype
+        slab_ref[0, kb] = _push_block(
+            rel_ref[0, kb], dxr_ref[0, kb], wy0_ref[0, kb],
+            wy1_ref[0, kb], wx0_ref[0, kb], wx1_ref[0, kb],
+            Q=Q, R=R, G=G, DX=DX, lanes=lanes)
 
-        # x-selection planes, hoisted out of the g loop:
-        # xsel[q][e] = (dxr_q == e) * wx0_q + (dxr_q == e-1) * wx1_q
-        xsel = []
-        for q in range(Q):
-            row = []
-            for e in range(DX):
-                sel = jnp.where(dxr[q] == e, wx0[q], jnp.zeros((), dtype))
-                if e >= 1:
-                    sel = sel + jnp.where(dxr[q] == e - 1, wx1[q],
-                                          jnp.zeros((), dtype))
-                row.append(sel)
-            xsel.append(row)
 
-        slab = None
-        for g in range(G):
-            m0 = [jnp.where(rel[q] == g, wy0[q], jnp.zeros((), dtype))
-                  + jnp.where(rel[q] == g - 1, wy1[q], jnp.zeros((), dtype))
-                  for q in range(Q)]
-            acc = None
-            for e in range(DX):
-                v = None
-                for q in range(Q):
-                    t = xsel[q][e] * m0[q]
-                    v = t if v is None else v + t
-                if e:
-                    v = jnp.concatenate(
-                        [jnp.zeros((R, e), dtype), v[:, :lanes - e]],
-                        axis=1)
-                acc = v if acc is None else acc + v
-            # rows [g, g+R) of the slab (zero-size concat operands are
-            # rejected by Mosaic -> guard the g=0 piece; g <= G-1 so the
-            # tail piece is always non-empty)
-            parts = ([jnp.zeros((g, lanes), dtype)] if g else []) \
-                + [acc, jnp.zeros((G - g, lanes), dtype)]
-            padded = jnp.concatenate(parts, axis=0)
-            slab = padded if slab is None else slab + padded
-        slab_ref[0, kb] = slab
+def _push_kernel_nat(rel_ref, dxr_ref, wy0_ref, wy1_ref, wx0_ref,
+                     wx1_ref, slab_ref, *, Q, R, G, DX, lanes):
+    """Natural-layout kernel: the BlockSpec index map slices the
+    (1, Q, R, lanes) block straight out of the (B, Q, n2p, lanes)
+    planes — no host-side transposes."""
+    slab_ref[0, 0] = _push_block(
+        rel_ref[0], dxr_ref[0], wy0_ref[0], wy1_ref[0], wx0_ref[0],
+        wx1_ref[0], Q=Q, R=R, G=G, DX=DX, lanes=lanes)
 
 
 @partial(jax.jit, static_argnames=("G", "dxmax", "R", "interpret", "KB"))
@@ -341,3 +355,35 @@ def pushforward_slabs(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
         interpret=interpret,
     )(rel, dxr, wy0, wy1, wx0, wx1)
     return out[:, :nblk]
+
+
+@partial(jax.jit, static_argnames=("G", "dxmax", "R", "interpret"))
+def pushforward_slabs_nat(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
+                          interpret=False):
+    """Slab kernel over NATURAL-layout (B, Q, n2p, lanes) planes: the
+    grid's BlockSpec index maps do the (shot, row-block) slicing that
+    ``pushforward_slabs`` required six host-side pad/moveaxis/swapaxes
+    re-layouts for (measured ~60 ms of a ~63 ms call on the live
+    Marmousi state — the kernel itself is 3 ms). Same sums, same
+    (B, nblk, R+G, lanes) slab output."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    B, Q, n2p, lanes = rel.shape
+    assert n2p % R == 0, (n2p, R)
+    nblk = n2p // R
+    DX = 2 * dxmax + 2
+    ispec = pl.BlockSpec((1, Q, R, lanes),
+                         lambda b, j: (b, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_push_kernel_nat, Q=Q, R=R, G=G, DX=DX, lanes=lanes),
+        grid=(B, nblk),
+        in_specs=(ispec,) * 6,
+        out_shape=jax.ShapeDtypeStruct((B, nblk, R + G, lanes),
+                                       wy0.dtype),
+        out_specs=pl.BlockSpec((1, 1, R + G, lanes),
+                               lambda b, j: (b, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rel, dxr, wy0, wy1, wx0, wx1)

@@ -69,16 +69,17 @@ def _subs(shift_rows=0):
                  if a.dtype.kind == "f" else a for a in out[:7]), n1, n2
 
 
+@pytest.mark.parametrize("prep", ["nat", "blocked"])
 @pytest.mark.parametrize("fold", ["vec", "loop"])
 @pytest.mark.parametrize("shift", [0, 40])
-def test_pallas_push_matches_scatter(shift, fold, monkeypatch):
+def test_pallas_push_matches_scatter(shift, fold, prep, monkeypatch):
     monkeypatch.setenv("DEVITO_FWI_TPU_PALLAS_INTERPRET", "1")
     subs, n1, n2 = _subs(shift)
     rho_scat = B._scatter_pushforward_batch(subs, n1, n2)
     assert bool(B._local_band_ok(subs, G_local=24, margin=128,
                                  row_block=16))
     rho_pal = B._pallas_push(subs, n1, n2, G=24, dxmax=7, margin=128,
-                             R=16, fold=fold)
+                             R=16, fold=fold, prep_mode=prep)
     np.testing.assert_allclose(np.asarray(rho_pal), np.asarray(rho_scat),
                                rtol=1e-5, atol=1e-7)
 
