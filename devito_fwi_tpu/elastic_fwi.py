@@ -1,0 +1,285 @@
+"""Elastic FWI objective: misfit + (vp, vs, rho) gradients through the
+staggered-grid velocity-stress propagator.
+
+This goes BEYOND the reference, whose elastic solver is forward-only
+(``/root/reference/seismic/elastic/wavesolver.py:25`` — no adjoint, no
+gradient operator), while its own north-star workload list names
+"Marmousi2 elastic FWI (staggered-grid Vp/Vs/rho propagator)". The
+TPU-native design: the forward is a two-level-rematted ``lax.scan``
+(``ops.staggered.elastic_forward_seg``) and the parameter gradient is
+``jax.vjp`` through it — the exact discrete adjoint of the velocity-
+stress system, with the (lam, mu, b) <- (vp, vs, rho) chain rule
+(reference ``seismic/model.py:300-305`` parametrization) handled by the
+same vjp. Shots batch via ``vmap`` and chunk to bound the remat
+working set; illumination (sum_t |v|^2, the elastic analog of the
+acoustic sum_t u^2 preconditioner of reference ``fwi.py:170``)
+accumulates outside the AD graph.
+
+Conventions match the acoustic objective (``fwi.py``): observed data is
+the rec1 (tau_zz) gather, misfits are the same (syn, obs) -> (fval,
+residual) jittable functions, per-shot gradients are cropped to the
+physical domain and source/receiver-illumination-fixed at that shot's
+source position before summing, preconditioned by 1/sqrt(illum),
+masked.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fwi import _batched_tables, _crop, _fix_illum_jax, _misfit_jax, _pads
+from .models.sources import PointSource
+from .ops import staggered as _st
+
+__all__ = ["elastic_fm_multi", "elastic_fwi_obj_multi", "ElasticFwiLoss",
+           "model_vp_vs_rho"]
+
+
+def model_vp_vs_rho(model):
+    """Recover padded (vp, vs, rho) from a Lame-parametrized model
+    (lam = (vp^2 - 2 vs^2)/b, mu = vs^2/b, b = 1/rho)."""
+    lam = np.asarray(model.lam, dtype=model.dtype)
+    mu = np.asarray(model.mu, dtype=model.dtype)
+    b = model.b if isinstance(model.b, np.ndarray) \
+        else np.full(model.padded_shape, model.b, dtype=model.dtype)
+    b = np.asarray(b, dtype=model.dtype)
+    vs = np.sqrt(mu * b)
+    vp = np.sqrt((lam + 2.0 * mu) * b)
+    rho = 1.0 / b
+    return vp, vs, rho
+
+
+def _damp_field(model):
+    damp = model.damp
+    if not isinstance(damp, np.ndarray):
+        damp = np.full(model.padded_shape, damp, dtype=model.dtype)
+    return np.asarray(damp, dtype=model.dtype)
+
+
+@partial(jax.jit, static_argnames=("nt", "spacing", "space_order"))
+def _elastic_fm_batch(lam, mu, b, damp, src_wav, s_idx, s_w, r_idx, r_w,
+                      dt, *, nt, spacing, space_order):
+    fwd = partial(_st.elastic_forward, nt=nt, spacing=spacing,
+                  space_order=space_order)
+    return jax.vmap(lambda a, c: fwd(lam, mu, b, damp, src_wav, a, c,
+                                     r_idx, r_w, dt))(s_idx, s_w)
+
+
+def elastic_fm_multi(geometry):
+    """Model all shots through the elastic propagator; returns
+    (rec1 list, rec2 list) of PointSource gathers (one batched TPU
+    program, like the acoustic ``fm_multi``)."""
+    model = geometry.model
+    model._initialize_bcs(bcs="mask")
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    vp, vs, rho = model_vp_vs_rho(model)
+    lam = jnp.asarray(rho * (vp * vp - 2.0 * vs * vs))
+    mu = jnp.asarray(rho * vs * vs)
+    b = jnp.asarray(1.0 / rho)
+    r1, r2 = _elastic_fm_batch(
+        lam, mu, b, jnp.asarray(_damp_field(model)), jnp.asarray(src_wav),
+        jnp.asarray(s_idx), jnp.asarray(s_w), jnp.asarray(r_idx),
+        jnp.asarray(r_w), float(model.critical_dt), nt=geometry.nt,
+        spacing=model.spacing, space_order=model.space_order)
+    r1, r2 = np.asarray(r1), np.asarray(r2)
+    outs = ([], [])
+    for i in range(geometry.nsrc):
+        for rec_all, lst in zip((r1, r2), outs):
+            shot = PointSource(name="rec", time_range=geometry.time_axis,
+                               coordinates=geometry.rec_positions,
+                               dtype=model.dtype)
+            shot.data[:] = rec_all[i]
+            lst.append(shot)
+    return outs
+
+
+@partial(jax.jit, static_argnames=("nt", "spacing", "space_order",
+                                   "n_checkpoints", "misfit_jax",
+                                   "calc_grad", "pads", "shape",
+                                   "illum_fix"))
+def _elastic_shots_obj(vp, vs, rho, damp, src_wav, s_idx, s_w, r_idx, r_w,
+                       obs1, dw, src_pos, rec_pos, dt, *, nt, spacing,
+                       space_order, n_checkpoints, misfit_jax, calc_grad,
+                       pads, shape, illum_fix=True):
+    """Fused chunk objective: per-shot forward + misfit on rec1 + (when
+    calc_grad) vjp back to (vp, vs, rho), with each shot's gradient and
+    illumination cropped to the physical domain and source/receiver-
+    illumination-fixed at THAT shot's source position before the sum —
+    the acoustic convention (reference ``fwi.py:166-171``). Returns
+    (fval, (gvp, gvs, grho) summed, illum summed, residual stack)."""
+
+    def fix(g, sp):
+        if not illum_fix:
+            return g
+        return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
+
+    def one(si, sw, obs_i, dw_i, sp):
+        def fwd(vp_, vs_, rho_):
+            # physical-domain params, edge-replicated into the absorbing
+            # halo INSIDE the AD graph — the vjp then carries the
+            # pad-transpose (halo cotangents fold back onto edge cells),
+            # so the returned gradient is exact w.r.t. the physical
+            # parameters (FD-consistent; asserted in
+            # tests/test_elastic_grad.py::test_obj_multi_fd_consistency)
+            vpp = jnp.pad(vp_, pads, mode="edge")
+            vsp = jnp.pad(vs_, pads, mode="edge")
+            rhp = jnp.pad(rho_, pads, mode="edge")
+            lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
+            mu = rhp * vsp * vsp
+            b = 1.0 / rhp
+            rec1, _, illum = _st.elastic_forward_seg(
+                lam, mu, b, damp, src_wav, si, sw, r_idx, r_w, dt, nt=nt,
+                spacing=spacing, space_order=space_order,
+                n_checkpoints=n_checkpoints)
+            return rec1, _crop(illum, pads, shape)
+
+        if calc_grad:
+            (rec1, illum), vjp = jax.vjp(fwd, vp, vs, rho)
+        else:
+            rec1, illum = fwd(vp, vs, rho)
+        syn = rec1 - dw_i
+        obsd = obs_i - dw_i
+        f, res = misfit_jax(syn, obsd)
+        if not calc_grad:
+            z = jnp.zeros(shape, vp.dtype)
+            return f, (z, z, z), z, res
+        # dF/drec1 == the misfit residual (syn enters rec1 linearly);
+        # illum is stop_gradient'd so its zero cotangent is exact
+        grads = vjp((res.astype(vp.dtype), jnp.zeros_like(illum)))
+        return (f, tuple(fix(g, sp) for g in grads), fix(illum, sp), res)
+
+    fvals, grads, illum, res = jax.vmap(one)(s_idx, s_w, obs1, dw, src_pos)
+    return (jnp.sum(fvals), tuple(g.sum(axis=0) for g in grads),
+            illum.sum(axis=0), res)
+
+
+def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
+                          mask=None, precond=True, calc_grad=False,
+                          vp=None, vs=None, rho=None, shot_chunk=4,
+                          n_checkpoints=0, shot_indices=None,
+                          illum_fix=True):
+    """Multi-shot elastic objective/gradient.
+
+    Parameters mirror the acoustic ``fwi_obj_multi``; `obs` is the rec1
+    (tau_zz) gather list (e.g. from ``elastic_fm_multi(...)[0]``).
+    `vp`/`vs`/`rho` override the model's padded parameter fields —
+    PHYSICAL-domain arrays are padded here; None reads the model.
+    Returns (fval, {"vp": g, "vs": g, "rho": g}, residuals) with each
+    gradient cropped to the physical domain (grads None when not
+    calc_grad).
+    """
+    model = geometry.model
+    model._initialize_bcs(bcs="mask")
+    mj = _misfit_jax(misfit_func)
+    if mj is None:
+        raise NotImplementedError(
+            "elastic FWI needs a jittable misfit (least_square or a "
+            "misfit exposing .jax); host-callback misfits are not wired "
+            "for the elastic path")
+    mvp, mvs, mrho = model_vp_vs_rho(model)
+    crop_slc = tuple(slice(lo, lo + n)
+                     for (lo, _), n in zip(model.padsizes, model.shape))
+
+    def param(user, fallback):
+        """Normalize to the PHYSICAL domain — the objective re-pads
+        inside the AD graph (model fields are pad_edge-built, so
+        crop->re-pad is the identity on them)."""
+        if user is None:
+            return np.asarray(fallback)[crop_slc]
+        user = np.asarray(user, dtype=model.dtype)
+        if user.shape != model.shape:
+            user = user[crop_slc]
+        return user
+
+    vp = jnp.asarray(param(vp, mvp))
+    vs = jnp.asarray(param(vs, mvs))
+    rho = jnp.asarray(param(rho, mrho))
+    damp = jnp.asarray(_damp_field(model))
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    src_pos = np.asarray(geometry.src_positions, dtype=model.dtype)
+    rec_pos = np.asarray(geometry.rec_positions, dtype=model.dtype)
+    if shot_indices is not None:
+        sel = np.asarray(shot_indices, dtype=np.int64)
+        s_idx, s_w, src_pos = s_idx[sel], s_w[sel], src_pos[sel]
+        obs = [obs[int(i)] for i in sel]
+        if direct_wave is not None:
+            direct_wave = [direct_wave[int(i)] for i in sel]
+    nshots = s_idx.shape[0]
+    obs_stack = np.stack([np.asarray(o.data) for o in obs])
+    if direct_wave is not None:
+        dw_stack = np.stack([np.asarray(d.data) for d in direct_wave])
+    else:
+        dw_stack = np.zeros((nshots,) + obs_stack.shape[1:],
+                            dtype=model.dtype)
+    dt = float(model.critical_dt)
+    kw = dict(nt=geometry.nt, spacing=model.spacing,
+              space_order=model.space_order, n_checkpoints=n_checkpoints,
+              misfit_jax=mj, calc_grad=calc_grad, pads=_pads(model),
+              shape=model.shape, illum_fix=illum_fix)
+
+    fval = 0.0
+    gsum = None
+    illum_sum = None
+    residuals = []
+    for lo in range(0, nshots, shot_chunk):
+        hi = min(lo + shot_chunk, nshots)
+        f, grads, illum, res = _elastic_shots_obj(
+            vp, vs, rho, damp, jnp.asarray(src_wav),
+            jnp.asarray(s_idx[lo:hi]), jnp.asarray(s_w[lo:hi]),
+            jnp.asarray(r_idx), jnp.asarray(r_w),
+            jnp.asarray(obs_stack[lo:hi]), jnp.asarray(dw_stack[lo:hi]),
+            jnp.asarray(src_pos[lo:hi]), jnp.asarray(rec_pos), dt, **kw)
+        fval += float(f)
+        residuals.extend(np.asarray(res))
+        if calc_grad:
+            grads = tuple(np.asarray(g) for g in grads)
+            gsum = grads if gsum is None else \
+                tuple(a + b for a, b in zip(gsum, grads))
+            illum = np.asarray(illum)
+            illum_sum = illum if illum_sum is None else illum_sum + illum
+    if not calc_grad:
+        return fval, None, residuals
+
+    out = {}
+    for name, g in zip(("vp", "vs", "rho"), gsum):
+        if precond:
+            g = g / np.sqrt(illum_sum + 1e-30)
+        if mask is not None:
+            g = g * mask
+        out[name] = g.astype(np.float64)
+    return fval, out, residuals
+
+
+class ElasticFwiLoss:
+    """Adapter exposing the elastic objective through the acoustic
+    ``fwi_loss`` signature so ``optimize.minimize(loss_fn=...)`` drives
+    elastic inversions unchanged.
+
+    Inverts vp in the reference's squared-slowness parameterization
+    (x = 1/vp^2, the same box bounds as the acoustic drivers) with vs
+    and rho held at the supplied fields; the vjp's d(misfit)/d(vp) is
+    chain-ruled to x by dvp/dx = -vp^3/2."""
+
+    def __init__(self, vs, rho, shot_chunk=4, n_checkpoints=0):
+        self.vs = vs
+        self.rho = rho
+        self.shot_chunk = shot_chunk
+        self.n_checkpoints = n_checkpoints
+
+    def __call__(self, x, geometry, obs, misfit_func, direct_wave=None,
+                 mask=None, precond=True, calc_grad=True,
+                 shot_indices=None):
+        shape = geometry.model.shape
+        vp = 1.0 / np.sqrt(x.reshape(shape))
+        fval, grads, residuals = elastic_fwi_obj_multi(
+            geometry, obs, misfit_func, direct_wave, mask, precond,
+            calc_grad, vp=vp.astype(geometry.model.dtype), vs=self.vs,
+            rho=self.rho, shot_chunk=self.shot_chunk,
+            n_checkpoints=self.n_checkpoints, shot_indices=shot_indices)
+        if not calc_grad:
+            return fval, None, residuals
+        g = grads["vp"] * (-0.5 * vp ** 3)
+        return fval, g.reshape(-1).astype(np.float64), residuals

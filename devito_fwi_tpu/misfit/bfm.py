@@ -763,7 +763,13 @@ def _dispatch_push(subs, n1, n2, dmax, push_backend=None):
 
     All branches compute the exact same sums; the predicates only pick
     the cheapest valid ordering. ``dmax`` bounds the absolute row shift
-    the banded paths' fold margins accommodate."""
+    the banded paths' fold margins accommodate.
+
+    Note: the DEVITO_FWI_TPU_BFM_PREP toggle is honored only when
+    ``push_backend`` came through :func:`resolve_backends` (which
+    appends the ``-blockedprep`` suffix). A caller passing an explicit
+    base string like ``"pallas"`` gets the "nat" prep layout regardless
+    of the env var — pass the resolved string to opt in."""
     from ..ops import pallas_bfm as _pb
 
     dxmax = 7
@@ -912,7 +918,11 @@ def resolve_backends(push_backend=None, legendre_banded=None):
         # hands the kernel natural-layout planes and lets the BlockSpec
         # index maps do the blocking; "blocked" is the original
         # six-re-layout host prep, kept for A/Bs.
-        if os.environ.get("DEVITO_FWI_TPU_BFM_PREP", "nat") == "blocked":
+        if (os.environ.get("DEVITO_FWI_TPU_BFM_PREP", "nat") == "blocked"
+                and not push_backend.endswith("-blockedprep")):
+            # idempotent: an already-resolved '...-blockedprep' string
+            # passed back through (qWasserstein.jax_batch ->
+            # bfm_jax_batch double-resolves) must not double the suffix.
             push_backend += "-blockedprep"
     if legendre_banded is None:
         # "anchor" (the XLA anchored block-banded transform,

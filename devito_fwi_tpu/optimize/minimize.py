@@ -33,9 +33,13 @@ class minimize:
     def __init__(self, optimizer, maxIter=10, ftol=1e-2, gtol=1e-3,
                  log_path="./log", save_model_freq=5, save_grad_freq=5,
                  save_res_freq=10, checkpoint_freq=1, resume=False,
-                 batch_size=None, batch_seed=0):
+                 batch_size=None, batch_seed=0, loss_fn=None):
         assert optimizer.name in ("LBFGS", "NLCG", "SteepestDescent")
         self.optimizer = optimizer
+        # pluggable objective with the fwi_loss signature — e.g.
+        # elastic_fwi.ElasticFwiLoss drives an elastic inversion through
+        # the same outer loop (default: the acoustic fwi_loss)
+        self.loss_fn = loss_fn if loss_fn is not None else fwi_loss
         self.ftol = ftol
         self.gtol = gtol
         self.maxIter = maxIter
@@ -88,9 +92,9 @@ class minimize:
                                          replace=False))
                 print("\t random batch: shots", sel.tolist())
             print("\t Computing gradient")
-            fval, g, res = fwi_loss(m, geometry, obs_data, misfit_func,
-                                    direct_wave, mask, precond,
-                                    shot_indices=sel)
+            fval, g, res = self.loss_fn(m, geometry, obs_data, misfit_func,
+                                        direct_wave, mask, precond,
+                                        shot_indices=sel)
             if iter_count == 0:
                 self.f0 = fval
             self.save_misfit(fval, g)
@@ -109,10 +113,10 @@ class minimize:
                     print(" trial step",
                           self.optimizer.line_search.step_count + 1)
                     m_temp = self.apply_bounds(m + alpha * p, bounds)
-                    fval_try, _, _ = fwi_loss(m_temp, geometry, obs_data,
-                                              misfit_func, direct_wave, mask,
-                                              precond, calc_grad=False,
-                                              shot_indices=sel)
+                    fval_try, _, _ = self.loss_fn(
+                        m_temp, geometry, obs_data, misfit_func,
+                        direct_wave, mask, precond, calc_grad=False,
+                        shot_indices=sel)
                     print("\t fval_try: %10.3e" % fval_try)
                     alpha, status = self.optimizer.update_search(alpha,
                                                                  fval_try)

@@ -77,6 +77,13 @@ def make_parser(cfg, fm=False):
                        help="random shot subset per iteration (0 = all "
                             "shots; random-batch FWI, not in the "
                             "reference)")
+        p.add_argument("--resume", type=int, default=0,
+                       help="resume from the latest checkpoint under the "
+                            "log dir (appends to the same metric files; "
+                            "not in the reference)")
+        p.add_argument("--checkpoint-freq", type=int, default=1,
+                       help="write an optimizer-state checkpoint every N "
+                            "iterations (0 disables)")
     p.add_argument("--odir", type=str, default="./result/" + cfg.name,
                    help="directory to output result")
     p.add_argument("--bathy", type=int, default=1, help="apply bathy mask")
@@ -231,6 +238,8 @@ def run_fwi(cfg):
     minimizer = minimize(optimizer, maxIter=args.maxiter, ftol=args.ftol,
                          gtol=args.gtol,
                          batch_size=getattr(args, "batch_size", 0) or None,
+                         checkpoint_freq=args.checkpoint_freq,
+                         resume=bool(args.resume),
                          log_path=os.path.join(result_dir,
                                                "log" + str(misfit_type)))
     m = minimizer.run(m0, geometry0, obs, misfit_func, direct_wave,

@@ -48,6 +48,13 @@ parser.add_argument("--batch-size", type=int, default=0,
                          " random-batch FWI, not in the reference)")
 parser.add_argument("--optimizer", type=str, default="LBFGS",
                     choices=["LBFGS", "NLCG", "SteepestDescent"])
+parser.add_argument("--resume", type=int, default=0,
+                    help="resume from the latest checkpoint under the log "
+                         "dir (appends to the same metric files; not in "
+                         "the reference)")
+parser.add_argument("--checkpoint-freq", type=int, default=1,
+                    help="write an optimizer-state checkpoint every N "
+                         "iterations (0 disables)")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -149,6 +156,8 @@ if __name__ == "__main__":
     optimizer = opt_cls(**kwargs)
     minimizer = minimize(optimizer, maxIter=args.maxiter, ftol=args.ftol,
                          gtol=args.gtol, batch_size=args.batch_size or None,
+                         checkpoint_freq=args.checkpoint_freq,
+                         resume=bool(args.resume),
                          log_path=os.path.join(result_dir,
                                                "log" + str(misfit_type)))
     m = minimizer.run(m0, geometry0, obs, misfit_func, None, bathy_mask,

@@ -72,23 +72,31 @@ def main():
                                 calc_grad=True)
         return jnp.float32(f)
 
-    os.environ["DEVITO_FWI_TPU_BFM_PUSH"] = "pallas"
-    os.environ["DEVITO_FWI_TPU_BFM_LEGENDRE"] = "anchor"
+    _env_keys = ("DEVITO_FWI_TPU_BFM_PUSH", "DEVITO_FWI_TPU_BFM_LEGENDRE",
+                 "DEVITO_FWI_TPU_BFM_PREP")
+    _env_saved = {k: os.environ.get(k) for k in _env_keys}
     results = {}
     vals = {}
-    for prep in ("blocked", "nat", "blocked", "nat"):
-        os.environ["DEVITO_FWI_TPU_BFM_PREP"] = prep
-        jax.clear_caches()
-        t0 = time.perf_counter()
-        v = sync(w2_obj())
-        tc = time.perf_counter() - t0
-        t = best_of(w2_obj, 2)
-        results.setdefault(prep, []).append(t)
-        vals[prep] = v
-        print(f"prep={prep}: {t:.3f} s ({t/t_l2:.1f}x L2; "
-              f"compile {tc:.0f}s; f={v:.6e})")
-    for k in ("DEVITO_FWI_TPU_BFM_PREP",):
-        os.environ.pop(k, None)
+    try:
+        os.environ["DEVITO_FWI_TPU_BFM_PUSH"] = "pallas"
+        os.environ["DEVITO_FWI_TPU_BFM_LEGENDRE"] = "anchor"
+        for prep in ("blocked", "nat", "blocked", "nat"):
+            os.environ["DEVITO_FWI_TPU_BFM_PREP"] = prep
+            jax.clear_caches()
+            t0 = time.perf_counter()
+            v = sync(w2_obj())
+            tc = time.perf_counter() - t0
+            t = best_of(w2_obj, 2)
+            results.setdefault(prep, []).append(t)
+            vals[prep] = v
+            print(f"prep={prep}: {t:.3f} s ({t/t_l2:.1f}x L2; "
+                  f"compile {tc:.0f}s; f={v:.6e})")
+    finally:
+        for k, v in _env_saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     if len(vals) == 2:
         rel = abs(vals["nat"] - vals["blocked"]) / max(
             abs(vals["blocked"]), 1e-30)
