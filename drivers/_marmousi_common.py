@@ -77,6 +77,12 @@ def make_parser(cfg, fm=False):
                        help="random shot subset per iteration (0 = all "
                             "shots; random-batch FWI, not in the "
                             "reference)")
+        p.add_argument("--physics", type=str, default="acoustic",
+                       choices=["acoustic", "elastic"],
+                       help="propagator: acoustic (reference parity) or "
+                            "elastic staggered-grid Vp/Vs/rho FWI "
+                            "(BASELINE.json north-star config; the "
+                            "reference is forward-only here)")
         p.add_argument("--resume", type=int, default=0,
                        help="resume from the latest checkpoint under the "
                             "log dir (appends to the same metric files; "
@@ -188,10 +194,131 @@ def setup(cfg, args, nsources):
         (true_vp, smooth_vp), bathy_mask
 
 
+def elastic_fields(cfg, vp):
+    """Derive (vs, rho) for an elastic Marmousi run: vs = vp/sqrt(3)
+    (Poisson solid) with a fluid water column (vs = 0), rho from
+    Gardner's relation 0.31 (1000 vp)^0.25 g/cc (the reference's
+    empirical preset relation, ``seismic/preset_models.py:349-351``)
+    with water at 1.0 g/cc."""
+    vs = (vp / np.sqrt(3.0)).astype(np.float32)
+    vs[:, :cfg.bathy_rows] = 0.0
+    rho = (0.31 * (1e3 * vp) ** 0.25).astype(np.float32)
+    rho[:, :cfg.bathy_rows] = 1.0
+    return vs, rho
+
+
+def setup_elastic(cfg, args, nsources):
+    """Elastic twin of ``setup``: (true, init, water) models carry
+    (vs, b) so the staggered propagator drives them; one pinned dt
+    (the true model's elastic CFL) keeps all time axes aligned."""
+    origin = (0, 0)
+    true_vp, smooth_vp = load_models(cfg, args.data_dir)
+    constant_vp = np.ones(cfg.shape, dtype=np.float32) * 1.5
+
+    bathy_mask = np.ones(cfg.shape, dtype=np.float32)
+    bathy_mask[:, :cfg.bathy_rows] = 0
+    if not args.bathy:
+        bathy_mask = None
+
+    vs_t, rho_t = elastic_fields(cfg, true_vp)
+    vs_0, rho_0 = elastic_fields(cfg, smooth_vp)
+    vs_w = np.zeros(cfg.shape, np.float32)
+    rho_w = np.ones(cfg.shape, np.float32)
+
+    def model(vp, vs, rho, dt=None):
+        return SeismicModel(origin=origin, spacing=cfg.spacing,
+                            shape=cfg.shape, space_order=cfg.space_order,
+                            vp=vp, vs=vs, b=(1.0 / rho), nbl=cfg.nbl,
+                            fs=False, dt=dt, bcs="mask")
+
+    dt_e = float(model(true_vp, vs_t, rho_t).critical_dt)
+    true_model = model(true_vp, vs_t, rho_t, dt=dt_e)
+    init_model = model(smooth_vp, vs_0, rho_0, dt=dt_e)
+    water_model = model(constant_vp, vs_w, rho_w, dt=dt_e)
+
+    src_coordinates = np.empty((nsources, 2))
+    src_coordinates[:, 0] = np.linspace(0, true_model.domain_size[0],
+                                        num=nsources)
+    src_coordinates[:, -1] = 2 * cfg.spacing[0]
+    nreceivers = cfg.shape[0]
+    rec_coordinates = np.empty((nreceivers, 2))
+    rec_coordinates[:, 0] = np.linspace(cfg.spacing[0],
+                                        true_model.domain_size[0]
+                                        - cfg.spacing[0], num=nreceivers)
+    rec_coordinates[:, 1] = 2 * cfg.spacing[0]
+
+    geoms = [AcquisitionGeometry(m, rec_coordinates, src_coordinates, 0.,
+                                 cfg.tn, f0=cfg.f0, src_type="Ricker")
+             for m in (true_model, init_model, water_model)]
+    return (true_model, init_model, water_model), geoms, \
+        (true_vp, smooth_vp, vs_0, rho_0), bathy_mask
+
+
+def run_fwi_elastic(cfg, args):
+    """Elastic Marmousi FWI: velocity-stress propagator, vp inversion in
+    squared slowness with vs/rho pinned at the smooth-model fields (the
+    BASELINE.json "Marmousi2 elastic FWI" workload; no reference
+    counterpart exists — its elastic solver has no adjoint)."""
+    from devito_fwi_tpu.elastic_fwi import ElasticFwiLoss, elastic_fm_multi
+
+    result_dir = args.odir
+    misfit_type = args.misfit
+    models, geoms, fields, bathy_mask = setup_elastic(cfg, args, args.nsrc)
+    geometry1, geometry0, geometry2 = geoms
+    _, smooth_vp, vs_0, rho_0 = fields
+
+    obs, _ = elastic_fm_multi(geometry1)
+    direct_wave, _ = elastic_fm_multi(geometry2)
+
+    qW1d = qWasserstein(gamma=1.01, method="1d")
+    qW2d = qWasserstein(gamma=1.01, method="2d",
+                        num_steps=cfg.w2_num_steps,
+                        step_scale=cfg.w2_step_scale)
+    misfit_func = [least_square, qW1d, qW2d][misfit_type]
+
+    loss = ElasticFwiLoss(vs=vs_0, rho=rho_0, shot_chunk=4)
+    vmin, vmax = 1.5, 5.2
+    bounds = [1.0 / vmax ** 2, 1.0 / vmin ** 2]
+    m0 = 1. / (smooth_vp.reshape(-1).astype(np.float64)) ** 2
+
+    if args.check_gradient:
+        f, g, _ = loss(m0, geometry0, obs, misfit_func, direct_wave,
+                       bathy_mask, args.precond, calc_grad=True)
+        np.asarray(g, np.float32).tofile(
+            os.path.join(result_dir, "marmousi_elastic_1st_grad_"
+                         + str(misfit_type)))
+        print("check-gradient: f=%.6e |g|max=%.3e" % (f, np.abs(g).max()))
+
+    tic = time()
+    optimizer = LBFGS(memory=10, ls_method="Bracket",
+                      step_len_init=args.steplen, max_ls=args.maxls,
+                      log_path=os.path.join(result_dir,
+                                            "log_el" + str(misfit_type)))
+    minimizer = minimize(optimizer, maxIter=args.maxiter, ftol=args.ftol,
+                         gtol=args.gtol,
+                         batch_size=getattr(args, "batch_size", 0) or None,
+                         checkpoint_freq=args.checkpoint_freq,
+                         resume=bool(args.resume), loss_fn=loss,
+                         log_path=os.path.join(result_dir,
+                                               "log_el" + str(misfit_type)))
+    m = minimizer.run(m0, geometry0, obs, misfit_func, direct_wave,
+                      bathy_mask, args.precond, bounds)
+    print(f"\n Elapsed time: {time() - tic:.2f}s")
+
+    vp = 1.0 / np.sqrt(m.reshape(cfg.shape))
+    vp.astype(np.float32).tofile(
+        os.path.join(result_dir,
+                     "marmousi_elastic_result_misfit_" + str(misfit_type)))
+    print("final model range: %.3f %.3f km/s" % (vp.min(), vp.max()))
+    return m
+
+
 def run_fwi(cfg):
     args = make_parser(cfg).parse_args()
     result_dir = args.odir
     os.makedirs(result_dir, exist_ok=True)
+    if getattr(args, "physics", "acoustic") == "elastic":
+        return run_fwi_elastic(cfg, args)
     misfit_type = args.misfit
     print("---------------- Parameter Setting ------------\n",
           "\t Result dir: %s \t Misfit function: %d \t Precondition: %d\n"
