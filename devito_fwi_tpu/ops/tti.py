@@ -259,13 +259,15 @@ def jacobian_adjoint(vp, damp, epsilon, delta, theta, phi, u0_save, v0_save,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("nt", "space_order", "spacing",
-                                   "n_checkpoints"))
+                                   "n_checkpoints", "with_illum"))
 def forward_ckpt(vp, damp, epsilon, delta, theta, phi, src_wav, src_idx,
                  src_w, rec_idx, rec_w, dt, *, nt, spacing, space_order=4,
-                 n_checkpoints=16):
+                 n_checkpoints=16, with_illum=False):
     """TTI forward recording receivers and (u, u_prev, v, v_prev)
     segment-start states for ``jacobian_adjoint_from_ckpt``. Returns
-    (rec (nt, nrec), seg_starts (nseg, 4, *grid))."""
+    (rec (nt, nrec), seg_starts (nseg, 4, *grid)); with_illum=True
+    appends illum = valid-masked sum_t (u^2 + v^2), the TTI analog of
+    the acoustic preconditioner field (reference ``fwi.py:170``)."""
     from .acoustic import _ckpt_layout
 
     gzz, gxx, m, ehat, dhat, s, s2, hd, inv_mhd = _prep_tti(
@@ -276,9 +278,11 @@ def forward_ckpt(vp, damp, epsilon, delta, theta, phi, src_wav, src_idx,
     total = nseg * seg
     src_pad = jnp.zeros((total, src_wav.shape[1]), src_wav.dtype)
     src_pad = src_pad.at[:nsteps].set(src_wav[1:nt - 1])
+    valid = (jnp.arange(total) < nsteps).reshape(nseg, seg)
 
-    def fwd_step(carry, src_t):
-        u, u_prev, v, v_prev = carry
+    def fwd_step(carry, xs):
+        u, u_prev, v, v_prev, illum = carry
+        src_t, valid_t = xs
         rec_t = jnp.sum(_gather(u + v, rec_idx) * rec_w, axis=-1)
         Gxx_u = gxx(u)
         Gzz_v = gzz(v)
@@ -289,18 +293,23 @@ def forward_ckpt(vp, damp, epsilon, delta, theta, phi, src_wav, src_idx,
         inj = src_t[:, None] * src_scale
         unext = _scatter_add(unext, src_idx, inj)
         vnext = _scatter_add(vnext, src_idx, inj)
-        return (unext, u, vnext, v), rec_t
+        if with_illum:
+            illum = illum + jnp.where(valid_t,
+                                      unext * unext + vnext * vnext, 0.0)
+        return (unext, u, vnext, v, illum), rec_t
 
-    def seg_fwd(carry, src_seg):
-        u, u_prev, v, v_prev = carry
-        out, rec_seg = jax.lax.scan(fwd_step, carry, src_seg)
+    def seg_fwd(carry, xs):
+        u, u_prev, v, v_prev, _ = carry
+        out, rec_seg = jax.lax.scan(fwd_step, carry, xs)
         return out, (jnp.stack([u, u_prev, v, v_prev]), rec_seg)
 
     z = jnp.zeros_like(vp)
-    (_, _, _, _), (seg_starts, rec_segs) = jax.lax.scan(
-        seg_fwd, (z, z, z, z), src_pad.reshape(nseg, seg, -1))
+    (_, _, _, _, illum), (seg_starts, rec_segs) = jax.lax.scan(
+        seg_fwd, (z, z, z, z, z), (src_pad.reshape(nseg, seg, -1), valid))
     rec = jnp.zeros((nt, rec_idx.shape[0]), dtype=vp.dtype)
     rec = rec.at[1:nt - 1].set(rec_segs.reshape(total, -1)[:nsteps])
+    if with_illum:
+        return rec, seg_starts, illum
     return rec, seg_starts
 
 

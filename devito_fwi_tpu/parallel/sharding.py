@@ -25,7 +25,7 @@ from jax import shard_map
 from ..ops import acoustic as _ac
 
 __all__ = ["shot_mesh", "fm_multi_sharded", "fwi_obj_sharded",
-           "domain_mesh", "forward_domain_sharded",
+           "tti_fwi_obj_sharded", "domain_mesh", "forward_domain_sharded",
            "gradient_domain_sharded", "hier_mesh", "fwi_obj_sharded2d"]
 
 
@@ -778,3 +778,125 @@ def gradient_domain_sharded(geometry, residual, mesh=None, axis_sizes=None,
     g = np.asarray(grad)
     slc = tuple(slice(0, n) for n in model.padded_shape)
     return g[slc]
+
+
+# ---------------------------------------------------------------------------
+# TTI sharded multi-shot gradient (BASELINE.json config 5: "TTI +
+# viscoacoustic propagators, multi-shot batch sharded over TPU mesh")
+# ---------------------------------------------------------------------------
+
+def tti_fwi_obj_sharded(geometry, obs, misfit_func=None, direct_wave=None,
+                        mask=None, precond=True, calc_grad=False, mesh=None,
+                        n_checkpoints=16):
+    """Sharded TTI multi-shot objective/gradient: each device runs its
+    local shot block through the segment-checkpointed TTI pair
+    (``ops.tti.forward_ckpt`` + ``jacobian_adjoint_from_ckpt``), then the
+    (fval, grad, illum) triple psums over the 'shots' axis — the same
+    dask-replacement pattern as the acoustic ``fwi_obj_sharded``
+    (reference role ``fwi.py:207-234``, which has no TTI counterpart).
+
+    `geometry.model` must carry epsilon/delta/theta (and phi in 3-D);
+    `obs` is the (u+v) gather list or an (nsrc, nt, nrec) stack. Returns
+    (fval, grad) with grad cropped, illumination-fixed per shot,
+    preconditioned and masked like the acoustic path."""
+    from ..fwi import (_batched_tables, _solver_dt, _misfit_jax,
+                       _fix_illum_jax, _pads, _crop)
+    from ..ops import tti as _tti
+
+    misfit_jax = _misfit_jax(misfit_func)
+    if misfit_jax is None:
+        raise NotImplementedError(
+            "tti_fwi_obj_sharded needs a jittable misfit (least_square "
+            "or a misfit exposing .jax)")
+    model = geometry.model
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    vp = jnp.asarray(model.vp)
+    damp = jnp.asarray(model.damp) if isinstance(model.damp, np.ndarray) \
+        else model.dtype(0.0)
+    epsilon = jnp.asarray(model.epsilon)
+    delta = jnp.asarray(model.delta)
+    theta = jnp.asarray(model.theta)
+    phi = jnp.asarray(model.phi) if model.dim == 3 and \
+        isinstance(getattr(model, "phi", 0), np.ndarray) else None
+    dt = float(_solver_dt(geometry))
+    pads, shape, spacing = _pads(model), model.shape, model.spacing
+    static = dict(nt=geometry.nt, spacing=spacing,
+                  space_order=model.space_order,
+                  n_checkpoints=n_checkpoints)
+    rec_positions = jnp.asarray(geometry.rec_positions)
+    r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
+    src_wav = jnp.asarray(src_wav)
+
+    mesh = mesh or shot_mesh()
+    ndev = mesh.devices.size
+    if hasattr(obs, "shape"):
+        obs_stack = jnp.asarray(obs)
+    else:
+        obs_stack = jnp.stack([jnp.asarray(o.data) for o in obs])
+    if direct_wave is not None:
+        if hasattr(direct_wave, "shape"):
+            dw_stack = jnp.asarray(direct_wave)
+        else:
+            dw_stack = jnp.stack([jnp.asarray(d.data)
+                                  for d in direct_wave])
+    else:
+        dw_stack = jnp.zeros_like(obs_stack[:, :1, :1])
+    (s_idx_p, s_w_p, obs_p, dw_p, sp_p), valid = _pad_shots(
+        [jnp.asarray(s_idx), jnp.asarray(s_w), obs_stack, dw_stack,
+         jnp.asarray(geometry.src_positions, dtype=model.dtype)],
+        geometry.nsrc, ndev, model.dtype)
+
+    def per_shot(si, sw, obs_i, dw_i, sp, w):
+        if calc_grad:
+            rec, seg_starts, illum_pad = _tti.forward_ckpt(
+                vp, damp, epsilon, delta, theta, phi, src_wav, si, sw,
+                r_idx, r_w, dt, with_illum=True, **static)
+        else:
+            rec, _ = _tti.forward_ckpt(
+                vp, damp, epsilon, delta, theta, phi, src_wav, si, sw,
+                r_idx, r_w, dt, **static)
+        syn = rec - dw_i
+        obs_c = obs_i - dw_i
+        fval, res = misfit_jax(syn, obs_c)
+        if not calc_grad:
+            z = jnp.zeros(shape, vp.dtype)
+            return fval * w, z, z
+        grad, _ = _tti.jacobian_adjoint_from_ckpt(
+            vp, damp, epsilon, delta, theta, phi, src_wav, si, sw,
+            seg_starts, res.astype(vp.dtype), r_idx, r_w, dt, **static)
+        crop = _crop(grad, pads, shape)
+        crop = _fix_illum_jax(crop, sp, rec_positions, spacing, shape)
+        illum = _crop(illum_pad, pads, shape)
+        illum = _fix_illum_jax(illum, sp, rec_positions, spacing, shape)
+        return fval * w, crop * w, illum * w
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P("shots"), P("shots"), P("shots"), P("shots"),
+                       P("shots"), P("shots")),
+             out_specs=(P(), P(), P()))
+    def run(si, sw, ob, dw, sp, w):
+        f, g, il = jax.vmap(per_shot)(si, sw, ob, dw, sp, w)
+        f = jax.lax.psum(jnp.sum(f), "shots")
+        g = jax.lax.psum(jnp.sum(g, axis=0), "shots")
+        il = jax.lax.psum(jnp.sum(il, axis=0), "shots")
+        return f, g, il
+
+    nsrc_p = int(s_idx_p.shape[0])
+    chunk_len = min(nsrc_p, ndev * _PER_DEV_CAP)
+    fval, grad, illum = 0.0, None, None
+    for lo in range(0, nsrc_p, chunk_len):
+        hi = min(lo + chunk_len, nsrc_p)
+        f_c, g_c, il_c = run(s_idx_p[lo:hi], s_w_p[lo:hi], obs_p[lo:hi],
+                             dw_p[lo:hi], sp_p[lo:hi], valid[lo:hi])
+        fval += float(f_c)
+        if calc_grad:
+            g_c = np.array(g_c, dtype=np.float64)
+            il_c = np.array(il_c, dtype=np.float64)
+            grad = g_c if grad is None else grad + g_c
+            illum = il_c if illum is None else illum + il_c
+    if calc_grad:
+        if precond:
+            grad /= np.sqrt(illum + 1e-30)
+        if mask is not None:
+            grad *= mask
+    return fval, grad

@@ -384,3 +384,64 @@ def test_fwi_obj_shot_indices_w2_batch_path():
     assert np.isclose(f_sub, f_ref, rtol=1e-5)
     scale = np.abs(g_ref).max()
     assert np.abs(g_sub - g_ref).max() < 1e-5 * scale
+
+
+def test_tti_sharded_gradient_matches_serial():
+    """TTI shot-sharded gradient (VERDICT r3 next-step #3; BASELINE.json
+    config 5) == the serial per-shot ckpt pair on the 8-device mesh."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.fwi import (_batched_tables, _solver_dt, _crop,
+                                    _fix_illum_jax, _pads)
+    from devito_fwi_tpu.misfit.w2 import least_square_jax
+    from devito_fwi_tpu.ops import tti
+    from devito_fwi_tpu.parallel.sharding import tti_fwi_obj_sharded
+
+    nsrc = 5  # deliberately not a multiple of 8: exercises shot padding
+    model = demo_model("layers-tti", shape=(41, 41), spacing=(10., 10.),
+                       nbl=8, space_order=4, dtype=np.float32)
+    src = np.stack([np.linspace(0, 400, nsrc), np.full(nsrc, 20.0)],
+                   axis=1)
+    rec = np.stack([np.linspace(0, 400, 21), np.full(21, 30.0)], axis=1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 200., f0=0.012,
+                               src_type="Ricker")
+
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geom)
+    dt = float(_solver_dt(geom))
+    args = (jnp.asarray(model.vp), jnp.asarray(model.damp),
+            jnp.asarray(model.epsilon), jnp.asarray(model.delta),
+            jnp.asarray(model.theta), None)
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=4,
+              n_checkpoints=7)
+    # synthetic observations: zero traces, so the residual is the
+    # modeled data itself
+    obs = np.zeros((nsrc, geom.nt, 21), np.float32)
+
+    # serial reference, same per-shot conventions as the sharded body
+    pads, shape, spacing = _pads(model), model.shape, model.spacing
+    f_ref, g_ref, il_ref = 0.0, 0.0, 0.0
+    for i in range(nsrc):
+        rec_i, starts, illum = tti.forward_ckpt(
+            *args, jnp.asarray(src_wav), jnp.asarray(s_idx[i]),
+            jnp.asarray(s_w[i]), jnp.asarray(r_idx), jnp.asarray(r_w),
+            dt, with_illum=True, **kw)
+        f_i, res = least_square_jax(rec_i, jnp.asarray(obs[i]))
+        g_i, _ = tti.jacobian_adjoint_from_ckpt(
+            *args, jnp.asarray(src_wav), jnp.asarray(s_idx[i]),
+            jnp.asarray(s_w[i]), starts, res, jnp.asarray(r_idx),
+            jnp.asarray(r_w), dt, **kw)
+        sp = jnp.asarray(geom.src_positions[i], dtype=model.dtype)
+        rp = jnp.asarray(geom.rec_positions)
+        g_i = _fix_illum_jax(_crop(g_i, pads, shape), sp, rp, spacing,
+                             shape)
+        il_i = _fix_illum_jax(_crop(illum, pads, shape), sp, rp, spacing,
+                              shape)
+        f_ref += float(f_i)
+        g_ref = g_ref + np.asarray(g_i, np.float64)
+        il_ref = il_ref + np.asarray(il_i, np.float64)
+    g_ref = g_ref / np.sqrt(il_ref + 1e-30)
+
+    f_sh, g_sh = tti_fwi_obj_sharded(geom, obs, least_square,
+                                     calc_grad=True, n_checkpoints=7)
+    assert np.isclose(f_sh, f_ref, rtol=1e-5)
+    scale = np.abs(g_ref).max()
+    assert np.abs(g_sh - g_ref).max() < 1e-5 * scale
