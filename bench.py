@@ -211,12 +211,15 @@ def _bench_w2(geometry0, obs):
 
 
 def _bench_tti():
-    """Config 4: TTI multi-shot gradient — all shots vmapped into ONE
-    program through the segment-checkpointed path (forward_ckpt +
-    jacobian_adjoint_from_ckpt). The earlier save-the-full-history +
-    host-side shot loop measured 0.22 Gcs/s — the (nt, *grid) u0/v0 HBM
-    round trips are the documented ~100x-slower pattern
-    (docs/04_performance.md item 6)."""
+    """Config 4: TTI multi-shot gradient at MARMOUSI scale (VERDICT r3
+    weak #2: the old 120x80/tn=500 layers preset was dispatch-dominated
+    at 33 ms and could not catch a 3x regression in the streamed TTI
+    fast path). Workload: marmousi-tti2d (vendored SMARMN vp + derived
+    Thomsen fields), 380x186 padded, so=8, tn=4000 ms, 8 shots — the
+    scale docs/04_performance.md's ~31 Gcs/s streamed-pair figure was
+    measured at. All shots run as ONE batched program through the
+    production route (streamed Pallas when it fits, else the ckpt
+    pair)."""
     import jax
     import jax.numpy as jnp
     from devito_fwi_tpu.models.presets import demo_model
@@ -225,17 +228,16 @@ def _bench_tti():
     from devito_fwi_tpu.ops.interp import interp_table
     from devito_fwi_tpu.fwi import _solver_dt
 
-    model = demo_model("layers-tti", shape=(120, 80), spacing=(10., 10.),
-                       nbl=20, space_order=8)
-    nsrc, nrec = 4, 120
+    model = demo_model("marmousi-tti2d", space_order=8, nbl=40)
+    nsrc, nrec = 8, model.shape[0]
     srcs = np.empty((nsrc, 2))
     srcs[:, 0] = np.linspace(0, model.domain_size[0], nsrc)
-    srcs[:, 1] = 20.0
+    srcs[:, 1] = 60.0
     rec = np.empty((nrec, 2))
     rec[:, 0] = np.linspace(0, model.domain_size[0], nrec)
-    rec[:, 1] = 20.0
-    geometry = AcquisitionGeometry(model, rec, srcs, 0.0, 500.0,
-                                   f0=0.010, src_type="Ricker")
+    rec[:, 1] = 60.0
+    geometry = AcquisitionGeometry(model, rec, srcs, 0.0, 4000.0,
+                                   f0=0.007, src_type="Ricker")
 
     s_idx, s_w = interp_table(geometry.src_positions, model.origin_pml,
                               model.spacing, dtype=model.dtype)
@@ -294,6 +296,74 @@ def _bench_tti():
     # 4-sweep equivalent is 4.33.)
     return {"tti_multishot_gradient_s": t,
             "tti_gradient_cell_steps_per_s": 4.0 * nsrc * nt * cells / t}
+
+
+def _bench_elastic():
+    """Elastic FWI gradient on Marmousi2 (the BASELINE.json north-star
+    "Marmousi2 elastic FWI, staggered-grid Vp/Vs/rho propagator" — no
+    reference counterpart exists: its elastic solver is forward-only).
+    8 shots through elastic_fwi_obj_multi (vjp through the two-level-
+    rematted velocity-stress scan). Cell-steps/s counts the invariant
+    fwd+adjoint pair (2 sweeps), like the acoustic metric — the 5-field
+    coupled system does ~5x the per-cell work of the scalar wave
+    equation, so cross-family rate comparisons should keep that in
+    mind."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "drivers"))
+    from _marmousi_common import SMARM2, elastic_fields
+    from devito_fwi_tpu import SeismicModel, AcquisitionGeometry
+    from devito_fwi_tpu.elastic_fwi import (elastic_fm_multi,
+                                            elastic_fwi_obj_multi)
+    from devito_fwi_tpu.misfit import least_square
+    from devito_fwi_tpu.models.presets import load_velocity
+
+    cfg = SMARM2
+    base = os.path.join(REPO, "model_data", cfg.name)
+    tpath = os.path.join(base, "vp.true")
+    if os.path.exists(tpath):
+        v_true = load_velocity(tpath, cfg.shape) / 1.0
+        from scipy.ndimage import gaussian_filter
+        v_init = gaussian_filter(v_true, sigma=20).astype(np.float32)
+    else:
+        z = np.linspace(1.5, 4.5, cfg.shape[1])[None, :]
+        v_true = np.broadcast_to(z, cfg.shape).astype(np.float32).copy()
+        v_init = np.full(cfg.shape, 3.0, np.float32)
+    vs_t, rho_t = elastic_fields(cfg, v_true)
+    vs_0, rho_0 = elastic_fields(cfg, v_init)
+
+    def mk(vp, vs, rho, dt=None):
+        return SeismicModel(origin=(0., 0.), spacing=cfg.spacing,
+                            shape=cfg.shape, space_order=cfg.space_order,
+                            vp=vp, vs=vs, b=(1.0 / rho), nbl=cfg.nbl,
+                            dt=dt, bcs="mask")
+
+    dt_e = float(mk(v_true, vs_t, rho_t).critical_dt)
+    m1 = mk(v_true, vs_t, rho_t, dt=dt_e)
+    m0 = mk(v_init, vs_0, rho_0, dt=dt_e)
+    nsrc, nrec = 8, cfg.shape[0]
+    src = np.empty((nsrc, 2))
+    src[:, 0] = np.linspace(0, m1.domain_size[0], nsrc)
+    src[:, 1] = 60.0
+    rec = np.empty((nrec, 2))
+    rec[:, 0] = np.linspace(cfg.spacing[0],
+                            m1.domain_size[0] - cfg.spacing[0], nrec)
+    rec[:, 1] = 60.0
+    g1 = AcquisitionGeometry(m1, rec, src, 0.0, cfg.tn, f0=cfg.f0,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(m0, rec, src, 0.0, cfg.tn, f0=cfg.f0,
+                             src_type="Ricker")
+    obs, _ = elastic_fm_multi(g1)
+
+    def one():
+        elastic_fwi_obj_multi(g0, obs, least_square, calc_grad=True,
+                              shot_chunk=4)
+
+    one()
+    t = _time_best(one, n_iters=1, n_repeats=4)
+    nt = g0.nt
+    cells = np.prod(m0.padded_shape)
+    return {"elastic_gradient_s": t,
+            "elastic_gradient_cell_steps_per_s": 2.0 * nsrc * nt * cells / t}
 
 
 def _bench_3d():
@@ -442,6 +512,11 @@ def main():
         configs.update({k: float(v) for k, v in _bench_3d().items()})
     except Exception as e:  # pragma: no cover
         errors["acoustic3d"] = repr(e)[:120]
+    # north-star: Marmousi2 elastic FWI gradient
+    try:
+        configs.update({k: float(v) for k, v in _bench_elastic().items()})
+    except Exception as e:  # pragma: no cover
+        errors["elastic"] = repr(e)[:120]
 
     cpu = _cpu_denominator()
 

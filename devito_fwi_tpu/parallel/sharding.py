@@ -25,7 +25,8 @@ from jax import shard_map
 from ..ops import acoustic as _ac
 
 __all__ = ["shot_mesh", "fm_multi_sharded", "fwi_obj_sharded",
-           "tti_fwi_obj_sharded", "domain_mesh", "forward_domain_sharded",
+           "tti_fwi_obj_sharded", "viscoacoustic_fm_sharded",
+           "domain_mesh", "forward_domain_sharded",
            "gradient_domain_sharded", "hier_mesh", "fwi_obj_sharded2d"]
 
 
@@ -900,3 +901,47 @@ def tti_fwi_obj_sharded(geometry, obs, misfit_func=None, direct_wave=None,
         if mask is not None:
             grad *= mask
     return fval, grad
+
+
+def viscoacoustic_fm_sharded(geometry, kernel="sls", time_order=2,
+                             mesh=None):
+    """Viscoacoustic multi-shot forward modeling sharded over the shots
+    mesh (the remaining propagator of BASELINE.json config 5's "TTI +
+    viscoacoustic ... sharded over TPU mesh"; the reference runs these
+    shots serially). Returns an (nsrc, nt, nrec) gather stack."""
+    from ..fwi import _batched_tables, _solver_dt
+    from ..ops import viscoacoustic as _va
+
+    model = geometry.model
+    model._initialize_bcs(bcs="mask")
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    vp = jnp.asarray(model.vp)
+    b = jnp.asarray(model.b) if isinstance(model.b, np.ndarray) \
+        else model.dtype(model.b)
+    qp = jnp.asarray(model.qp)
+    damp = jnp.asarray(model.damp) if isinstance(model.damp, np.ndarray) \
+        else model.dtype(1.0)
+    dt = float(_solver_dt(geometry))
+    r_idx_j, r_w_j = jnp.asarray(r_idx), jnp.asarray(r_w)
+    src_wav = jnp.asarray(src_wav)
+    static = dict(kernel=kernel, time_order=time_order, nt=geometry.nt,
+                  spacing=model.spacing, space_order=model.space_order)
+
+    mesh = mesh or shot_mesh()
+    ndev = mesh.devices.size
+    (s_idx_p, s_w_p), _ = _pad_shots(
+        [jnp.asarray(s_idx), jnp.asarray(s_w)], geometry.nsrc, ndev,
+        model.dtype)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P("shots"), P("shots")), out_specs=P("shots"))
+    def run(si, sw):
+        def per(si_i, sw_i):
+            rec, _ = _va.forward(vp, b, qp, damp, src_wav, si_i, sw_i,
+                                 r_idx_j, r_w_j, dt, geometry.f0,
+                                 save=False, **static)
+            return rec
+        return jax.vmap(per)(si, sw)
+
+    rec_all = np.asarray(run(s_idx_p, s_w_p))[:geometry.nsrc]
+    return rec_all

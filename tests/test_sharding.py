@@ -445,3 +445,47 @@ def test_tti_sharded_gradient_matches_serial():
     assert np.isclose(f_sh, f_ref, rtol=1e-5)
     scale = np.abs(g_ref).max()
     assert np.abs(g_sh - g_ref).max() < 1e-5 * scale
+
+
+def test_viscoacoustic_fm_sharded_matches_serial():
+    """Viscoacoustic shot-sharded forward == the serial vmapped forward
+    (BASELINE.json config 5's second propagator on the mesh)."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.fwi import _batched_tables, _solver_dt
+    from devito_fwi_tpu.ops import viscoacoustic as va
+    from devito_fwi_tpu.parallel.sharding import viscoacoustic_fm_sharded
+    from devito_fwi_tpu import SeismicModel
+
+    nsrc = 5
+    shape = (41, 41)
+    vp = np.full(shape, 2.0, np.float32)
+    vp[:, 20:] = 2.6
+    qp = np.full(shape, 80.0, np.float32)
+    rho = 0.31 * (1e3 * vp) ** 0.25
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.), shape=shape,
+                         space_order=4, vp=vp, qp=qp, b=1.0 / rho, nbl=8,
+                         bcs="mask", dtype=np.float32)
+    src = np.stack([np.linspace(0, 400, nsrc), np.full(nsrc, 20.0)],
+                   axis=1)
+    rec = np.stack([np.linspace(0, 400, 21), np.full(21, 30.0)], axis=1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 200., f0=0.012,
+                               src_type="Ricker")
+
+    rec_sh = viscoacoustic_fm_sharded(geom, kernel="sls", time_order=2)
+
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geom)
+    dt = float(_solver_dt(geom))
+    ref = []
+    for i in range(nsrc):
+        r, _ = va.forward(
+            jnp.asarray(model.vp), jnp.asarray(model.b),
+            jnp.asarray(model.qp), jnp.asarray(model.damp),
+            jnp.asarray(src_wav), jnp.asarray(s_idx[i]),
+            jnp.asarray(s_w[i]), jnp.asarray(r_idx), jnp.asarray(r_w),
+            dt, geom.f0, kernel="sls", time_order=2, nt=geom.nt,
+            spacing=model.spacing, space_order=4)
+        ref.append(np.asarray(r))
+    ref = np.stack(ref)
+    scale = np.abs(ref).max()
+    assert rec_sh.shape == ref.shape
+    assert np.abs(rec_sh - ref).max() < 1e-5 * scale

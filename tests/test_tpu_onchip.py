@@ -252,3 +252,103 @@ def test_unaligned_receiver_offset_on_chip():
                             calc_grad=True)
     assert np.isfinite(f) and f > 0
     assert np.isfinite(g).all()
+
+
+def test_elastic_pallas_matches_xla_on_chip():
+    """Elastic velocity-stress Pallas segment kernel vs the XLA scan on
+    the REAL chip (VERDICT r3 weak #1: the route is default-on on TPU
+    but was only ever interpreter-validated; the interpreter cannot
+    catch Mosaic lowering bugs — see CLAUDE.md)."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu import SeismicModel, AcquisitionGeometry
+    from devito_fwi_tpu.ops import staggered as st
+    from devito_fwi_tpu.ops import pallas_staggered as ps
+    from devito_fwi_tpu.ops.interp import interp_table
+
+    shape = (121, 91)
+    vp = np.full(shape, 2.0, np.float32)
+    vp[:, 45:] = 2.5
+    vs = vp / 2.0
+    rho = 0.31 * (1e3 * vp) ** 0.25
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.), shape=shape,
+                         space_order=4, vp=vp, vs=vs, b=1.0 / rho, nbl=20,
+                         bcs="mask", dtype=np.float32)
+    src = np.array([[600.0, 20.0]])
+    rec = np.stack([np.linspace(0., 1200., 61), np.full(61, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 600., f0=0.012,
+                               src_type="Ricker")
+    lam = np.asarray(model.lam, np.float32)
+    mu = np.asarray(model.mu, np.float32)
+    b = np.asarray(model.b, np.float32)
+    damp = np.asarray(model.damp, np.float32)
+    dt = model.critical_dt
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    wav = geom.src.data
+    assert ps.elastic_supported(model, s_idx, r_idx)
+
+    r1_x, r2_x = st.elastic_forward(
+        jnp.asarray(lam), jnp.asarray(mu), jnp.asarray(b),
+        jnp.asarray(damp), jnp.asarray(wav), jnp.asarray(s_idx),
+        jnp.asarray(s_w), jnp.asarray(r_idx), jnp.asarray(r_w), float(dt),
+        nt=geom.nt, spacing=model.spacing, space_order=4)
+    r1_p, r2_p = ps.elastic_forward_pallas(
+        lam, mu, b, damp, wav, s_idx, s_w, r_idx, r_w, float(dt),
+        nt=geom.nt, spacing=model.spacing, space_order=4)
+    for name, a, b_ in (("rec1", r1_x, r1_p), ("rec2", r2_x, r2_p)):
+        a = np.asarray(a)
+        scale = max(np.abs(a).max(), 1e-12)
+        d = np.abs(np.asarray(b_) - a).max()
+        assert d < 2e-5 * scale, (name, d / scale)
+
+
+def test_visco_sls2_pallas_matches_xla_on_chip():
+    """Viscoacoustic SLS-2 Pallas segment kernel vs the XLA scan on the
+    REAL chip (same rationale as the elastic on-chip test)."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu import SeismicModel, AcquisitionGeometry
+    from devito_fwi_tpu.ops import viscoacoustic as va
+    from devito_fwi_tpu.ops import pallas_staggered as ps
+    from devito_fwi_tpu.ops.interp import interp_table
+
+    shape = (117, 85)
+    vp = np.full(shape, 2.0, np.float32)
+    vp[:, 40:] = 2.7
+    qp = np.full(shape, 60.0, np.float32)
+    rho = 0.31 * (1e3 * vp) ** 0.25
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.), shape=shape,
+                         space_order=4, vp=vp, qp=qp, b=1.0 / rho, nbl=20,
+                         bcs="mask", dtype=np.float32)
+    src = np.array([[580.0, 20.0]])
+    rec = np.stack([np.linspace(0., 1160., 59), np.full(59, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 560., f0=0.012,
+                               src_type="Ricker")
+    b = np.asarray(model.b, np.float32)
+    qp_f = np.asarray(model.qp, np.float32)
+    damp = np.asarray(model.damp, np.float32)
+    vp_f = np.asarray(model.vp, np.float32)
+    dt = model.critical_dt
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=np.float32)
+    wav = geom.src.data
+    assert ps.visco_sls2_supported(model, "sls", 2, s_idx, r_idx)
+
+    rec_x, p_x = va.forward(
+        jnp.asarray(vp_f), jnp.asarray(b), jnp.asarray(qp_f),
+        jnp.asarray(damp), jnp.asarray(wav), jnp.asarray(s_idx),
+        jnp.asarray(s_w), jnp.asarray(r_idx), jnp.asarray(r_w), float(dt),
+        geom.f0, kernel="sls", time_order=2, nt=geom.nt,
+        spacing=model.spacing, space_order=4)
+    rec_p, p_p = ps.visco_sls2_forward_pallas(
+        vp_f, b, qp_f, damp, wav, s_idx, s_w, r_idx, r_w, float(dt),
+        geom.f0, nt=geom.nt, spacing=model.spacing, space_order=4)
+    a = np.asarray(rec_x)
+    scale = max(np.abs(a).max(), 1e-12)
+    assert np.abs(np.asarray(rec_p) - a).max() < 2e-5 * scale
+    pa = np.asarray(p_x)
+    pscale = max(np.abs(pa).max(), 1e-12)
+    assert np.abs(np.asarray(p_p) - pa).max() < 2e-5 * pscale
