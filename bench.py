@@ -366,15 +366,17 @@ def _bench_elastic():
             "elastic_gradient_cell_steps_per_s": 2.0 * nsrc * nt * cells / t}
 
 
-def _bench_3d():
+def _bench_3d(n=96):
     """Config 5: 3-D acoustic multi-shot L2 gradient (layers preset).
-    Routes like production: the 3-D streaming Pallas kernels
-    (``ops/pallas_acoustic3d``) when the geometry qualifies, else the
-    XLA saved-history route."""
+    Routes like production: the saved-history slab route / 3-D
+    streaming Pallas kernels when the geometry qualifies, else the XLA
+    recompute path. Headline volume 96^3 (VERDICT r3: 64^3 was a
+    small-volume artifact); a 64^3 line is kept for cross-round
+    continuity."""
     from devito_fwi_tpu.models.presets import demo_model
     from devito_fwi_tpu import AcquisitionGeometry
 
-    kw = dict(shape=(64, 64, 64), spacing=(15., 15., 15.), space_order=8,
+    kw = dict(shape=(n, n, n), spacing=(15., 15., 15.), space_order=8,
               nbl=16, dt=1.5)
     model1 = demo_model("layers-isotropic", nlayers=3, **kw)
     model0 = demo_model("layers-isotropic", nlayers=1, **kw)
@@ -389,8 +391,9 @@ def _bench_3d():
     g0 = AcquisitionGeometry(model0, rec, src, 0.0, 500.0, f0=0.012,
                              src_type="Ricker")
     t_grad, _, v, _ = _grad_throughput(g0, g1, n_iters=1, n_repeats=4)
-    return {"acoustic3d_gradient_s": t_grad,
-            "acoustic3d_gradient_cell_steps_per_s": v}
+    suffix = "" if n == 96 else "_%d" % n
+    return {"acoustic3d_gradient_s" + suffix: t_grad,
+            "acoustic3d_gradient_cell_steps_per_s" + suffix: v}
 
 
 def _probe_devices(timeout_s=120):
@@ -507,11 +510,16 @@ def main():
         configs.update({k: float(v) for k, v in _bench_tti().items()})
     except Exception as e:  # pragma: no cover
         errors["tti"] = repr(e)[:120]
-    # config 5: 3-D acoustic gradient (production routing)
+    # config 5: 3-D acoustic gradient (production routing), 96^3
+    # headline + 64^3 continuity line
     try:
-        configs.update({k: float(v) for k, v in _bench_3d().items()})
+        configs.update({k: float(v) for k, v in _bench_3d(96).items()})
     except Exception as e:  # pragma: no cover
         errors["acoustic3d"] = repr(e)[:120]
+    try:
+        configs.update({k: float(v) for k, v in _bench_3d(64).items()})
+    except Exception as e:  # pragma: no cover
+        errors["acoustic3d_64"] = repr(e)[:120]
     # north-star: Marmousi2 elastic FWI gradient
     try:
         configs.update({k: float(v) for k, v in _bench_elastic().items()})
