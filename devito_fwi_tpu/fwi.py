@@ -989,6 +989,59 @@ def _default_checkpoints(nt):
     return max(4, int(np.sqrt(max(nt - 2, 1))))
 
 
+@partial(jax.jit, static_argnames=("pads",))
+def _pad_edge_device(v, pads):
+    """Edge-replicate a PHYSICAL-domain parameter into the absorbing
+    halo on device — ships ~1/3 of the padded bytes per objective call
+    through the slow host->device link (the 3-D bench's padded vp is
+    3.5 MB vs 1 MB cropped; measured ~90 ms/call on the axon tunnel).
+    Callers guard with an exact host-side pad_edge equality check so
+    the padded field is bit-identical to the model's."""
+    return jnp.pad(v, pads, mode="edge")
+
+
+def _model_vp_device(model):
+    """model.vp as a device array, shipping only the physical domain
+    when the padded field is an exact edge replication of it (always
+    true for pad_edge-built models; the guard keeps arbitrary
+    user-edited padded fields bit-exact)."""
+    vp_host = np.asarray(model.vp)
+    pads = _pads(model)
+    crop_v = _crop(vp_host, pads, model.shape)
+    if np.array_equal(vp_host, np.pad(crop_v, [tuple(p) for p in pads],
+                                      mode="edge")):
+        return _pad_edge_device(jnp.asarray(crop_v), pads)
+    return jnp.asarray(vp_host)
+
+
+@partial(jax.jit, static_argnames=("precond", "with_mask"))
+def _finalize_grad_device(g, il, mask, *, precond, with_mask):
+    """Illumination precondition + bathy mask on DEVICE (reference
+    ``fwi.py:200-204``), so the objective fetches ONE field instead of
+    (grad, illum) — halves the device->host bytes per gradient call."""
+    if precond:
+        g = g / jnp.sqrt(il + 1e-30)
+    if with_mask:
+        g = g * mask
+    return g
+
+
+_MASK_DEVICE_CACHE = {}
+
+
+def _mask_device(mask):
+    """Upload the (constant) gradient mask once per inversion."""
+    key = id(mask)
+    entry = _MASK_DEVICE_CACHE.get(key)
+    if entry is not None and entry[0] is mask:
+        return entry[1]
+    dev = jnp.asarray(mask)
+    while len(_MASK_DEVICE_CACHE) >= 8:
+        del _MASK_DEVICE_CACHE[next(iter(_MASK_DEVICE_CACHE))]
+    _MASK_DEVICE_CACHE[key] = (mask, dev)
+    return dev
+
+
 def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
                             calc_grad, shot_chunk=32, misfit_batch=None,
                             shot_indices=None):
@@ -1008,7 +1061,7 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
     r_idx, r_w = cached["r_idx"], cached["r_w"]
     src_wav = cached["src_wav"]
     damp = cached["damp"]
-    vp = jnp.asarray(model.vp)
+    vp = _model_vp_device(model)
     dt = _solver_dt(geometry)
     statics = dict(misfit_jax=misfit_jax, misfit_batch=misfit_batch,
                    calc_grad=calc_grad,
@@ -1127,20 +1180,17 @@ def _shot_objective_batched(geometry, obs_stack, misfit_jax, dw_stack,
         if calc_grad:
             grads.append(out[2])
             illums.append(out[3])
-    # one device->host round trip for everything (each float()/asarray()
-    # would otherwise block on the ~26 ms tunnel separately)
+    # keep the chunk sums ON DEVICE: the caller finalizes (precond,
+    # mask) there and fetches one field — per-chunk device_gets through
+    # the ~26 ms tunnel were a measured ~35% of the small-3-D objective
     residuals = ResidualStack(residuals)
-    grad = np.zeros(model.shape, dtype=np.float64)
-    illum = np.zeros(model.shape, dtype=np.float64)
     if calc_grad:
         f_d = _sum_scalars(jnp.stack(fvals))
         g_d, il_d = _sum_fields(jnp.stack(grads), jnp.stack(illums))
-        f_h, g_h, il_h = jax.device_get((f_d, g_d, il_d))
-        fval = float(f_h)
-        grad += np.asarray(g_h, dtype=np.float64)
-        illum += np.asarray(il_h, dtype=np.float64)
-    else:
-        fval = float(_sum_scalars(jnp.stack(fvals)))
+        return f_d, g_d, il_d, residuals
+    fval = float(_sum_scalars(jnp.stack(fvals)))
+    grad = np.zeros(model.shape, dtype=np.float64)
+    illum = np.zeros(model.shape, dtype=np.float64)
     return fval, grad, illum, residuals
 
 
@@ -1482,6 +1532,17 @@ def fwi_obj_multi(geometry, obs, misfit_func, direct_wave=None, mask=None,
         fval, grad, illum, residuals = _shot_objective_batched(
             geometry, obs_stack, misfit_jax, dw_stack, calc_grad,
             shot_chunk, misfit_batch, shot_indices=shot_indices)
+        if calc_grad:
+            # device-side finalize + ONE device_get of (fval, grad)
+            mask_dev = _mask_device(mask) if mask is not None else \
+                jnp.zeros((), grad.dtype)
+            g_final = _finalize_grad_device(grad, illum, mask_dev,
+                                            precond=bool(precond),
+                                            with_mask=mask is not None)
+            f_h, g_h = jax.device_get((fval, g_final))
+            return (float(f_h),
+                    np.asarray(g_h).reshape(-1).astype(np.float64),
+                    residuals)
     else:
         # host-misfit path (custom numpy misfits, native BFM, resampling):
         # device-batched propagation with a single gather round trip.
