@@ -208,7 +208,20 @@ def _legendre_last_anchor_fast(u, s, max_tmp_elems=32_000_000, A=None,
     Exact up to FMA contraction (see ``_legendre_last_anchored``)."""
     n = s.shape[0]
     if A is None:
-        A, Wside = (16, 64) if n >= 512 else (8, 32)
+        # anchor stride / window (env-tunable for on-chip A/Bs; any
+        # setting stays EXACT — the certificate rejects brackets that
+        # don't fit the window and falls back to the full transform).
+        # The anchor pass costs ~1/A of the full transform and is the
+        # measured hot part on live Marmousi state. Live 29-shot W2
+        # objective A/B (tools/bench_anchor_a.py, one process):
+        # A:W = 32:64 -> 2.195 s (10.5x L2) beats 16:64 (2.451, the
+        # old default), 64:64 (2.444 — the wider padded band W=192
+        # eats the anchor savings) and 32:48 (2.281); objective
+        # rel-diff 7e-6 = FMA regrouping, certificates green.
+        A = int(os.environ.get("DEVITO_FWI_TPU_BFM_ANCHOR_A", "0")) or \
+            ((32, 64) if n >= 512 else (8, 32))[0]
+        Wside = int(os.environ.get("DEVITO_FWI_TPU_BFM_ANCHOR_W", "0")) \
+            or ((32, 64) if n >= 512 else (8, 32))[1]
     if n <= 2 * Wside + 2 * A:
         return _legendre_last(u, s, max_tmp_elems)
     out_b, ok = _legendre_last_anchored(u, s, A, Wside, max_tmp_elems)
@@ -242,7 +255,10 @@ def _legendre_2d(u, sx, sy, max_tmp_elems=2_000_000, banded=None):
         banded = os.environ.get("DEVITO_FWI_TPU_BFM_LEGENDRE", "anchor")
     if banded is True or banded == "banded":
         fn = _legendre_last_fast
-    elif banded == "anchor":
+    elif isinstance(banded, str) and banded.startswith("anchor"):
+        # "anchor" or "anchor-a{A}-w{W}" (the suffix only exists to key
+        # the trace cache on the ANCHOR_A/W env knobs — the values are
+        # re-read from the env inside _legendre_last_anchor_fast)
         fn = _legendre_last_anchor_fast
     else:
         fn = _legendre_last
@@ -937,7 +953,15 @@ def resolve_backends(push_backend=None, legendre_banded=None):
         legendre_banded = "banded"
     elif legendre_banded is False:
         legendre_banded = "full"
-    return push_backend, str(legendre_banded)
+    legendre_banded = str(legendre_banded)
+    if legendre_banded == "anchor":
+        # fold the anchor-stride knobs into the static key so toggling
+        # DEVITO_FWI_TPU_BFM_ANCHOR_A/W between calls retraces
+        aa = os.environ.get("DEVITO_FWI_TPU_BFM_ANCHOR_A")
+        ww = os.environ.get("DEVITO_FWI_TPU_BFM_ANCHOR_W")
+        if aa or ww:
+            legendre_banded = "anchor-a%s-w%s" % (aa or "0", ww or "0")
+    return push_backend, legendre_banded
 
 
 @partial(jax.jit, static_argnames=("num_steps", "nsub", "dmax",
