@@ -57,6 +57,12 @@ def _load():
                                    ctypes.c_int, fp,
                                    ctypes.POINTER(ctypes.c_float)]
     lib.bfm2d_gradient.restype = ctypes.c_int
+    dp = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    lib.bfm2d_gradient_timed.argtypes = [fp, fp, ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_float,
+                                         ctypes.c_int, fp,
+                                         ctypes.POINTER(ctypes.c_float), dp]
+    lib.bfm2d_gradient_timed.restype = ctypes.c_int
     lib.bfm2d_gradient_batch.argtypes = [fp, fp, ctypes.c_int, ctypes.c_int,
                                          ctypes.c_int, ctypes.c_int,
                                          ctypes.c_float, ctypes.c_int, fp, fp]
@@ -74,13 +80,19 @@ def available():
     return _load() is not None
 
 
-def bfm_gradient(f, g, num_steps=10, step_scale=1.0, nsub=2):
+def bfm_gradient(f, g, num_steps=10, step_scale=1.0, nsub=2,
+                 return_phases=False):
     """(loss, grad) of the 2-D quadratic-Wasserstein distance; f, g are
     (nt, ntraces) = (n2, n1) row-major arrays like the JAX ``bfm_jax``.
     ``nsub=0`` selects the reference binary's per-cell ADAPTIVE
     pushforward supersampling (fot2d.c:405-406); positive values use a
     fixed nsub x nsub grid (2 = the reference's minimum, and what the
-    jittable JAX solver uses)."""
+    jittable JAX solver uses).
+
+    ``return_phases=True`` appends the solver's per-phase wall-clock
+    breakdown — the reference C solver's 4-phase ``clock()`` printout
+    (fot2d.c:530-534,599-602) as data: a dict with keys
+    update / legendre / pushforward / total (seconds)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native bfm2d library unavailable")
@@ -89,6 +101,15 @@ def bfm_gradient(f, g, num_steps=10, step_scale=1.0, nsub=2):
     n2, n1 = f.shape
     grad = np.empty_like(f)
     loss = ctypes.c_float(0.0)
+    if return_phases:
+        phases = np.zeros(4, dtype=np.float64)
+        rc = lib.bfm2d_gradient_timed(f, g, n1, n2, int(num_steps),
+                                      float(step_scale), int(nsub), grad,
+                                      ctypes.byref(loss), phases)
+        if rc != 0:
+            raise RuntimeError("bfm2d_gradient_timed failed rc=%d" % rc)
+        keys = ("update", "legendre", "pushforward", "total")
+        return float(loss.value), grad, dict(zip(keys, phases.tolist()))
     rc = lib.bfm2d_gradient(f, g, n1, n2, int(num_steps),
                             float(step_scale), int(nsub), grad,
                             ctypes.byref(loss))

@@ -20,6 +20,7 @@
 //
 // Build: make -C native   (g++ -O3 -fopenmp -shared -fPIC)
 
+#include <chrono>
 #include <cmath>
 #include <complex>
 #include <cstdlib>
@@ -499,10 +500,23 @@ extern "C" {
 // unit-mean normalization, alternating H^-1 ascent + convexification +
 // pushforward, final grad = (psi - <mu, psi>/pcount)/mean(f).
 // Returns 0 on success.
-int bfm2d_gradient(const float* f, const float* g, int n1, int n2,
-                   int num_steps, float step_scale, int nsub, float* grad,
-                   float* loss) {
+//
+// `phases`, when non-null, receives the per-phase wall-clock breakdown
+// the reference C solver prints with clock() (fot2d.c:530-534,599-602):
+// [0] H^-1 updates, [1] Legendre/c-transforms, [2] pushforwards
+// (map + sampling), [3] total.
+static int bfm2d_gradient_impl(const float* f, const float* g, int n1,
+                               int n2, int num_steps, float step_scale,
+                               int nsub, float* grad, float* loss,
+                               double* phases) {
   if (n1 < 2 || n2 < 2 || num_steps < 1 || nsub < 0) return 1;
+  using clk = std::chrono::steady_clock;
+  auto tick = clk::now;
+  auto secs = [](clk::time_point a, clk::time_point b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  double t_upd = 0.0, t_leg = 0.0, t_push = 0.0;
+  auto t_all0 = tick();
   size_t pc = (size_t)n1 * n2;
   Workspace ws;
   ws.init(n1, n2);
@@ -526,22 +540,36 @@ int bfm2d_gradient(const float* f, const float* g, int n1, int n2,
   double value = old;
 
   for (int it = 0; it < num_steps; ++it) {
+    auto t0 = tick();
     double h1 = ws.update_potential(phi.data(), rho.data(), nu.data(),
                                     sigma, r, w);
+    auto t1 = tick();
+    t_upd += secs(t0, t1);
     ws.legendre_2d(phi.data(), dual.data());
     ws.legendre_2d(dual.data(), phi.data());
+    auto t2 = tick();
+    t_leg += secs(t1, t2);
     value = ws.compute_w2(phi.data(), dual.data(), mu.data(), nu.data());
     sigma = step_update(sigma, value, old, h1);
     old = value;
+    auto t3 = tick();
     ws.pushforward_map(phi.data(), xMap, yMap);
     ws.sampling_pushforward(nu.data(), xMap, yMap, nsub, rho.data());
+    auto t4 = tick();
+    t_push += secs(t3, t4);
 
     h1 = ws.update_potential(dual.data(), rho.data(), mu.data(), sigma,
                              r, w);
+    auto t5 = tick();
+    t_upd += secs(t4, t5);
     ws.legendre_2d(dual.data(), phi.data());
     ws.legendre_2d(phi.data(), dual.data());
+    auto t6 = tick();
+    t_leg += secs(t5, t6);
     ws.pushforward_map(dual.data(), xMap, yMap);
     ws.sampling_pushforward(mu.data(), xMap, yMap, nsub, rho.data());
+    auto t7 = tick();
+    t_push += secs(t6, t7);
     value = ws.compute_w2(phi.data(), dual.data(), mu.data(), nu.data());
     sigma = step_update(sigma, value, old, h1);
     old = value;
@@ -556,7 +584,30 @@ int bfm2d_gradient(const float* f, const float* g, int n1, int n2,
   for (size_t i = 0; i < pc; ++i)
     grad[i] = (float)(sum1 > 0 ? (tmp[i] - term) / sum1 : 0.0);
   *loss = (float)value;
+  if (phases) {
+    phases[0] = t_upd;
+    phases[1] = t_leg;
+    phases[2] = t_push;
+    phases[3] = secs(t_all0, tick());
+  }
   return 0;
+}
+
+int bfm2d_gradient(const float* f, const float* g, int n1, int n2,
+                   int num_steps, float step_scale, int nsub, float* grad,
+                   float* loss) {
+  return bfm2d_gradient_impl(f, g, n1, n2, num_steps, step_scale, nsub,
+                             grad, loss, nullptr);
+}
+
+// timed variant: `phases` receives [update, legendre, pushforward, total]
+// seconds — the reference solver's 4-phase clock breakdown as data
+// instead of stdout.
+int bfm2d_gradient_timed(const float* f, const float* g, int n1, int n2,
+                         int num_steps, float step_scale, int nsub,
+                         float* grad, float* loss, double* phases) {
+  return bfm2d_gradient_impl(f, g, n1, n2, num_steps, step_scale, nsub,
+                             grad, loss, phases);
 }
 
 // c-transform for the quadratic cost (double Legendre = convexification):

@@ -101,3 +101,25 @@ def test_qwasserstein_native_backend():
     lj, gj = wj(f, g)
     assert np.isclose(ln, lj, rtol=1e-4)
     assert np.abs(gn - gj).max() < 1e-4 * np.abs(gj).max()
+
+
+def test_phase_timing_breakdown():
+    """The timed variant returns the reference solver's 4-phase clock
+    breakdown (fot2d.c:530-534,599-602) as data, with identical
+    numerics to the untimed call."""
+    from devito_fwi_tpu.misfit import native
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(0)
+    f = np.abs(rng.randn(64, 48)).astype(np.float32) + 0.1
+    g = np.abs(rng.randn(64, 48)).astype(np.float32) + 0.1
+    l0, g0 = native.bfm_gradient(f, g, num_steps=5)
+    l1, g1, phases = native.bfm_gradient(f, g, num_steps=5,
+                                         return_phases=True)
+    assert l1 == l0
+    np.testing.assert_array_equal(g1, g0)
+    assert set(phases) == {"update", "legendre", "pushforward", "total"}
+    assert all(v >= 0 for v in phases.values())
+    assert phases["total"] > 0
+    parts = phases["update"] + phases["legendre"] + phases["pushforward"]
+    assert parts <= phases["total"] + 1e-9
