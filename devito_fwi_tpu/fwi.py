@@ -177,7 +177,7 @@ def fm_multi(geometry, save=False):
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
     damp = model.damp if isinstance(model.damp, np.ndarray) \
         else model.dtype(0.0)
-    vp = jnp.asarray(model.vp)
+    vp = _model_vp_device(model)
     dt = _solver_dt(geometry)
     z0, nck, _, _, _ = _pallas_route(
         geometry, _default_checkpoints(geometry.nt), "OT2",
@@ -1408,7 +1408,7 @@ def _shot_objective_host_misfit(geometry, obs, misfit_func, direct_wave,
     (chunk x n_checkpoints x 2 x grid) stays bounded for large surveys."""
     model = geometry.model
     c = _geom_device(geometry)
-    vp = jnp.asarray(model.vp)
+    vp = _model_vp_device(model)
     dt = _solver_dt(geometry)
     statics = dict(nt=geometry.nt, spacing=model.spacing,
                    space_order=model.space_order, kernel="OT2", fs=model.fs,

@@ -26,8 +26,9 @@ from ..ops import acoustic as _ac
 
 __all__ = ["shot_mesh", "fm_multi_sharded", "fwi_obj_sharded",
            "tti_fwi_obj_sharded", "viscoacoustic_fm_sharded",
-           "domain_mesh", "forward_domain_sharded",
-           "gradient_domain_sharded", "hier_mesh", "fwi_obj_sharded2d"]
+           "elastic_fwi_obj_sharded", "domain_mesh",
+           "forward_domain_sharded", "gradient_domain_sharded",
+           "hier_mesh", "fwi_obj_sharded2d"]
 
 
 # per-device shot cap for the chunked objectives (mirrors the single-
@@ -78,7 +79,8 @@ def fm_multi_sharded(geometry, save=False, mesh=None):
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
     damp = model.damp if isinstance(model.damp, np.ndarray) \
         else model.dtype(0.0)
-    vp = jnp.asarray(model.vp)
+    from ..fwi import _model_vp_device
+    vp = _model_vp_device(model)
     dt = _solver_dt(geometry)
     mesh = mesh or shot_mesh()
     ndev = mesh.devices.size
@@ -158,7 +160,8 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
     damp = model.damp if isinstance(model.damp, np.ndarray) \
         else model.dtype(0.0)
-    vp = jnp.asarray(model.vp)
+    from ..fwi import _model_vp_device
+    vp = _model_vp_device(model)
     dt = _solver_dt(geometry)
     pads = _pads(model)
     static = dict(nt=geometry.nt, spacing=model.spacing,
@@ -394,7 +397,8 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
     damp = model.damp if isinstance(model.damp, np.ndarray) \
         else model.dtype(0.0)
-    vp = jnp.asarray(model.vp)
+    from ..fwi import _model_vp_device
+    vp = _model_vp_device(model)
     dt = _solver_dt(geometry)
     dtf = float(dt)
     pads = _pads(model)
@@ -811,7 +815,8 @@ def tti_fwi_obj_sharded(geometry, obs, misfit_func=None, direct_wave=None,
             "or a misfit exposing .jax)")
     model = geometry.model
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
-    vp = jnp.asarray(model.vp)
+    from ..fwi import _model_vp_device
+    vp = _model_vp_device(model)
     damp = jnp.asarray(model.damp) if isinstance(model.damp, np.ndarray) \
         else model.dtype(0.0)
     epsilon = jnp.asarray(model.epsilon)
@@ -915,7 +920,8 @@ def viscoacoustic_fm_sharded(geometry, kernel="sls", time_order=2,
     model = geometry.model
     model._initialize_bcs(bcs="mask")
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
-    vp = jnp.asarray(model.vp)
+    from ..fwi import _model_vp_device
+    vp = _model_vp_device(model)
     b = jnp.asarray(model.b) if isinstance(model.b, np.ndarray) \
         else model.dtype(model.b)
     qp = jnp.asarray(model.qp)
@@ -945,3 +951,134 @@ def viscoacoustic_fm_sharded(geometry, kernel="sls", time_order=2,
 
     rec_all = np.asarray(run(s_idx_p, s_w_p))[:geometry.nsrc]
     return rec_all
+
+
+def elastic_fwi_obj_sharded(geometry, obs, misfit_func=None,
+                            direct_wave=None, mask=None, precond=True,
+                            calc_grad=False, mesh=None, n_checkpoints=0,
+                            vp=None, vs=None, rho=None):
+    """Shot-sharded elastic objective/gradient: each device runs its
+    local shots through the vjp of the two-level-rematted velocity-
+    stress scan (``elastic_fwi._elastic_shots_obj``'s per-shot body),
+    psum-reducing (fval, gvp, gvs, grho, illum) over the 'shots' axis.
+    Returns (fval, {"vp","vs","rho"} gradient dict) matching
+    ``elastic_fwi.elastic_fwi_obj_multi`` conventions."""
+    from ..fwi import (_batched_tables, _misfit_jax, _fix_illum_jax,
+                       _pads, _crop)
+    from ..elastic_fwi import _damp_field, model_vp_vs_rho
+    from ..ops import staggered as _st
+
+    misfit_jax = _misfit_jax(misfit_func)
+    if misfit_jax is None:
+        raise NotImplementedError(
+            "elastic_fwi_obj_sharded needs a jittable misfit")
+    model = geometry.model
+    model._initialize_bcs(bcs="mask")
+    mvp, mvs, mrho = model_vp_vs_rho(model)
+    pads, shape, spacing = _pads(model), model.shape, model.spacing
+    crop_slc = tuple(slice(lo, lo + n)
+                     for (lo, _), n in zip(model.padsizes, shape))
+
+    def param(user, fallback):
+        if user is None:
+            return np.asarray(fallback)[crop_slc]
+        user = np.asarray(user, dtype=model.dtype)
+        return user if user.shape == shape else user[crop_slc]
+
+    vp = jnp.asarray(param(vp, mvp))
+    vs = jnp.asarray(param(vs, mvs))
+    rho = jnp.asarray(param(rho, mrho))
+    damp = jnp.asarray(_damp_field(model))
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    rec_pos = jnp.asarray(geometry.rec_positions)
+    r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
+    src_wav = jnp.asarray(src_wav)
+    dt = float(model.critical_dt)
+    nt = geometry.nt
+    so = model.space_order
+    nck = n_checkpoints
+
+    mesh = mesh or shot_mesh()
+    ndev = mesh.devices.size
+    if hasattr(obs, "shape"):
+        obs_stack = jnp.asarray(obs)
+    else:
+        obs_stack = jnp.stack([jnp.asarray(o.data) for o in obs])
+    if direct_wave is None:
+        dw_stack = jnp.zeros_like(obs_stack)
+    elif hasattr(direct_wave, "shape"):
+        dw_stack = jnp.asarray(direct_wave)
+    else:
+        dw_stack = jnp.stack([jnp.asarray(d.data) for d in direct_wave])
+    (s_idx_p, s_w_p, obs_p, dw_p, sp_p), valid = _pad_shots(
+        [jnp.asarray(s_idx), jnp.asarray(s_w), obs_stack, dw_stack,
+         jnp.asarray(geometry.src_positions, dtype=model.dtype)],
+        geometry.nsrc, ndev, model.dtype)
+
+    def fix(g, sp):
+        return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
+
+    def per_shot(si, sw, obs_i, dw_i, sp, w):
+        def fwd(vp_, vs_, rho_):
+            vpp = jnp.pad(vp_, pads, mode="edge")
+            vsp = jnp.pad(vs_, pads, mode="edge")
+            rhp = jnp.pad(rho_, pads, mode="edge")
+            lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
+            mu = rhp * vsp * vsp
+            rec1, _, illum = _st.elastic_forward_seg(
+                lam, mu, 1.0 / rhp, damp, src_wav, si, sw, r_idx, r_w,
+                dt, nt=nt, spacing=spacing, space_order=so,
+                n_checkpoints=nck)
+            return rec1, _crop(illum, pads, shape)
+
+        if calc_grad:
+            (rec1, illum), vjp = jax.vjp(fwd, vp, vs, rho)
+        else:
+            rec1, illum = fwd(vp, vs, rho)
+        f, res = misfit_jax(rec1 - dw_i, obs_i - dw_i)
+        if not calc_grad:
+            z = jnp.zeros(shape, vp.dtype)
+            return f * w, (z, z, z), z
+        grads = vjp((res.astype(vp.dtype), jnp.zeros_like(illum)))
+        return (f * w, tuple(fix(g, sp) * w for g in grads),
+                fix(illum, sp) * w)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P("shots"), P("shots"), P("shots"), P("shots"),
+                       P("shots"), P("shots")),
+             out_specs=(P(), P(), P()))
+    def run(si, sw, ob, dw, sp, w):
+        f, g, il = jax.vmap(per_shot)(si, sw, ob, dw, sp, w)
+        f = jax.lax.psum(jnp.sum(f), "shots")
+        g = tuple(jax.lax.psum(jnp.sum(x, axis=0), "shots") for x in g)
+        il = jax.lax.psum(jnp.sum(il, axis=0), "shots")
+        return f, g, il
+
+    # the rematted elastic body is deliberately unjitted (callers jit);
+    # an eagerly-evaluated closed_call inside shard_map is unsupported
+    run = jax.jit(run)
+
+    nsrc_p = int(s_idx_p.shape[0])
+    chunk_len = min(nsrc_p, ndev * 4)
+    fval, gsum, ilsum = 0.0, None, None
+    for lo in range(0, nsrc_p, chunk_len):
+        hi = min(lo + chunk_len, nsrc_p)
+        f_c, g_c, il_c = run(s_idx_p[lo:hi], s_w_p[lo:hi], obs_p[lo:hi],
+                             dw_p[lo:hi], sp_p[lo:hi], valid[lo:hi])
+        fval += float(f_c)
+        if calc_grad:
+            g_c = tuple(np.asarray(x, np.float64) for x in g_c)
+            gsum = g_c if gsum is None else \
+                tuple(a + b for a, b in zip(gsum, g_c))
+            il_c = np.asarray(il_c, np.float64)
+            ilsum = il_c if ilsum is None else ilsum + il_c
+    if not calc_grad:
+        return fval, None
+    out = {}
+    for name, g in zip(("vp", "vs", "rho"), gsum):
+        if precond:
+            g = g / np.sqrt(ilsum + 1e-30)
+        if mask is not None:
+            g = g * mask
+        out[name] = g
+    return fval, out

@@ -266,3 +266,56 @@ def test_elastic_fwi_minimize_smoke():
             [1 / 2.6 ** 2, 1 / 1.6 ** 2])
     f_fin = loss(m, g0, obs1, least_square, calc_grad=False)[0]
     assert f_fin < 0.7 * f_init, (f_init, f_fin)
+
+
+def test_elastic_3d_forward_and_gradient_fd():
+    """3-D velocity-stress forward propagates finite nonzero data and
+    the vjp gradient FD-checks in f64 (the step builder is
+    dimension-generic; this pins the ndim==3 branch)."""
+    shape = (17, 15, 13)
+    dtype = np.float64
+    vp = np.full(shape, 2.0, dtype)
+    vp[:, :, 6:] = 2.3
+    vs = (vp / 2.0).astype(dtype)
+    rho = np.ones(shape, dtype)
+    model = SeismicModel(origin=(0., 0., 0.), spacing=(10., 10., 10.),
+                         shape=shape, space_order=4, vp=vp, vs=vs,
+                         b=1.0 / rho, nbl=4, bcs="mask", dtype=dtype,
+                         dt=1.0)
+    src = np.array([[80.0, 70.0, 20.0]])
+    rec = np.stack([np.linspace(0., 160., 9), np.full(9, 70.0),
+                    np.full(9, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 60., f0=0.02,
+                               src_type="Ricker")
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    lam = jnp.asarray(np.asarray(model.lam))
+    mu0 = jnp.asarray(np.asarray(model.mu))
+    damp = jnp.asarray(np.ones(model.padded_shape, dtype))
+    wav = jnp.asarray(geom.src.data)
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=4)
+    r1, r2 = st.elastic_forward(lam, mu0, jnp.asarray(1.0 / rho.mean())
+                                * jnp.ones_like(lam), damp, wav,
+                                jnp.asarray(s_idx), jnp.asarray(s_w),
+                                jnp.asarray(r_idx), jnp.asarray(r_w),
+                                float(model.critical_dt), **kw)
+    assert np.isfinite(np.asarray(r1)).all()
+    assert np.abs(np.asarray(r1)).max() > 0
+
+    def loss(lam_):
+        rec1, _, _ = st.elastic_forward_seg(
+            lam_, mu0, jnp.ones_like(lam), damp, wav, jnp.asarray(s_idx),
+            jnp.asarray(s_w), jnp.asarray(r_idx), jnp.asarray(r_w),
+            float(model.critical_dt), n_checkpoints=4, **kw)
+        return 0.5 * jnp.sum(rec1 * rec1)
+
+    g = jax.jit(jax.grad(loss))(lam)
+    rng = np.random.RandomState(5)
+    from scipy.ndimage import gaussian_filter
+    d = gaussian_filter(rng.randn(*model.padded_shape), 2)
+    d *= 1e-3 * float(jnp.abs(lam).mean()) / np.abs(d).max()
+    fd = (float(loss(lam + d)) - float(loss(lam - d))) / 2.0
+    an = float(jnp.sum(g * jnp.asarray(d)))
+    assert abs(fd - an) <= 5e-5 * max(abs(fd), abs(an), 1e-16), (fd, an)

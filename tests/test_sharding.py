@@ -489,3 +489,44 @@ def test_viscoacoustic_fm_sharded_matches_serial():
     scale = np.abs(ref).max()
     assert rec_sh.shape == ref.shape
     assert np.abs(rec_sh - ref).max() < 1e-5 * scale
+
+
+def test_elastic_sharded_gradient_matches_serial():
+    """Elastic shot-sharded (vp, vs, rho) gradients == the single-chip
+    elastic objective on the 8-device mesh."""
+    from devito_fwi_tpu.elastic_fwi import (elastic_fm_multi,
+                                            elastic_fwi_obj_multi)
+    from devito_fwi_tpu.parallel.sharding import elastic_fwi_obj_sharded
+    from devito_fwi_tpu import SeismicModel
+
+    nsrc = 3
+    shape = (41, 36)
+    vp = np.full(shape, 2.0, np.float32)
+    vp[:, 18:] = 2.4
+    vs = (vp / 2.0).astype(np.float32)
+    rho = (0.31 * (1e3 * vp) ** 0.25).astype(np.float32)
+
+    def mk(vpa):
+        return SeismicModel(origin=(0., 0.), spacing=(10., 10.),
+                            shape=shape, space_order=4, vp=vpa, vs=vs,
+                            b=1.0 / rho, nbl=8, bcs="mask", dt=1.0)
+
+    mt = mk(vp)
+    m0 = mk(np.full(shape, 2.2, np.float32))
+    src = np.stack([np.linspace(50., 350., nsrc), np.full(nsrc, 20.0)], 1)
+    rec = np.stack([np.linspace(0., 400., 21), np.full(21, 30.0)], 1)
+    gt = AcquisitionGeometry(mt, rec, src, 0., 200., f0=0.015,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(m0, rec, src, 0., 200., f0=0.015,
+                             src_type="Ricker")
+    obs1, _ = elastic_fm_multi(gt)
+    from devito_fwi_tpu.misfit import least_square
+    f_ref, g_ref, _ = elastic_fwi_obj_multi(g0, obs1, least_square,
+                                            calc_grad=True, shot_chunk=3,
+                                            n_checkpoints=5)
+    f_sh, g_sh = elastic_fwi_obj_sharded(g0, obs1, least_square,
+                                         calc_grad=True, n_checkpoints=5)
+    assert np.isclose(f_sh, f_ref, rtol=1e-5)
+    for k in ("vp", "vs", "rho"):
+        scale = max(np.abs(g_ref[k]).max(), 1e-20)
+        assert np.abs(g_sh[k] - g_ref[k]).max() < 1e-5 * scale, k
