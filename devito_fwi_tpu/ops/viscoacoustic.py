@@ -79,14 +79,15 @@ def _common(vp, b, qp, damp, f0, dt, spacing, space_order, avg):
                 grad_p=grad_p, div_v=div_v)
 
 
-@partial(jax.jit, static_argnames=("kernel", "time_order", "nt",
-                                   "space_order", "spacing", "avg", "save"))
-def forward(vp, b, qp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt,
-            f0, *, kernel="sls", time_order=2, nt, spacing, space_order=4,
-            avg=True, save=False):
-    """Viscoacoustic forward modeling. Returns (rec (nt, nrec), p history
-    if save else final slices)."""
-    assert (kernel, time_order) in KERNELS, (kernel, time_order)
+def _forward_step(vp, b, qp, damp, src_idx, src_w, rec_idx, rec_w, dt,
+                  f0, kernel, time_order, spacing, space_order, avg,
+                  save=False):
+    """Build the per-timestep viscoacoustic update shared by the plain
+    forward and the segment-rematted gradient forward. Returns
+    (step, init, t0) with ``step(carry, src_t) -> (carry',
+    (rec_t, p_out))`` and t0 the first source sample (0 for 1st-order
+    kernels, 1 for 2nd-order). Pure code motion out of ``forward`` —
+    the golden norms and f64 dot tests pin the numerics."""
     c = _common(vp, b, qp, damp, f0, dt, spacing, space_order, avg)
     s, w0, rho, bm, t_s, tt = (c["s"], c["w0"], c["rho"], c["bm"],
                                c["t_s"], c["tt"])
@@ -135,13 +136,7 @@ def forward(vp, b, qp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt,
                 return (vn, pn), (rec_t, pn if save else None)
             init = (tuple(z for _ in range(ndim)), z)
 
-        (carry, (recs, ps)) = jax.lax.scan(step, init, src_wav[0:nt - 1])
-        rec = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
-        rec = rec.at[0:nt - 1].set(recs)
-        if save:
-            p_full = jnp.concatenate([jnp.zeros((1,) + vp.shape, dtype), ps])
-            return rec, p_full
-        return rec, carry[-1]
+        return step, init, 0, (lambda carry: carry[-1])
 
     # ---- 2nd order: p (and r for sls), t = 1..nt-2
     src_scale = src_w * s * s * _gather(vp * vp, src_idx)  # dt^2/m
@@ -184,13 +179,86 @@ def forward(vp, b, qp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt,
             return (pn, p), (rec_t, pn if save else None)
         init = (z, z)
 
-    (carry, (recs, ps)) = jax.lax.scan(step, init, src_wav[1:nt - 1])
+    return step, init, 1, (lambda carry: carry[0])
+
+
+@partial(jax.jit, static_argnames=("kernel", "time_order", "nt",
+                                   "space_order", "spacing", "avg", "save"))
+def forward(vp, b, qp, damp, src_wav, src_idx, src_w, rec_idx, rec_w, dt,
+            f0, *, kernel="sls", time_order=2, nt, spacing, space_order=4,
+            avg=True, save=False):
+    """Viscoacoustic forward modeling. Returns (rec (nt, nrec), p history
+    if save else final slices)."""
+    assert (kernel, time_order) in KERNELS, (kernel, time_order)
+    dtype = vp.dtype
+    step, init, t0, final = _forward_step(
+        vp, b, qp, damp, src_idx, src_w, rec_idx, rec_w, dt, f0, kernel,
+        time_order, spacing, space_order, avg, save=save)
+    (carry, (recs, ps)) = jax.lax.scan(step, init, src_wav[t0:nt - 1])
     rec = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
-    rec = rec.at[1:nt - 1].set(recs)
+    rec = rec.at[t0:nt - 1].set(recs)
     if save:
-        p_full = jnp.concatenate([jnp.zeros((2,) + vp.shape, dtype), ps])
+        p_full = jnp.concatenate([jnp.zeros((t0 + 1,) + vp.shape, dtype),
+                                  ps])
         return rec, p_full
-    return rec, carry[0]
+    return rec, final(carry)
+
+
+def forward_seg(vp, b, qp, damp, src_wav, src_idx, src_w, rec_idx, rec_w,
+                dt, f0, *, kernel="sls", time_order=2, nt, spacing,
+                space_order=4, avg=True, n_checkpoints=0):
+    """Differentiation-ready viscoacoustic forward: identical numerics
+    to :func:`forward` (same step builder) restructured as two-level
+    rematerialization — ``jax.checkpoint`` on the per-step body and on
+    the segment scan — so ``jax.vjp`` through it is the exact discrete
+    adjoint at O(sqrt(nt)) memory. The reference has no viscoacoustic
+    gradient at all (its solver stops at fwd+adjoint operators,
+    ``seismic/viscoacoustic/wavesolver.py:60-206``); this enables
+    velocity AND attenuation (qp) inversion. Returns
+    (rec, illum = valid-masked sum_t p^2). NOT jitted here — callers
+    jit the enclosing objective."""
+    assert (kernel, time_order) in KERNELS, (kernel, time_order)
+    dtype = vp.dtype
+    step, init, t0, _ = _forward_step(
+        vp, b, qp, damp, src_idx, src_w, rec_idx, rec_w, dt, f0, kernel,
+        time_order, spacing, space_order, avg, save=False)
+    nsteps = nt - 1 - t0
+    if n_checkpoints <= 0:
+        n_checkpoints = max(1, int(np.sqrt(nsteps)))
+    seg = -(-nsteps // n_checkpoints)
+    nseg = -(-nsteps // seg)
+    total = nseg * seg
+    src_pad = jnp.zeros((total, src_wav.shape[1]), src_wav.dtype)
+    src_pad = src_pad.at[:nsteps].set(src_wav[t0:nt - 1])
+    valid = (jnp.arange(total) < nsteps).reshape(nseg, seg)
+
+    ckpt_step = jax.checkpoint(step)
+
+    # p sits at a kernel-dependent carry slot: last for 1st-order
+    # (v, [r,] p), first for 2nd-order (p, p_prev[, r/L])
+    p_slot = -1 if time_order == 1 else 0
+
+    def body(carry, xs):
+        state, illum = carry
+        src_t, valid_t = xs
+        state, (rec_t, _) = ckpt_step(state, src_t)
+        p = state[p_slot]
+        illum = illum + jax.lax.stop_gradient(
+            jnp.where(valid_t, p * p, jnp.zeros_like(p)))
+        return (state, illum), rec_t
+
+    @jax.checkpoint
+    def seg_body(carry, xs):
+        return jax.lax.scan(body, carry, xs)
+
+    illum0 = jnp.zeros_like(vp)
+    (_, illum), recs = jax.lax.scan(
+        lambda c, xs: seg_body(c, xs), (init, illum0),
+        (src_pad.reshape(nseg, seg, -1), valid.reshape(nseg, seg)))
+    recs = recs.reshape(total, -1)[:nsteps]
+    rec = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
+    rec = rec.at[t0:nt - 1].set(recs)
+    return rec, illum
 
 
 @partial(jax.jit, static_argnames=("kernel", "time_order", "nt",

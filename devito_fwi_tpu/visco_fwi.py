@@ -1,0 +1,222 @@
+"""Viscoacoustic FWI objective: misfit + (vp, qp) gradients through the
+SLS/Ren/Deng-McMechan propagators.
+
+Beyond the reference, whose viscoacoustic stack stops at forward +
+adjoint operators with no gradient
+(``/root/reference/seismic/viscoacoustic/wavesolver.py:60-206``): here
+``jax.vjp`` through the two-level-rematted scan
+(``ops.viscoacoustic.forward_seg``) gives the exact discrete adjoint
+gradient with respect to BOTH velocity and attenuation — Q-compensated
+FWI (simultaneous vp/qp inversion) out of the box. Conventions match
+the elastic objective (``elastic_fwi.py``): physical-domain parameters
+padded inside the AD graph (pad-transpose exact), per-shot crop +
+source/receiver illumination fix before the sum, 1/sqrt(illum)
+preconditioning, bathy mask.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fwi import _batched_tables, _crop, _fix_illum_jax, _misfit_jax, _pads
+from .models.sources import PointSource
+from .ops import viscoacoustic as _va
+
+__all__ = ["visco_fm_multi", "visco_fwi_obj_multi", "ViscoFwiLoss"]
+
+
+def _field(model, name, default=None):
+    val = getattr(model, name, default)
+    if val is None:
+        val = default
+    val = np.asarray(val, dtype=model.dtype)
+    if val.ndim == 0:
+        val = np.full(model.padded_shape, val, dtype=model.dtype)
+    return val
+
+
+def visco_fm_multi(geometry, kernel="sls", time_order=2):
+    """Model all shots through the viscoacoustic propagator; returns a
+    list of PointSource gathers (one batched program)."""
+    model = geometry.model
+    model._initialize_bcs(bcs="mask")
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    fwd = partial(_va.forward, kernel=kernel, time_order=time_order,
+                  nt=geometry.nt, spacing=model.spacing,
+                  space_order=model.space_order, save=False)
+    rec = jax.jit(lambda si, sw: jax.vmap(
+        lambda a, c: fwd(jnp.asarray(_field(model, "vp")),
+                         jnp.asarray(_field(model, "b", 1.0)),
+                         jnp.asarray(_field(model, "qp")),
+                         jnp.asarray(_field(model, "damp", 1.0)),
+                         jnp.asarray(src_wav), a, c, jnp.asarray(r_idx),
+                         jnp.asarray(r_w), float(model.critical_dt),
+                         geometry.f0)[0])(si, sw))(
+        jnp.asarray(s_idx), jnp.asarray(s_w))
+    rec = np.asarray(rec)
+    shots = []
+    for i in range(geometry.nsrc):
+        shot = PointSource(name="rec", time_range=geometry.time_axis,
+                           coordinates=geometry.rec_positions,
+                           dtype=model.dtype)
+        shot.data[:] = rec[i]
+        shots.append(shot)
+    return shots
+
+
+@partial(jax.jit, static_argnames=("kernel", "time_order", "nt",
+                                   "spacing", "space_order",
+                                   "n_checkpoints", "misfit_jax",
+                                   "calc_grad", "pads", "shape",
+                                   "illum_fix"))
+def _visco_shots_obj(vp, qp, b, damp, src_wav, s_idx, s_w, r_idx, r_w,
+                     obs, dw, src_pos, rec_pos, dt, f0, *, kernel,
+                     time_order, nt, spacing, space_order, n_checkpoints,
+                     misfit_jax, calc_grad, pads, shape, illum_fix=True):
+    """Fused chunk objective: per-shot forward + misfit + (when
+    calc_grad) vjp back to (vp, qp); per-shot crop/illum-fix before the
+    sum, like the acoustic convention."""
+
+    def fix(g, sp):
+        if not illum_fix:
+            return g
+        return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
+
+    def one(si, sw, obs_i, dw_i, sp):
+        def fwd(vp_, qp_):
+            vpp = jnp.pad(vp_, pads, mode="edge")
+            qpp = jnp.pad(qp_, pads, mode="edge")
+            rec, illum = _va.forward_seg(
+                vpp, b, qpp, damp, src_wav, si, sw, r_idx, r_w, dt, f0,
+                kernel=kernel, time_order=time_order, nt=nt,
+                spacing=spacing, space_order=space_order,
+                n_checkpoints=n_checkpoints)
+            return rec, _crop(illum, pads, shape)
+
+        if calc_grad:
+            (rec, illum), vjp = jax.vjp(fwd, vp, qp)
+        else:
+            rec, illum = fwd(vp, qp)
+        f, res = misfit_jax(rec - dw_i, obs_i - dw_i)
+        if not calc_grad:
+            z = jnp.zeros(shape, vp.dtype)
+            return f, (z, z), z, res
+        grads = vjp((res.astype(vp.dtype), jnp.zeros_like(illum)))
+        return (f, tuple(fix(g, sp) for g in grads), fix(illum, sp), res)
+
+    fvals, grads, illum, res = jax.vmap(one)(s_idx, s_w, obs, dw, src_pos)
+    return (jnp.sum(fvals), tuple(g.sum(axis=0) for g in grads),
+            illum.sum(axis=0), res)
+
+
+def visco_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
+                        mask=None, precond=True, calc_grad=False,
+                        vp=None, qp=None, kernel="sls", time_order=2,
+                        shot_chunk=4, n_checkpoints=0, shot_indices=None,
+                        illum_fix=True):
+    """Multi-shot viscoacoustic objective/gradient. Returns
+    (fval, {"vp": g, "qp": g}, residuals) with gradients cropped to the
+    physical domain (grads None when not calc_grad). `vp`/`qp` override
+    the model fields — physical-domain arrays; None reads the model."""
+    model = geometry.model
+    model._initialize_bcs(bcs="mask")
+    mj = _misfit_jax(misfit_func)
+    if mj is None:
+        raise NotImplementedError(
+            "viscoacoustic FWI needs a jittable misfit")
+    pads = _pads(model)
+    crop_slc = tuple(slice(lo, lo + n)
+                     for (lo, _), n in zip(model.padsizes, model.shape))
+
+    def param(user, fallback):
+        if user is None:
+            return np.asarray(fallback)[crop_slc]
+        user = np.asarray(user, dtype=model.dtype)
+        return user if user.shape == model.shape else user[crop_slc]
+
+    vp = jnp.asarray(param(vp, _field(model, "vp")))
+    qp = jnp.asarray(param(qp, _field(model, "qp")))
+    b = jnp.asarray(_field(model, "b", 1.0))
+    damp = jnp.asarray(_field(model, "damp", 1.0))
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    src_pos = np.asarray(geometry.src_positions, dtype=model.dtype)
+    rec_pos = np.asarray(geometry.rec_positions, dtype=model.dtype)
+    if shot_indices is not None:
+        sel = np.asarray(shot_indices, dtype=np.int64)
+        s_idx, s_w, src_pos = s_idx[sel], s_w[sel], src_pos[sel]
+        obs = [obs[int(i)] for i in sel]
+        if direct_wave is not None:
+            direct_wave = [direct_wave[int(i)] for i in sel]
+    nshots = s_idx.shape[0]
+    obs_stack = np.stack([np.asarray(o.data) for o in obs])
+    if direct_wave is not None:
+        dw_stack = np.stack([np.asarray(d.data) for d in direct_wave])
+    else:
+        dw_stack = np.zeros((nshots,) + obs_stack.shape[1:],
+                            dtype=model.dtype)
+    kw = dict(kernel=kernel, time_order=time_order, nt=geometry.nt,
+              spacing=model.spacing, space_order=model.space_order,
+              n_checkpoints=n_checkpoints, misfit_jax=mj,
+              calc_grad=calc_grad, pads=pads, shape=model.shape,
+              illum_fix=illum_fix)
+
+    fval, gsum, ilsum = 0.0, None, None
+    residuals = []
+    for lo in range(0, nshots, shot_chunk):
+        hi = min(lo + shot_chunk, nshots)
+        f, grads, illum, res = _visco_shots_obj(
+            vp, qp, b, damp, jnp.asarray(src_wav),
+            jnp.asarray(s_idx[lo:hi]), jnp.asarray(s_w[lo:hi]),
+            jnp.asarray(r_idx), jnp.asarray(r_w),
+            jnp.asarray(obs_stack[lo:hi]), jnp.asarray(dw_stack[lo:hi]),
+            jnp.asarray(src_pos[lo:hi]), jnp.asarray(rec_pos),
+            float(model.critical_dt), geometry.f0, **kw)
+        fval += float(f)
+        residuals.extend(np.asarray(res))
+        if calc_grad:
+            grads = tuple(np.asarray(g) for g in grads)
+            gsum = grads if gsum is None else \
+                tuple(a + c for a, c in zip(gsum, grads))
+            illum = np.asarray(illum)
+            ilsum = illum if ilsum is None else ilsum + illum
+    if not calc_grad:
+        return fval, None, residuals
+    out = {}
+    for name, g in zip(("vp", "qp"), gsum):
+        if precond:
+            g = g / np.sqrt(ilsum + 1e-30)
+        if mask is not None:
+            g = g * mask
+        out[name] = g.astype(np.float64)
+    return fval, out, residuals
+
+
+class ViscoFwiLoss:
+    """fwi_loss-signature adapter: inverts vp in squared slowness
+    (x = 1/vp^2) with qp held fixed, through minimize(loss_fn=...)."""
+
+    def __init__(self, kernel="sls", time_order=2, shot_chunk=4,
+                 n_checkpoints=0):
+        self.kernel = kernel
+        self.time_order = time_order
+        self.shot_chunk = shot_chunk
+        self.n_checkpoints = n_checkpoints
+
+    def __call__(self, x, geometry, obs, misfit_func, direct_wave=None,
+                 mask=None, precond=True, calc_grad=True,
+                 shot_indices=None):
+        shape = geometry.model.shape
+        vp = 1.0 / np.sqrt(x.reshape(shape))
+        fval, grads, residuals = visco_fwi_obj_multi(
+            geometry, obs, misfit_func, direct_wave, mask, precond,
+            calc_grad, vp=vp.astype(geometry.model.dtype),
+            kernel=self.kernel, time_order=self.time_order,
+            shot_chunk=self.shot_chunk,
+            n_checkpoints=self.n_checkpoints, shot_indices=shot_indices)
+        if not calc_grad:
+            return fval, None, residuals
+        g = grads["vp"] * (-0.5 * vp ** 3)
+        return fval, g.reshape(-1).astype(np.float64), residuals

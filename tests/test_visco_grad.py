@@ -1,0 +1,137 @@
+"""Viscoacoustic FWI gradient gates (the reference has NO viscoacoustic
+gradient — its stack stops at fwd+adjoint operators,
+``seismic/viscoacoustic/wavesolver.py:60-206``). Same discipline as the
+elastic suite: seg==plain forward parity, f64 FD checks for BOTH vp and
+qp (attenuation inversion), and objective-level FD consistency through
+the public path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from devito_fwi_tpu import SeismicModel, AcquisitionGeometry
+from devito_fwi_tpu.misfit import least_square
+from devito_fwi_tpu.ops import viscoacoustic as va
+from devito_fwi_tpu.ops.interp import interp_table
+from devito_fwi_tpu.visco_fwi import (ViscoFwiLoss, visco_fm_multi,
+                                      visco_fwi_obj_multi)
+
+
+def _setup(dtype=np.float64, shape=(41, 36), tn=140., nbl=8, nsrc=1,
+           dt=1.0):
+    vp = np.full(shape, 2.0, dtype)
+    vp[:, 18:] = 2.4
+    qp = np.full(shape, 60.0, dtype)
+    qp[:, 18:] = 90.0
+    rho = (0.31 * (1e3 * vp) ** 0.25).astype(dtype)
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.), shape=shape,
+                         space_order=4, vp=vp, qp=qp, b=(1.0 / rho),
+                         nbl=nbl, bcs="mask", dtype=dtype, dt=dt)
+    src = np.stack([np.linspace(80., 320., nsrc), np.full(nsrc, 20.0)], 1)
+    rec = np.stack([np.linspace(0., 400., 21), np.full(21, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., tn, f0=0.015,
+                               src_type="Ricker")
+    return model, geom
+
+
+def _args(model, geom):
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    b = np.asarray(model.b, model.dtype)
+    damp = np.asarray(model.damp, model.dtype)
+    return (jnp.asarray(b), jnp.asarray(damp), jnp.asarray(geom.src.data),
+            jnp.asarray(s_idx), jnp.asarray(s_w), jnp.asarray(r_idx),
+            jnp.asarray(r_w))
+
+
+@pytest.mark.parametrize("kernel,to", [("sls", 2), ("sls", 1),
+                                       ("ren", 2), ("deng_mcmechan", 2)])
+def test_seg_forward_matches_plain(kernel, to):
+    model, geom = _setup(dtype=np.float32)
+    b, damp, wav, si, sw, ri, rw = _args(model, geom)
+    kw = dict(kernel=kernel, time_order=to, nt=geom.nt,
+              spacing=model.spacing, space_order=4)
+    vp = jnp.asarray(np.asarray(model.vp, np.float32))
+    qp = jnp.asarray(np.asarray(model.qp, np.float32))
+    dt = float(model.critical_dt)
+    rec, _ = va.forward(vp, b, qp, damp, wav, si, sw, ri, rw, dt,
+                        geom.f0, **kw)
+    rec_s, illum = jax.jit(lambda *a: va.forward_seg(
+        *a, dt, geom.f0, n_checkpoints=5, **kw))(vp, b, qp, damp, wav,
+                                                 si, sw, ri, rw)
+    a = np.asarray(rec)
+    scale = max(np.abs(a).max(), 1e-12)
+    assert np.abs(np.asarray(rec_s) - a).max() < 1e-6 * scale
+    assert np.asarray(illum).max() > 0
+
+
+def test_gradient_matches_fd_f64_vp_and_qp():
+    """Central-difference check of d(loss)/d(vp) AND d(loss)/d(qp)
+    through the rematted sls/2 scan in f64 — the Q-FWI gate."""
+    model, geom = _setup(dtype=np.float64)
+    b, damp, wav, si, sw, ri, rw = _args(model, geom)
+    kw = dict(kernel="sls", time_order=2, nt=geom.nt,
+              spacing=model.spacing, space_order=4, n_checkpoints=6)
+    dt = float(model.critical_dt)
+    vp = np.asarray(model.vp)
+    qp = np.asarray(model.qp)
+
+    def loss(vp_, qp_):
+        rec, _ = va.forward_seg(vp_, b, qp_, damp, wav, si, sw, ri, rw,
+                                dt, geom.f0, **kw)
+        return 0.5 * jnp.sum(rec * rec)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))(jnp.asarray(vp),
+                                                jnp.asarray(qp))
+    rng = np.random.RandomState(9)
+    from scipy.ndimage import gaussian_filter
+    for i, (name, base) in enumerate((("vp", vp), ("qp", qp))):
+        d = gaussian_filter(rng.randn(*base.shape), 3)
+        d *= 1e-3 * np.abs(base).mean() / np.abs(d).max()
+        args = [jnp.asarray(vp), jnp.asarray(qp)]
+        ap, am = list(args), list(args)
+        ap[i] = jnp.asarray(base + d)
+        am[i] = jnp.asarray(base - d)
+        fd = (float(loss(*ap)) - float(loss(*am))) / 2.0
+        an = float(jnp.sum(g[i] * jnp.asarray(d)))
+        assert abs(fd - an) <= 5e-5 * max(abs(fd), abs(an), 1e-16), \
+            (name, fd, an)
+        assert abs(an) > 0, name
+
+
+def test_obj_multi_fd_consistency():
+    """visco_fwi_obj_multi's vp gradient (precond/fix off) is the
+    gradient of its own fval (FD through the public path)."""
+    model, geom = _setup(dtype=np.float64, nsrc=2)
+    obs = visco_fm_multi(geom)
+    vp0 = np.asarray(model.vp)[tuple(
+        slice(lo, lo + n) for (lo, _), n in zip(model.padsizes,
+                                                model.shape))] * 1.02
+
+    def f_only(v):
+        f, _, _ = visco_fwi_obj_multi(
+            geom, obs, least_square, precond=False, illum_fix=False,
+            calc_grad=False, vp=v, shot_chunk=2, n_checkpoints=6)
+        return f
+
+    f0, g, _ = visco_fwi_obj_multi(
+        geom, obs, least_square, precond=False, illum_fix=False,
+        calc_grad=True, vp=vp0, shot_chunk=2, n_checkpoints=6)
+    rng = np.random.RandomState(13)
+    from scipy.ndimage import gaussian_filter
+    d = gaussian_filter(rng.randn(*model.shape), 3)
+    d *= 1e-4 * np.abs(vp0).mean() / np.abs(d).max()
+    fd = (f_only(vp0 + d) - f_only(vp0 - d)) / 2.0
+    an = float(np.sum(g["vp"] * d))
+    assert abs(fd - an) <= 5e-5 * max(abs(fd), abs(an), 1e-16), (fd, an)
+    assert np.abs(g["qp"]).max() > 0  # attenuation gradient flows too
+
+    # the loss adapter applies the squared-slowness chain rule
+    x0 = (1.0 / vp0 ** 2).reshape(-1)
+    loss = ViscoFwiLoss(shot_chunk=2, n_checkpoints=6)
+    fl, gl, _ = loss(x0, geom, obs, least_square, precond=False,
+                     calc_grad=True)
+    assert np.isfinite(gl).all()
