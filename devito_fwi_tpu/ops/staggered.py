@@ -55,7 +55,8 @@ from ..utils.fd import fd_weights
 from .self_adjoint import staggered_weights, shifted_derivative
 
 __all__ = ["elastic_forward", "elastic_forward_seg", "viscoelastic_forward",
-           "avg_to", "d_plus", "d_minus", "d_centered"]
+           "viscoelastic_forward_seg", "avg_to", "d_plus", "d_minus",
+           "d_centered"]
 
 
 # ---------------------------------------------------------------------------
@@ -279,13 +280,12 @@ def elastic_forward_seg(lam, mu, b, damp, src_wav, src_idx, src_w, rec_idx,
 # viscoelastic (SLS)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("nt", "space_order", "spacing", "avg"))
-def viscoelastic_forward(lam, mu, b, qp, qs, damp, f0, src_wav, src_idx,
-                         src_w, rec_idx, rec_w, dt, *, nt, spacing,
-                         space_order=4, avg=True):
-    """SLS viscoelastic forward modeling with a memory-variable stress
-    tensor r (reference ``viscoelastic/operators.py:8-63``). Returns
-    (rec1 = tau_zz, rec2 = div v)."""
+def _viscoelastic_step(lam, mu, b, qp, qs, damp, f0, src_idx, src_w,
+                       rec_idx, rec_w, dt, spacing, space_order, avg):
+    """Per-timestep SLS viscoelastic update shared by the plain forward
+    and the segment-rematted gradient forward (pure code motion out of
+    ``viscoelastic_forward`` — golden 12.28040 pins the numerics).
+    Returns (step, init)."""
     dtype = lam.dtype
     ndim = len(spacing)
     wgt = _wgt(space_order, dtype)
@@ -366,9 +366,75 @@ def viscoelastic_forward(lam, mu, b, qp, qs, damp, f0, src_wav, src_idx,
     init = (tuple(z for _ in range(ndim)), tuple(z for _ in range(ndim)),
             {ij: z for ij in pairs}, tuple(z for _ in range(ndim)),
             {ij: z for ij in pairs})
+    return step, init
+
+
+@partial(jax.jit, static_argnames=("nt", "space_order", "spacing", "avg"))
+def viscoelastic_forward(lam, mu, b, qp, qs, damp, f0, src_wav, src_idx,
+                         src_w, rec_idx, rec_w, dt, *, nt, spacing,
+                         space_order=4, avg=True):
+    """SLS viscoelastic forward modeling with a memory-variable stress
+    tensor r (reference ``viscoelastic/operators.py:8-63``). Returns
+    (rec1 = tau_zz, rec2 = div v)."""
+    dtype = lam.dtype
+    step, init = _viscoelastic_step(lam, mu, b, qp, qs, damp, f0, src_idx,
+                                    src_w, rec_idx, rec_w, dt, spacing,
+                                    space_order, avg)
     _, (r1, r2) = jax.lax.scan(step, init, src_wav[0:nt - 1])
     rec1 = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
     rec2 = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
     rec1 = rec1.at[0:nt - 1].set(r1)
     rec2 = rec2.at[0:nt - 1].set(r2)
     return rec1, rec2
+
+
+def viscoelastic_forward_seg(lam, mu, b, qp, qs, damp, f0, src_wav,
+                             src_idx, src_w, rec_idx, rec_w, dt, *, nt,
+                             spacing, space_order=4, avg=True,
+                             n_checkpoints=0):
+    """Differentiation-ready SLS viscoelastic forward: same step
+    function as :func:`viscoelastic_forward`, two-level-rematted like
+    :func:`elastic_forward_seg` so ``jax.vjp`` gives the exact discrete
+    adjoint — (vp, vs, rho, qp, qs) gradients for a system the
+    reference models forward-only. Returns (rec1, rec2,
+    illum = valid-masked sum_t |v|^2). NOT jitted — callers jit."""
+    dtype = lam.dtype
+    step, init = _viscoelastic_step(lam, mu, b, qp, qs, damp, f0, src_idx,
+                                    src_w, rec_idx, rec_w, dt, spacing,
+                                    space_order, avg)
+    nsteps = nt - 1
+    if n_checkpoints <= 0:
+        n_checkpoints = max(1, int(np.sqrt(nsteps)))
+    seg = -(-nsteps // n_checkpoints)
+    nseg = -(-nsteps // seg)
+    total = nseg * seg
+    src_pad = jnp.zeros((total, src_wav.shape[1]), src_wav.dtype)
+    src_pad = src_pad.at[:nsteps].set(src_wav[0:nsteps])
+    valid = (jnp.arange(total) < nsteps).reshape(nseg, seg)
+
+    ckpt_step = jax.checkpoint(step)
+
+    def body(carry, xs):
+        state, illum = carry
+        src_t, valid_t = xs
+        state, recs = ckpt_step(state, src_t)
+        en = sum(x * x for x in state[0])
+        illum = illum + jax.lax.stop_gradient(
+            jnp.where(valid_t, en, jnp.zeros_like(en)))
+        return (state, illum), recs
+
+    @jax.checkpoint
+    def seg_body(carry, xs):
+        return jax.lax.scan(body, carry, xs)
+
+    illum0 = jnp.zeros_like(lam)
+    (_, illum), (r1, r2) = jax.lax.scan(
+        lambda c, xs: seg_body(c, xs), (init, illum0),
+        (src_pad.reshape(nseg, seg, -1), valid.reshape(nseg, seg)))
+    r1 = r1.reshape(total, -1)[:nsteps]
+    r2 = r2.reshape(total, -1)[:nsteps]
+    rec1 = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
+    rec2 = jnp.zeros((nt, rec_idx.shape[0]), dtype=dtype)
+    rec1 = rec1.at[0:nsteps].set(r1)
+    rec2 = rec2.at[0:nsteps].set(r2)
+    return rec1, rec2, illum

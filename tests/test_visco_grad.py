@@ -135,3 +135,85 @@ def test_obj_multi_fd_consistency():
     fl, gl, _ = loss(x0, geom, obs, least_square, precond=False,
                      calc_grad=True)
     assert np.isfinite(gl).all()
+
+
+def test_viscoelastic_seg_and_gradient_fd():
+    """Viscoelastic: seg forward == plain forward, and the f64 FD check
+    of d(loss)/d(vp, vs, rho, qp, qs) through the rematted scan — the
+    reference models this system forward-only."""
+    from devito_fwi_tpu.ops import staggered as st
+
+    shape = (41, 36)
+    vp = np.full(shape, 2.0, np.float64)
+    vp[:, 18:] = 2.4
+    vs = vp / 2.0
+    rho = 0.31 * (1e3 * vp) ** 0.25
+    qp = np.full(shape, 60.0, np.float64)
+    qs = np.full(shape, 40.0, np.float64)
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.), shape=shape,
+                         space_order=4, vp=vp, vs=vs, b=1.0 / rho, qp=qp,
+                         qs=qs, nbl=8, bcs="mask", dtype=np.float64,
+                         dt=0.8)
+    src = np.array([[200.0, 20.0]])
+    rec = np.stack([np.linspace(0., 400., 21), np.full(21, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 120., f0=0.015,
+                               src_type="Ricker")
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=model.dtype)
+    damp = jnp.asarray(np.asarray(model.damp))
+    wav = jnp.asarray(geom.src.data)
+    dt = float(model.critical_dt)
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=4)
+    ja = jnp.asarray
+
+    def fields(vp_, vs_, rho_):
+        lam = rho_ * (vp_ * vp_ - 2.0 * vs_ * vs_)
+        mu = rho_ * vs_ * vs_
+        return lam, mu, 1.0 / rho_
+
+    pads = tuple(tuple(p) for p in model.padsizes)
+
+    def pad(x):
+        return jnp.pad(x, pads, mode="edge")
+
+    # seg == plain parity on the padded model fields
+    args_pl = (ja(np.asarray(model.lam)), ja(np.asarray(model.mu)),
+               ja(np.asarray(model.b)), ja(np.asarray(model.qp)),
+               ja(np.asarray(model.qs)), damp, geom.f0, wav, ja(s_idx),
+               ja(s_w), ja(r_idx), ja(r_w), dt)
+    r1, r2 = st.viscoelastic_forward(*args_pl, **kw)
+    r1s, r2s, illum = jax.jit(lambda *a: st.viscoelastic_forward_seg(
+        *a, n_checkpoints=5, **kw))(*args_pl)
+    for a, b_ in ((r1, r1s), (r2, r2s)):
+        a = np.asarray(a)
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(np.asarray(b_) - a).max() < 1e-9 * scale
+    assert np.asarray(illum).max() > 0
+
+    # FD gate over all five physical parameters
+    def loss(vp_, vs_, rho_, qp_, qs_):
+        lam, mu, b = fields(pad(vp_), pad(vs_), pad(rho_))
+        rec1, _, _ = st.viscoelastic_forward_seg(
+            lam, mu, b, pad(qp_), pad(qs_), damp, geom.f0, wav, ja(s_idx),
+            ja(s_w), ja(r_idx), ja(r_w), dt, n_checkpoints=5, **kw)
+        return 0.5 * jnp.sum(rec1 * rec1)
+
+    base = [ja(np.asarray(x)) for x in (vp, vs, rho, qp, qs)]
+    g = jax.jit(jax.grad(loss, argnums=tuple(range(5))))(*base)
+    rng = np.random.RandomState(17)
+    from scipy.ndimage import gaussian_filter
+    names = ("vp", "vs", "rho", "qp", "qs")
+    for i in (0, 1, 3):  # vp, vs, qp (rho/qs analogous; keep runtime lean)
+        bx = np.asarray(base[i])
+        d = gaussian_filter(rng.randn(*bx.shape), 3)
+        d *= 1e-3 * np.abs(bx).mean() / np.abs(d).max()
+        ap, am = list(base), list(base)
+        ap[i] = ja(bx + d)
+        am[i] = ja(bx - d)
+        fd = (float(loss(*ap)) - float(loss(*am))) / 2.0
+        an = float(jnp.sum(g[i] * ja(d)))
+        assert abs(fd - an) <= 5e-5 * max(abs(fd), abs(an), 1e-16), \
+            (names[i], fd, an)
+        assert abs(an) > 0, names[i]
