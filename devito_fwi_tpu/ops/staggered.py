@@ -126,12 +126,18 @@ def _pairs(ndim):
 # ---------------------------------------------------------------------------
 
 def _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx, rec_w, dt,
-                  spacing, space_order, avg):
+                  spacing, space_order, avg, hoist=True):
     """Build the per-timestep elastic update shared by the plain forward
     and the segment-checkpointed gradient forward. Returns
     (step, init) where ``step(carry, src_t) -> (carry', (rec1_t, rec2_t))``.
     All physics lives here — keep `elastic_forward` numerics byte-stable
-    (golden 19.25636 / 0.627606 and the Pallas parity tests pin them)."""
+    (golden 19.25636 / 0.627606 and the Pallas parity tests pin them).
+
+    ``hoist=False`` recomputes the staggered parameter averages INSIDE
+    the step (identical values): under ``jax.checkpoint(step)`` AD the
+    backward scan then accumulates cotangents for the 4 base parameters
+    instead of ~9 separate averaged arrays — an A/B knob for the
+    gradient path (forward cost: a few extra VPU averages per step)."""
     dtype = lam.dtype
     ndim = len(spacing)
     wgt = _wgt(space_order, dtype)
@@ -143,14 +149,19 @@ def _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx, rec_w, dt,
     def mavg(p, dims):
         return avg_to(p, dims, ndim) if avg else p
 
-    b_i = [mavg(b, (i,)) for i in range(ndim)]
-    damp_i = [mavg(damp, (i,)) for i in range(ndim)]
-    mu_ij = {ij: mavg(mu, ij) for ij in pairs}
-    damp_ij = {ij: mavg(damp, ij) for ij in pairs}
+    def make_avgs():
+        return ([mavg(b, (i,)) for i in range(ndim)],
+                [mavg(damp, (i,)) for i in range(ndim)],
+                {ij: mavg(mu, ij) for ij in pairs},
+                {ij: mavg(damp, ij) for ij in pairs})
+
+    if hoist:
+        hoisted = make_avgs()
 
     src_scale = src_w * s  # inject w_p * src[t] * dt (operators.py:20-25)
 
     def step(carry, src_t):
+        b_i, damp_i, mu_ij, damp_ij = hoisted if hoist else make_avgs()
         v, td, to = carry
         # receivers sample fields at time t; rec2 uses the centered
         # own-grid derivative per component (see module docstring)
@@ -209,7 +220,7 @@ def elastic_forward(lam, mu, b, damp, src_wav, src_idx, src_w, rec_idx,
 
 def elastic_forward_seg(lam, mu, b, damp, src_wav, src_idx, src_w, rec_idx,
                         rec_w, dt, *, nt, spacing, space_order=4, avg=True,
-                        n_checkpoints=0):
+                        n_checkpoints=0, hoist=None):
     """Differentiation-ready elastic forward: identical numerics to
     :func:`elastic_forward` (same step function), but structured as an
     outer scan over time segments with ``jax.checkpoint`` on both the
@@ -230,8 +241,12 @@ def elastic_forward_seg(lam, mu, b, damp, src_wav, src_idx, src_w, rec_idx,
     ~sqrt(nt) segments."""
     dtype = lam.dtype
     ndim = len(spacing)
+    if hoist is None:
+        import os
+        hoist = os.environ.get("DEVITO_FWI_TPU_ELASTIC_HOIST", "1") == "1"
     step, init = _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx,
-                               rec_w, dt, spacing, space_order, avg)
+                               rec_w, dt, spacing, space_order, avg,
+                               hoist=hoist)
     nsteps = nt - 1
     if n_checkpoints <= 0:
         n_checkpoints = max(1, int(np.sqrt(nsteps)))
