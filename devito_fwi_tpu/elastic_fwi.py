@@ -96,6 +96,33 @@ def elastic_fm_multi(geometry):
     return outs
 
 
+def _elastic_fwd_factory(damp, src_wav, r_idx, r_w, dt, *, nt, spacing,
+                         space_order, n_checkpoints, pads, shape):
+    """Per-shot elastic forward closure shared by the single-chip chunk
+    objective AND the sharded per-shot body (one place for the per-shot
+    convention). Physical-domain params are edge-replicated into the
+    absorbing halo INSIDE the AD graph — the vjp then carries the
+    pad-transpose (halo cotangents fold back onto edge cells), so
+    gradients are exact w.r.t. the physical parameters (FD-consistent;
+    tests/test_elastic_grad.py::test_obj_multi_fd_consistency)."""
+
+    def factory(si, sw):
+        def fwd(vp_, vs_, rho_):
+            vpp = jnp.pad(vp_, pads, mode="edge")
+            vsp = jnp.pad(vs_, pads, mode="edge")
+            rhp = jnp.pad(rho_, pads, mode="edge")
+            lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
+            mu = rhp * vsp * vsp
+            rec1, _, illum = _st.elastic_forward_seg(
+                lam, mu, 1.0 / rhp, damp, src_wav, si, sw, r_idx, r_w,
+                dt, nt=nt, spacing=spacing, space_order=space_order,
+                n_checkpoints=n_checkpoints)
+            return rec1, _crop(illum, pads, shape)
+        return fwd
+
+    return factory
+
+
 @partial(jax.jit, static_argnames=("nt", "spacing", "space_order",
                                    "n_checkpoints", "misfit_jax",
                                    "calc_grad", "pads", "shape",
@@ -116,25 +143,13 @@ def _elastic_shots_obj(vp, vs, rho, damp, src_wav, s_idx, s_w, r_idx, r_w,
             return g
         return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
 
+    fwd_factory = _elastic_fwd_factory(
+        damp, src_wav, r_idx, r_w, dt, nt=nt, spacing=spacing,
+        space_order=space_order, n_checkpoints=n_checkpoints, pads=pads,
+        shape=shape)
+
     def one(si, sw, obs_i, dw_i, sp):
-        def fwd(vp_, vs_, rho_):
-            # physical-domain params, edge-replicated into the absorbing
-            # halo INSIDE the AD graph — the vjp then carries the
-            # pad-transpose (halo cotangents fold back onto edge cells),
-            # so the returned gradient is exact w.r.t. the physical
-            # parameters (FD-consistent; asserted in
-            # tests/test_elastic_grad.py::test_obj_multi_fd_consistency)
-            vpp = jnp.pad(vp_, pads, mode="edge")
-            vsp = jnp.pad(vs_, pads, mode="edge")
-            rhp = jnp.pad(rho_, pads, mode="edge")
-            lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
-            mu = rhp * vsp * vsp
-            b = 1.0 / rhp
-            rec1, _, illum = _st.elastic_forward_seg(
-                lam, mu, b, damp, src_wav, si, sw, r_idx, r_w, dt, nt=nt,
-                spacing=spacing, space_order=space_order,
-                n_checkpoints=n_checkpoints)
-            return rec1, _crop(illum, pads, shape)
+        fwd = fwd_factory(si, sw)
 
         if calc_grad:
             (rec1, illum), vjp = jax.vjp(fwd, vp, vs, rho)
@@ -220,10 +235,10 @@ def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
               misfit_jax=mj, calc_grad=calc_grad, pads=_pads(model),
               shape=model.shape, illum_fix=illum_fix)
 
-    fval = 0.0
-    gsum = None
-    illum_sum = None
-    residuals = []
+    # accumulate chunk results ON DEVICE and fetch once at the end —
+    # per-chunk float()/np.asarray fetches were a measured ~35% of the
+    # small-3-D acoustic objective on the tunnel (fwi.py r4 note)
+    f_parts, g_parts, il_parts, res_parts = [], [], [], []
     for lo in range(0, nshots, shot_chunk):
         hi = min(lo + shot_chunk, nshots)
         f, grads, illum, res = _elastic_shots_obj(
@@ -232,25 +247,34 @@ def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
             jnp.asarray(r_idx), jnp.asarray(r_w),
             jnp.asarray(obs_stack[lo:hi]), jnp.asarray(dw_stack[lo:hi]),
             jnp.asarray(src_pos[lo:hi]), jnp.asarray(rec_pos), dt, **kw)
-        fval += float(f)
-        residuals.extend(np.asarray(res))
+        f_parts.append(f)
+        res_parts.append(res)
         if calc_grad:
-            grads = tuple(np.asarray(g) for g in grads)
-            gsum = grads if gsum is None else \
-                tuple(a + b for a, b in zip(gsum, grads))
-            illum = np.asarray(illum)
-            illum_sum = illum if illum_sum is None else illum_sum + illum
+            g_parts.append(grads)
+            il_parts.append(illum)
+    fval_d = f_parts[0]
+    for f in f_parts[1:]:
+        fval_d = fval_d + f
     if not calc_grad:
-        return fval, None, residuals
-
+        fval, res_h = jax.device_get((fval_d, res_parts))
+        return float(fval), None, [r for c in res_h for r in c]
+    gsum = g_parts[0]
+    ilsum = il_parts[0]
+    for grads, illum in zip(g_parts[1:], il_parts[1:]):
+        gsum = tuple(a + b for a, b in zip(gsum, grads))
+        ilsum = ilsum + illum
+    fval, gsum, ilsum, res_h = jax.device_get(
+        (fval_d, gsum, ilsum, res_parts))
+    residuals = [r for c in res_h for r in c]
     out = {}
     for name, g in zip(("vp", "vs", "rho"), gsum):
+        g = np.asarray(g, np.float64)
         if precond:
-            g = g / np.sqrt(illum_sum + 1e-30)
+            g = g / np.sqrt(np.asarray(ilsum, np.float64) + 1e-30)
         if mask is not None:
             g = g * mask
-        out[name] = g.astype(np.float64)
-    return fval, out, residuals
+        out[name] = g
+    return float(fval), out, residuals
 
 
 class ElasticFwiLoss:

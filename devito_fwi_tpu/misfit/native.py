@@ -58,11 +58,17 @@ def _load():
                                    ctypes.POINTER(ctypes.c_float)]
     lib.bfm2d_gradient.restype = ctypes.c_int
     dp = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
-    lib.bfm2d_gradient_timed.argtypes = [fp, fp, ctypes.c_int, ctypes.c_int,
-                                         ctypes.c_int, ctypes.c_float,
-                                         ctypes.c_int, fp,
-                                         ctypes.POINTER(ctypes.c_float), dp]
-    lib.bfm2d_gradient_timed.restype = ctypes.c_int
+    try:
+        # optional symbol: a stale pre-r4 .so (make failed, binary
+        # survives) must degrade to phases-unavailable, not break
+        # available() for every caller
+        lib.bfm2d_gradient_timed.argtypes = [
+            fp, fp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int, fp,
+            ctypes.POINTER(ctypes.c_float), dp]
+        lib.bfm2d_gradient_timed.restype = ctypes.c_int
+    except AttributeError:
+        pass
     lib.bfm2d_gradient_batch.argtypes = [fp, fp, ctypes.c_int, ctypes.c_int,
                                          ctypes.c_int, ctypes.c_int,
                                          ctypes.c_float, ctypes.c_int, fp, fp]
@@ -102,6 +108,10 @@ def bfm_gradient(f, g, num_steps=10, step_scale=1.0, nsub=2,
     grad = np.empty_like(f)
     loss = ctypes.c_float(0.0)
     if return_phases:
+        if not hasattr(lib, "bfm2d_gradient_timed"):
+            raise RuntimeError(
+                "libbfm2d.so predates the timed ABI — rebuild with "
+                "`make -C native`")
         phases = np.zeros(4, dtype=np.float64)
         rc = lib.bfm2d_gradient_timed(f, g, n1, n2, int(num_steps),
                                       float(step_scale), int(nsub), grad,

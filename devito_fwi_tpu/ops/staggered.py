@@ -242,8 +242,12 @@ def elastic_forward_seg(lam, mu, b, damp, src_wav, src_idx, src_w, rec_idx,
     dtype = lam.dtype
     ndim = len(spacing)
     if hoist is None:
-        import os
-        hoist = os.environ.get("DEVITO_FWI_TPU_ELASTIC_HOIST", "1") == "1"
+        # deliberate: an env knob here would be read at TRACE time and
+        # ignored by the callers' static trace keys (the bfm ANCHOR_A/W
+        # footgun this repo already fixed once) — pass hoist explicitly
+        # for A/Bs. Hoisted measured a wash vs in-step on chip
+        # (0.663 vs 0.671 s, Marmousi2 4-shot vjp gradient).
+        hoist = True
     step, init = _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx,
                                rec_w, dt, spacing, space_order, avg,
                                hoist=hoist)

@@ -14,7 +14,7 @@ shots whose contributions are masked by a validity weight.
 from __future__ import annotations
 
 import os
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 
 import numpy as np
 import jax
@@ -167,7 +167,8 @@ def fwi_obj_sharded(geometry, obs, misfit_func, direct_wave=None, mask=None,
     static = dict(nt=geometry.nt, spacing=model.spacing,
                   space_order=model.space_order, kernel="OT2", fs=model.fs)
     spacing, shape = model.spacing, model.shape
-    rec_positions = jnp.asarray(geometry.rec_positions)
+    rec_positions = jnp.asarray(geometry.rec_positions,
+                                dtype=model.dtype)
 
     mesh = mesh or shot_mesh()
     ndev = mesh.devices.size
@@ -406,7 +407,8 @@ def _fwi_obj_sharded_host(geometry, obs, misfit_func, direct_wave, mask,
     static = dict(nt=geometry.nt, spacing=model.spacing,
                   space_order=model.space_order, kernel="OT2", fs=model.fs)
     spacing, shape = model.spacing, model.shape
-    rec_positions = jnp.asarray(geometry.rec_positions)
+    rec_positions = jnp.asarray(geometry.rec_positions,
+                                dtype=model.dtype)
 
     mesh = mesh or shot_mesh()
     ndev = mesh.devices.size
@@ -697,7 +699,8 @@ def fwi_obj_sharded2d(geometry, obs, misfit_func, direct_wave=None,
     s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid = (
         jax.device_put(a, shot_sh)
         for a in (s_idx_p, s_w_p, obs_p, dw_p, sp_p, valid))
-    rec_positions = jnp.asarray(geometry.rec_positions)
+    rec_positions = jnp.asarray(geometry.rec_positions,
+                                dtype=model.dtype)
     r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
     src_wav = jnp.asarray(src_wav)
 
@@ -822,14 +825,20 @@ def tti_fwi_obj_sharded(geometry, obs, misfit_func=None, direct_wave=None,
     epsilon = jnp.asarray(model.epsilon)
     delta = jnp.asarray(model.delta)
     theta = jnp.asarray(model.theta)
-    phi = jnp.asarray(model.phi) if model.dim == 3 and \
-        isinstance(getattr(model, "phi", 0), np.ndarray) else None
+    # a CONSTANT azimuth is stored as a plain scalar, not an ndarray —
+    # dropping it to None would silently rotate with phi=0 (review r4)
+    phi = None
+    if model.dim == 3:
+        p = getattr(model, "phi", None)
+        if p is not None and not (np.ndim(p) == 0 and float(p) == 0.0):
+            phi = jnp.asarray(p)
     dt = float(_solver_dt(geometry))
     pads, shape, spacing = _pads(model), model.shape, model.spacing
     static = dict(nt=geometry.nt, spacing=spacing,
                   space_order=model.space_order,
                   n_checkpoints=n_checkpoints)
-    rec_positions = jnp.asarray(geometry.rec_positions)
+    rec_positions = jnp.asarray(geometry.rec_positions,
+                                dtype=model.dtype)
     r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
     src_wav = jnp.asarray(src_wav)
 
@@ -1015,56 +1024,18 @@ def elastic_fwi_obj_sharded(geometry, obs, misfit_func=None,
          jnp.asarray(geometry.src_positions, dtype=model.dtype)],
         geometry.nsrc, ndev, model.dtype)
 
-    def fix(g, sp):
-        return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
-
-    def per_shot(si, sw, obs_i, dw_i, sp, w):
-        def fwd(vp_, vs_, rho_):
-            vpp = jnp.pad(vp_, pads, mode="edge")
-            vsp = jnp.pad(vs_, pads, mode="edge")
-            rhp = jnp.pad(rho_, pads, mode="edge")
-            lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
-            mu = rhp * vsp * vsp
-            rec1, _, illum = _st.elastic_forward_seg(
-                lam, mu, 1.0 / rhp, damp, src_wav, si, sw, r_idx, r_w,
-                dt, nt=nt, spacing=spacing, space_order=so,
-                n_checkpoints=nck)
-            return rec1, _crop(illum, pads, shape)
-
-        if calc_grad:
-            (rec1, illum), vjp = jax.vjp(fwd, vp, vs, rho)
-        else:
-            rec1, illum = fwd(vp, vs, rho)
-        f, res = misfit_jax(rec1 - dw_i, obs_i - dw_i)
-        if not calc_grad:
-            z = jnp.zeros(shape, vp.dtype)
-            return f * w, (z, z, z), z
-        grads = vjp((res.astype(vp.dtype), jnp.zeros_like(illum)))
-        return (f * w, tuple(fix(g, sp) * w for g in grads),
-                fix(illum, sp) * w)
-
-    @partial(shard_map, mesh=mesh, check_vma=False,
-             in_specs=(P("shots"), P("shots"), P("shots"), P("shots"),
-                       P("shots"), P("shots")),
-             out_specs=(P(), P(), P()))
-    def run(si, sw, ob, dw, sp, w):
-        f, g, il = jax.vmap(per_shot)(si, sw, ob, dw, sp, w)
-        f = jax.lax.psum(jnp.sum(f), "shots")
-        g = tuple(jax.lax.psum(jnp.sum(x, axis=0), "shots") for x in g)
-        il = jax.lax.psum(jnp.sum(il, axis=0), "shots")
-        return f, g, il
-
-    # the rematted elastic body is deliberately unjitted (callers jit);
-    # an eagerly-evaluated closed_call inside shard_map is unsupported
-    run = jax.jit(run)
+    run = _elastic_sharded_runner(mesh, dt, nt, spacing, so, nck, pads,
+                                  shape, misfit_jax, bool(calc_grad))
 
     nsrc_p = int(s_idx_p.shape[0])
     chunk_len = min(nsrc_p, ndev * 4)
     fval, gsum, ilsum = 0.0, None, None
     for lo in range(0, nsrc_p, chunk_len):
         hi = min(lo + chunk_len, nsrc_p)
-        f_c, g_c, il_c = run(s_idx_p[lo:hi], s_w_p[lo:hi], obs_p[lo:hi],
-                             dw_p[lo:hi], sp_p[lo:hi], valid[lo:hi])
+        f_c, g_c, il_c = run(vp, vs, rho, damp, src_wav, r_idx, r_w,
+                             rec_pos, s_idx_p[lo:hi], s_w_p[lo:hi],
+                             obs_p[lo:hi], dw_p[lo:hi], sp_p[lo:hi],
+                             valid[lo:hi])
         fval += float(f_c)
         if calc_grad:
             g_c = tuple(np.asarray(x, np.float64) for x in g_c)
@@ -1082,3 +1053,55 @@ def elastic_fwi_obj_sharded(geometry, obs, misfit_func=None,
             g = g * mask
         out[name] = g
     return fval, out
+
+
+@_lru_cache(maxsize=16)
+def _elastic_sharded_runner(mesh, dt, nt, spacing, space_order,
+                            n_checkpoints, pads, shape, misfit_jax,
+                            calc_grad):
+    """Cached, jitted shard_map runner for the elastic sharded
+    objective. All fields enter as replicated ARGUMENTS (a per-call
+    closure would recompile every invocation and bake grid-sized arrays
+    into the program as constants, which round-trip the tunnel at
+    compile time — CLAUDE.md); the per-shot body is the SAME
+    ``elastic_fwi._elastic_fwd_factory`` closure as the single-chip
+    chunk objective (one place for the per-shot convention)."""
+    from ..fwi import _fix_illum_jax
+    from ..elastic_fwi import _elastic_fwd_factory
+
+    def body(vp, vs, rho, damp, src_wav, r_idx, r_w, rec_pos,
+             si_b, sw_b, ob_b, dw_b, sp_b, w_b):
+        fwd_factory = _elastic_fwd_factory(
+            damp, src_wav, r_idx, r_w, dt, nt=nt, spacing=spacing,
+            space_order=space_order, n_checkpoints=n_checkpoints,
+            pads=pads, shape=shape)
+
+        def fix(g, sp):
+            return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
+
+        def per_shot(si, sw, obs_i, dw_i, sp, w):
+            fwd = fwd_factory(si, sw)
+            if calc_grad:
+                (rec1, illum), vjp = jax.vjp(fwd, vp, vs, rho)
+            else:
+                rec1, illum = fwd(vp, vs, rho)
+            f, res = misfit_jax(rec1 - dw_i, obs_i - dw_i)
+            if not calc_grad:
+                z = jnp.zeros(shape, vp.dtype)
+                return f * w, (z, z, z), z
+            grads = vjp((res.astype(vp.dtype), jnp.zeros_like(illum)))
+            return (f * w, tuple(fix(g, sp) * w for g in grads),
+                    fix(illum, sp) * w)
+
+        f, g, il = jax.vmap(per_shot)(si_b, sw_b, ob_b, dw_b, sp_b, w_b)
+        f = jax.lax.psum(jnp.sum(f), "shots")
+        g = tuple(jax.lax.psum(jnp.sum(x, axis=0), "shots") for x in g)
+        il = jax.lax.psum(jnp.sum(il, axis=0), "shots")
+        return f, g, il
+
+    sm = shard_map(body, mesh=mesh, check_vma=False,
+                   in_specs=(P(),) * 8 + (P("shots"),) * 6,
+                   out_specs=(P(), (P(), P(), P()), P()))
+    # jit: an eagerly-evaluated closed_call (the unjitted rematted
+    # elastic body) inside shard_map is unsupported
+    return jax.jit(sm)

@@ -38,24 +38,37 @@ def _field(model, name, default=None):
     return val
 
 
+@partial(jax.jit, static_argnames=("kernel", "time_order", "nt",
+                                   "spacing", "space_order"))
+def _visco_fm_batch(vp, b, qp, damp, src_wav, s_idx, s_w, r_idx, r_w, dt,
+                    f0, *, kernel, time_order, nt, spacing, space_order):
+    # module-level jit with array ARGUMENTS — a per-call closure would
+    # recompile every invocation and bake the grid-sized fields in as
+    # program constants (CLAUDE.md: constants round-trip the tunnel at
+    # compile time)
+    fwd = partial(_va.forward, kernel=kernel, time_order=time_order,
+                  nt=nt, spacing=spacing, space_order=space_order,
+                  save=False)
+    return jax.vmap(lambda a, c: fwd(vp, b, qp, damp, src_wav, a, c,
+                                     r_idx, r_w, dt, f0)[0])(s_idx, s_w)
+
+
 def visco_fm_multi(geometry, kernel="sls", time_order=2):
     """Model all shots through the viscoacoustic propagator; returns a
     list of PointSource gathers (one batched program)."""
     model = geometry.model
     model._initialize_bcs(bcs="mask")
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
-    fwd = partial(_va.forward, kernel=kernel, time_order=time_order,
-                  nt=geometry.nt, spacing=model.spacing,
-                  space_order=model.space_order, save=False)
-    rec = jax.jit(lambda si, sw: jax.vmap(
-        lambda a, c: fwd(jnp.asarray(_field(model, "vp")),
-                         jnp.asarray(_field(model, "b", 1.0)),
-                         jnp.asarray(_field(model, "qp")),
-                         jnp.asarray(_field(model, "damp", 1.0)),
-                         jnp.asarray(src_wav), a, c, jnp.asarray(r_idx),
-                         jnp.asarray(r_w), float(model.critical_dt),
-                         geometry.f0)[0])(si, sw))(
-        jnp.asarray(s_idx), jnp.asarray(s_w))
+    rec = _visco_fm_batch(
+        jnp.asarray(_field(model, "vp")),
+        jnp.asarray(_field(model, "b", 1.0)),
+        jnp.asarray(_field(model, "qp")),
+        jnp.asarray(_field(model, "damp", 1.0)),
+        jnp.asarray(src_wav), jnp.asarray(s_idx), jnp.asarray(s_w),
+        jnp.asarray(r_idx), jnp.asarray(r_w),
+        float(model.critical_dt), geometry.f0, kernel=kernel,
+        time_order=time_order, nt=geometry.nt, spacing=model.spacing,
+        space_order=model.space_order)
     rec = np.asarray(rec)
     shots = []
     for i in range(geometry.nsrc):
@@ -163,8 +176,9 @@ def visco_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
               calc_grad=calc_grad, pads=pads, shape=model.shape,
               illum_fix=illum_fix)
 
-    fval, gsum, ilsum = 0.0, None, None
-    residuals = []
+    # device-side accumulation, ONE fetch (see elastic_fwi — per-chunk
+    # round trips are the measured tunnel tax)
+    f_parts, g_parts, il_parts, res_parts = [], [], [], []
     for lo in range(0, nshots, shot_chunk):
         hi = min(lo + shot_chunk, nshots)
         f, grads, illum, res = _visco_shots_obj(
@@ -174,24 +188,34 @@ def visco_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
             jnp.asarray(obs_stack[lo:hi]), jnp.asarray(dw_stack[lo:hi]),
             jnp.asarray(src_pos[lo:hi]), jnp.asarray(rec_pos),
             float(model.critical_dt), geometry.f0, **kw)
-        fval += float(f)
-        residuals.extend(np.asarray(res))
+        f_parts.append(f)
+        res_parts.append(res)
         if calc_grad:
-            grads = tuple(np.asarray(g) for g in grads)
-            gsum = grads if gsum is None else \
-                tuple(a + c for a, c in zip(gsum, grads))
-            illum = np.asarray(illum)
-            ilsum = illum if ilsum is None else ilsum + illum
+            g_parts.append(grads)
+            il_parts.append(illum)
+    fval_d = f_parts[0]
+    for f in f_parts[1:]:
+        fval_d = fval_d + f
     if not calc_grad:
-        return fval, None, residuals
+        fval, res_h = jax.device_get((fval_d, res_parts))
+        return float(fval), None, [r for c in res_h for r in c]
+    gsum = g_parts[0]
+    ilsum = il_parts[0]
+    for grads, illum in zip(g_parts[1:], il_parts[1:]):
+        gsum = tuple(a + c for a, c in zip(gsum, grads))
+        ilsum = ilsum + illum
+    fval, gsum, ilsum, res_h = jax.device_get(
+        (fval_d, gsum, ilsum, res_parts))
+    residuals = [r for c in res_h for r in c]
     out = {}
     for name, g in zip(("vp", "qp"), gsum):
+        g = np.asarray(g, np.float64)
         if precond:
-            g = g / np.sqrt(ilsum + 1e-30)
+            g = g / np.sqrt(np.asarray(ilsum, np.float64) + 1e-30)
         if mask is not None:
             g = g * mask
-        out[name] = g.astype(np.float64)
-    return fval, out, residuals
+        out[name] = g
+    return float(fval), out, residuals
 
 
 class ViscoFwiLoss:

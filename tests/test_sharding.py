@@ -430,7 +430,7 @@ def test_tti_sharded_gradient_matches_serial():
             jnp.asarray(s_w[i]), starts, res, jnp.asarray(r_idx),
             jnp.asarray(r_w), dt, **kw)
         sp = jnp.asarray(geom.src_positions[i], dtype=model.dtype)
-        rp = jnp.asarray(geom.rec_positions)
+        rp = jnp.asarray(geom.rec_positions, dtype=model.dtype)
         g_i = _fix_illum_jax(_crop(g_i, pads, shape), sp, rp, spacing,
                              shape)
         il_i = _fix_illum_jax(_crop(illum, pads, shape), sp, rp, spacing,
@@ -530,3 +530,72 @@ def test_elastic_sharded_gradient_matches_serial():
     for k in ("vp", "vs", "rho"):
         scale = max(np.abs(g_ref[k]).max(), 1e-20)
         assert np.abs(g_sh[k] - g_ref[k]).max() < 1e-5 * scale, k
+
+
+def test_tti3d_sharded_gradient_matches_serial_with_phi():
+    """3-D TTI sharded gradient with a CONSTANT scalar azimuth: the
+    scalar phi must reach the kernels (review r4: a non-ndarray phi was
+    silently dropped to None = phi=0) — parity vs the serial pair which
+    passes phi explicitly."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu.fwi import (_batched_tables, _solver_dt, _crop,
+                                    _fix_illum_jax, _pads)
+    from devito_fwi_tpu.misfit.w2 import least_square_jax
+    from devito_fwi_tpu.ops import tti
+    from devito_fwi_tpu.parallel.sharding import tti_fwi_obj_sharded
+    from devito_fwi_tpu import SeismicModel
+
+    nsrc = 2
+    shape = (17, 15, 13)
+    vp = np.full(shape, 2.0, np.float32)
+    vp[:, :, 6:] = 2.4
+    f = np.full(shape, 0.1, np.float32)
+    model = SeismicModel(origin=(0., 0., 0.), spacing=(15., 15., 15.),
+                         shape=shape, space_order=4, vp=vp, epsilon=f,
+                         delta=0.5 * f, theta=0.4 * f, phi=0.3,
+                         nbl=4, bcs="damp")
+    assert not isinstance(model.phi, np.ndarray)  # the scalar case
+    src = np.stack([np.linspace(40., 200., nsrc), np.full(nsrc, 100.0),
+                    np.full(nsrc, 20.0)], 1)
+    rec = np.stack([np.linspace(0., 240., 9), np.full(9, 100.0),
+                    np.full(9, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 100., f0=0.015,
+                               src_type="Ricker")
+
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geom)
+    dt = float(_solver_dt(geom))
+    args = (jnp.asarray(model.vp), jnp.asarray(model.damp),
+            jnp.asarray(model.epsilon), jnp.asarray(model.delta),
+            jnp.asarray(model.theta), jnp.asarray(model.phi))
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=4,
+              n_checkpoints=4)
+    obs = np.zeros((nsrc, geom.nt, 9), np.float32)
+
+    pads, shape_, spacing = _pads(model), model.shape, model.spacing
+    f_ref, g_ref, il_ref = 0.0, 0.0, 0.0
+    for i in range(nsrc):
+        rec_i, starts, illum = tti.forward_ckpt(
+            *args, jnp.asarray(src_wav), jnp.asarray(s_idx[i]),
+            jnp.asarray(s_w[i]), jnp.asarray(r_idx), jnp.asarray(r_w),
+            dt, with_illum=True, **kw)
+        f_i, res = least_square_jax(rec_i, jnp.asarray(obs[i]))
+        g_i, _ = tti.jacobian_adjoint_from_ckpt(
+            *args, jnp.asarray(src_wav), jnp.asarray(s_idx[i]),
+            jnp.asarray(s_w[i]), starts, res, jnp.asarray(r_idx),
+            jnp.asarray(r_w), dt, **kw)
+        sp = jnp.asarray(geom.src_positions[i], dtype=model.dtype)
+        rp = jnp.asarray(geom.rec_positions, dtype=model.dtype)
+        g_i = _fix_illum_jax(_crop(g_i, pads, shape_), sp, rp, spacing,
+                             shape_)
+        il_i = _fix_illum_jax(_crop(illum, pads, shape_), sp, rp,
+                              spacing, shape_)
+        f_ref += float(f_i)
+        g_ref = g_ref + np.asarray(g_i, np.float64)
+        il_ref = il_ref + np.asarray(il_i, np.float64)
+    g_ref = g_ref / np.sqrt(il_ref + 1e-30)
+
+    f_sh, g_sh = tti_fwi_obj_sharded(geom, obs, least_square,
+                                     calc_grad=True, n_checkpoints=4)
+    assert np.isclose(f_sh, f_ref, rtol=1e-5)
+    scale = np.abs(g_ref).max()
+    assert np.abs(g_sh - g_ref).max() < 1e-5 * scale
