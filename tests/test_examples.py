@@ -55,3 +55,23 @@ def test_driver_resume_appends_logs(tmp_path):
     with open(os.path.join(odir, "log0", "optim_info")) as f:
         table = f.read()
     assert "         1 " in table and "         2 " in table
+
+
+@pytest.mark.slow
+def test_marmousi2_elastic_driver_runs():
+    """End-to-end `marmousi2_fwi --physics elastic` (the BASELINE
+    north-star workload): one L-BFGS iteration on 2 shots completes and
+    writes the inversion result file."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    odir = os.path.join("/tmp", "el_driver_test")
+    import shutil
+    shutil.rmtree(odir, ignore_errors=True)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "drivers/marmousi2_fwi.py"),
+         "--physics", "elastic", "--misfit", "0", "--nsrc", "2",
+         "--maxiter", "1", "--maxls", "3", "--odir", odir],
+        env=env, capture_output=True, text=True, timeout=1500, cwd=REPO)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert os.path.exists(os.path.join(odir,
+                                       "marmousi_elastic_result_misfit_0"))
+    assert "final model range" in out.stdout
