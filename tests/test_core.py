@@ -347,3 +347,42 @@ def test_subset_and_shot_geometry_preserve_wavelet_params():
     base = AcquisitionGeometry(model, rec, src[:1], 0.0, 200.0, f0=0.015,
                                src_type="Ricker")
     assert not np.allclose(_shot_geometry(geo, 0).src.data, base.src.data)
+
+
+def test_model_vp_device_guard_and_mask_digest():
+    """r4 glue-path regressions: (a) _model_vp_device ships the cropped
+    vp only when re-padding reproduces the model's padded field exactly
+    — a hand-edited halo must fall back to the full upload; (b)
+    _mask_device revalidates by content digest so in-place mask edits
+    are seen."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu import SeismicModel
+    from devito_fwi_tpu.fwi import (_finalize_grad_device, _mask_device,
+                                    _model_vp_device)
+
+    shape = (21, 17)
+    vp = np.linspace(1.5, 3.0, shape[0] * shape[1]).reshape(shape) \
+        .astype(np.float32)
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.), shape=shape,
+                         space_order=4, vp=vp, nbl=4, bcs="damp")
+    dev = np.asarray(_model_vp_device(model))
+    np.testing.assert_array_equal(dev, np.asarray(model.vp))
+    # poke the halo so it is NOT an edge replication anymore
+    model.vp[0, 0] += 0.5
+    dev2 = np.asarray(_model_vp_device(model))
+    np.testing.assert_array_equal(dev2, np.asarray(model.vp))
+
+    mask = np.ones(shape, np.float32)
+    d1 = np.array(_mask_device(mask), copy=True)  # snapshot (CPU jax
+    # may alias the numpy buffer, so a view would follow the edit)
+    mask[:, :5] = 0.0   # in-place edit, same ndarray object
+    d2 = np.asarray(_mask_device(mask))
+    np.testing.assert_array_equal(d2, mask)
+    assert not np.array_equal(d1, d2)
+
+    g = jnp.asarray(np.full(shape, 2.0, np.float32))
+    il = jnp.asarray(np.full(shape, 4.0, np.float32))
+    out = np.asarray(_finalize_grad_device(g, il, jnp.asarray(mask),
+                                           precond=True, with_mask=True))
+    np.testing.assert_allclose(out, (2.0 / np.sqrt(4.0 + 1e-30)) * mask,
+                               rtol=1e-6)
