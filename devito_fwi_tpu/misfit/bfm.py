@@ -661,12 +661,13 @@ def _pallas_push(subs, n1, n2, G, dxmax, margin, R, fold="loop",
     dy = jnp.where(act, yI - r, margin)
     # fold clipped targets (yO == yI / xO == xI at grid edges) into the
     # base weight so the kernel's +1 placement stays uniform
+    # complementary weights (wy1 = yf*mass, wx1 = xf) derive IN the
+    # kernel as mass - wy0 / 1 - wx0 (exact for clipped cells, <=1 ulp
+    # otherwise) — two fewer full-size planes through HBM
     yclip = yO == yI
     wy0 = jnp.where(yclip, mass, (1 - yf) * mass)
-    wy1 = jnp.where(yclip, 0.0, yf * mass)
     xclip = xO == xI
     wx0 = jnp.where(xclip, jnp.ones((), dtype), (1 - xf))
-    wx1 = jnp.where(xclip, 0.0, xf)
     dxr = jnp.clip(xI - c + dxmax, 0, 2 * dxmax + 1)
 
     if prep_mode == "nat":
@@ -684,8 +685,8 @@ def _pallas_push(subs, n1, n2, G, dxmax, margin, R, fold="loop",
         rel = (dy_p - base_rows[:, None, :, None]).astype(jnp.int32)
         slabs = _pb.pushforward_slabs_nat(
             rel, prep(dxr).astype(jnp.int32), prep(wy0).astype(dtype),
-            prep(wy1).astype(dtype), prep(wx0, 1).astype(dtype),
-            prep(wx1).astype(dtype), G=G, dxmax=dxmax, R=R,
+            prep(mass).astype(dtype), prep(wx0, 1).astype(dtype),
+            G=G, dxmax=dxmax, R=R,
             interpret=_pb.env_interpret())           # (B, nblk, R+G, lanes)
     else:
         def prep(a, fill=0):
@@ -700,8 +701,8 @@ def _pallas_push(subs, n1, n2, G, dxmax, margin, R, fold="loop",
         rel = (dy_b - bases[:, :, None, None, None]).astype(jnp.int32)
         slabs = _pb.pushforward_slabs(
             rel, prep(dxr).astype(jnp.int32), prep(wy0).astype(dtype),
-            prep(wy1).astype(dtype), prep(wx0, 1).astype(dtype),
-            prep(wx1).astype(dtype), G=G, dxmax=dxmax, R=R,
+            prep(mass).astype(dtype), prep(wx0, 1).astype(dtype),
+            G=G, dxmax=dxmax, R=R,
             interpret=_pb.env_interpret())           # (B, nblk, R+G, lanes)
 
     if fold == "vec":

@@ -242,14 +242,21 @@ def legendre_banded(u, W, K, interpret=False):
 # local-base banded pushforward slabs
 # ---------------------------------------------------------------------------
 
-def _push_block(rel, dxr, wy0, wy1, wx0, wx1, *, Q, R, G, DX, lanes):
+def _push_block(rel, dxr, wy0, mass, wx0, *, Q, R, G, DX, lanes):
     """One (shot, row-block): accumulate bilinear contributions into the
     returned (R+G, lanes) slab. rel = dy - base in [0, G-2] for active
     cells (inactive cells carry zero weights); dxr = xI - c + dxmax in
     [0, DX-2]. Every operand is a (Q, R, lanes) value. The slab is
     assembled as a sum of row-padded value concatenates — no
-    sublane-offset read-modify-writes of refs."""
+    sublane-offset read-modify-writes of refs.
+
+    The complementary weights derive IN VMEM (wy1 = mass - wy0,
+    wx1 = 1 - wx0: exact for clipped cells, <=1 ulp of yf*m / xf
+    otherwise) — two fewer (B, Q, n2p, lanes) planes through HBM per
+    call than the original 6-plane prep."""
     dtype = wy0.dtype
+    wy1 = [mass[q] - wy0[q] for q in range(Q)]
+    wx1 = [1.0 - wx0[q] for q in range(Q)]
 
     # x-selection planes, hoisted out of the g loop:
     # xsel[q][e] = (dxr_q == e) * wx0_q + (dxr_q == e-1) * wx1_q
@@ -290,7 +297,7 @@ def _push_block(rel, dxr, wy0, wy1, wx0, wx1, *, Q, R, G, DX, lanes):
     return slab
 
 
-def _push_kernel(rel_ref, dxr_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
+def _push_kernel(rel_ref, dxr_ref, wy0_ref, mass_ref, wx0_ref,
                  slab_ref, *, Q, R, G, DX, lanes):
     """Blocked-layout kernel: each grid step sees KB pre-transposed
     (Q, R, lanes) row-blocks."""
@@ -298,26 +305,27 @@ def _push_kernel(rel_ref, dxr_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
     for kb in range(KB):
         slab_ref[0, kb] = _push_block(
             rel_ref[0, kb], dxr_ref[0, kb], wy0_ref[0, kb],
-            wy1_ref[0, kb], wx0_ref[0, kb], wx1_ref[0, kb],
+            mass_ref[0, kb], wx0_ref[0, kb],
             Q=Q, R=R, G=G, DX=DX, lanes=lanes)
 
 
-def _push_kernel_nat(rel_ref, dxr_ref, wy0_ref, wy1_ref, wx0_ref,
-                     wx1_ref, slab_ref, *, Q, R, G, DX, lanes):
+def _push_kernel_nat(rel_ref, dxr_ref, wy0_ref, mass_ref, wx0_ref,
+                     slab_ref, *, Q, R, G, DX, lanes):
     """Natural-layout kernel: the BlockSpec index map slices the
     (1, Q, R, lanes) block straight out of the (B, Q, n2p, lanes)
     planes — no host-side transposes."""
     slab_ref[0, 0] = _push_block(
-        rel_ref[0], dxr_ref[0], wy0_ref[0], wy1_ref[0], wx0_ref[0],
-        wx1_ref[0], Q=Q, R=R, G=G, DX=DX, lanes=lanes)
+        rel_ref[0], dxr_ref[0], wy0_ref[0], mass_ref[0], wx0_ref[0],
+        Q=Q, R=R, G=G, DX=DX, lanes=lanes)
 
 
 @partial(jax.jit, static_argnames=("G", "dxmax", "R", "interpret", "KB"))
-def pushforward_slabs(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
+def pushforward_slabs(rel, dxr, wy0, mass, wx0, *, G, dxmax, R,
                       interpret=False, KB=None):
     """Run the slab kernel over a (B, nblk) grid. Inputs are
-    (B, nblk, Q, R, lanes) preprocessed planes; returns slabs
-    (B, nblk, R+G, lanes) whose row 0 is the block's base target row."""
+    (B, nblk, Q, R, lanes) preprocessed planes (complementary weights
+    derive in-kernel); returns slabs (B, nblk, R+G, lanes) whose row 0
+    is the block's base target row."""
     import jax.experimental.pallas as pl
     import jax.experimental.pallas.tpu as pltpu
 
@@ -337,8 +345,8 @@ def pushforward_slabs(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
     nblk_p = -(-nblk // KB) * KB
     if nblk_p != nblk:
         pads = [(0, 0), (0, nblk_p - nblk), (0, 0), (0, 0), (0, 0)]
-        rel, dxr, wy0, wy1, wx1 = (jnp.pad(a, pads)
-                                   for a in (rel, dxr, wy0, wy1, wx1))
+        rel, dxr, wy0, mass = (jnp.pad(a, pads)
+                               for a in (rel, dxr, wy0, mass))
         wx0 = jnp.pad(wx0, pads, constant_values=1)
     ispec = pl.BlockSpec((1, KB, Q, R, lanes),
                          lambda b, j: (b, j, 0, 0, 0),
@@ -346,19 +354,19 @@ def pushforward_slabs(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
     out = pl.pallas_call(
         partial(_push_kernel, Q=Q, R=R, G=G, DX=DX, lanes=lanes),
         grid=(B, nblk_p // KB),
-        in_specs=(ispec,) * 6,
+        in_specs=(ispec,) * 5,
         out_shape=jax.ShapeDtypeStruct((B, nblk_p, R + G, lanes),
                                        wy0.dtype),
         out_specs=pl.BlockSpec((1, KB, R + G, lanes),
                                lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rel, dxr, wy0, wy1, wx0, wx1)
+    )(rel, dxr, wy0, mass, wx0)
     return out[:, :nblk]
 
 
 @partial(jax.jit, static_argnames=("G", "dxmax", "R", "interpret"))
-def pushforward_slabs_nat(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
+def pushforward_slabs_nat(rel, dxr, wy0, mass, wx0, *, G, dxmax, R,
                           interpret=False):
     """Slab kernel over NATURAL-layout (B, Q, n2p, lanes) planes: the
     grid's BlockSpec index maps do the (shot, row-block) slicing that
@@ -379,11 +387,11 @@ def pushforward_slabs_nat(rel, dxr, wy0, wy1, wx0, wx1, *, G, dxmax, R,
     return pl.pallas_call(
         partial(_push_kernel_nat, Q=Q, R=R, G=G, DX=DX, lanes=lanes),
         grid=(B, nblk),
-        in_specs=(ispec,) * 6,
+        in_specs=(ispec,) * 5,
         out_shape=jax.ShapeDtypeStruct((B, nblk, R + G, lanes),
                                        wy0.dtype),
         out_specs=pl.BlockSpec((1, 1, R + G, lanes),
                                lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rel, dxr, wy0, wy1, wx0, wx1)
+    )(rel, dxr, wy0, mass, wx0)
