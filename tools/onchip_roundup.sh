@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 on-chip measurement roundup — run when the TPU tunnel is back.
+# Round-4 on-chip measurement roundup — run when the TPU tunnel is back.
 # Each step is bounded and logs to /tmp/roundup/; safe to re-run.
 # ORDERED BY VALUE: the judge-facing artifacts (parity suite, bench)
 # run first in case the tunnel dies again mid-roundup.
@@ -20,8 +20,8 @@ if [ "${B}" != "tpu" ] && [ "${B}" != "axon" ]; then
     exit 1
 fi
 
-echo "== 1. on-chip parity suite (ONCHIP_r03.json) =="
-timeout 3600 python tools/run_onchip.py ONCHIP_r03.json 2>&1 | tail -3
+echo "== 1. on-chip parity suite (ONCHIP_r04.json) =="
+timeout 3600 python tools/run_onchip.py ONCHIP_r04.json 2>&1 | tail -3
 
 echo "== 2. full bench =="
 timeout 3600 python bench.py 2>&1 | tee /tmp/roundup/bench.log | tail -2

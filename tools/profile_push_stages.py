@@ -19,7 +19,6 @@ sys.path.insert(0, os.path.join(
 import numpy as np
 import jax
 import jax.numpy as jnp
-from functools import partial
 
 from _marmousi_common import SMARMN, setup
 from devito_fwi_tpu.fwi import fm_multi
