@@ -319,3 +319,23 @@ def test_elastic_3d_forward_and_gradient_fd():
     fd = (float(loss(lam + d)) - float(loss(lam - d))) / 2.0
     an = float(jnp.sum(g * jnp.asarray(d)))
     assert abs(fd - an) <= 5e-5 * max(abs(fd), abs(an), 1e-16), (fd, an)
+
+
+def test_elastic_obj_with_w2_1d_misfit():
+    """The elastic objective composes with the W2-1d optimal-transport
+    misfit through the same .jax hook as the acoustic path (misfit
+    residual becomes the vjp cotangent)."""
+    from devito_fwi_tpu.misfit import qWasserstein
+
+    model, geom = _setup(dtype=np.float32, tn=160., nsrc=2)
+    obs1, _ = elastic_fm_multi(geom)
+    vp, vs, rho = model_vp_vs_rho(model)
+    w1 = qWasserstein(gamma=1.01, method="1d")
+    f, grads, _ = elastic_fwi_obj_multi(
+        geom, obs1, w1, calc_grad=True,
+        vp=np.asarray(vp) * 1.03, vs=vs, rho=rho, shot_chunk=2,
+        n_checkpoints=5)
+    assert np.isfinite(f) and f > 0
+    for k in ("vp", "vs", "rho"):
+        assert np.isfinite(grads[k]).all()
+        assert np.abs(grads[k]).max() > 0, k
