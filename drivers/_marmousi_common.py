@@ -78,11 +78,13 @@ def make_parser(cfg, fm=False):
                             "shots; random-batch FWI, not in the "
                             "reference)")
         p.add_argument("--physics", type=str, default="acoustic",
-                       choices=["acoustic", "elastic"],
-                       help="propagator: acoustic (reference parity) or "
+                       choices=["acoustic", "elastic", "viscoacoustic"],
+                       help="propagator: acoustic (reference parity), "
                             "elastic staggered-grid Vp/Vs/rho FWI "
-                            "(BASELINE.json north-star config; the "
-                            "reference is forward-only here)")
+                            "(BASELINE.json north-star config), or "
+                            "viscoacoustic SLS (Q-compensated FWI) — "
+                            "the reference has no gradients for the "
+                            "latter two")
         p.add_argument("--resume", type=int, default=0,
                        help="resume from the latest checkpoint under the "
                             "log dir (appends to the same metric files; "
@@ -313,12 +315,116 @@ def run_fwi_elastic(cfg, args):
     return m
 
 
+def setup_visco(cfg, args, nsources):
+    """Viscoacoustic twin of ``setup``: qp from Li's empirical formula
+    (reference ``preset_models.py:349``), rho from Gardner, one pinned
+    dt."""
+    origin = (0, 0)
+    true_vp, smooth_vp = load_models(cfg, args.data_dir)
+    constant_vp = np.ones(cfg.shape, dtype=np.float32) * 1.5
+
+    bathy_mask = np.ones(cfg.shape, dtype=np.float32)
+    bathy_mask[:, :cfg.bathy_rows] = 0
+    if not args.bathy:
+        bathy_mask = None
+
+    def qp_of(vp):
+        return (3.516 * ((vp * 1000.0) ** 2.2) * 1e-6).astype(np.float32)
+
+    def rho_of(vp):
+        rho = (0.31 * (1e3 * vp) ** 0.25).astype(np.float32)
+        rho[:, :cfg.bathy_rows] = 1.0
+        return rho
+
+    def model(vp, dt=None):
+        return SeismicModel(origin=origin, spacing=cfg.spacing,
+                            shape=cfg.shape, space_order=cfg.space_order,
+                            vp=vp, qp=qp_of(vp), b=(1.0 / rho_of(vp)),
+                            nbl=cfg.nbl, fs=False, dt=dt, bcs="mask")
+
+    dt_v = float(model(true_vp).critical_dt)
+    true_model = model(true_vp, dt=dt_v)
+    init_model = model(smooth_vp, dt=dt_v)
+    water_model = model(constant_vp, dt=dt_v)
+
+    src_coordinates = np.empty((nsources, 2))
+    src_coordinates[:, 0] = np.linspace(0, true_model.domain_size[0],
+                                        num=nsources)
+    src_coordinates[:, -1] = 2 * cfg.spacing[0]
+    nreceivers = cfg.shape[0]
+    rec_coordinates = np.empty((nreceivers, 2))
+    rec_coordinates[:, 0] = np.linspace(cfg.spacing[0],
+                                        true_model.domain_size[0]
+                                        - cfg.spacing[0], num=nreceivers)
+    rec_coordinates[:, 1] = 2 * cfg.spacing[0]
+
+    geoms = [AcquisitionGeometry(m, rec_coordinates, src_coordinates, 0.,
+                                 cfg.tn, f0=cfg.f0, src_type="Ricker")
+             for m in (true_model, init_model, water_model)]
+    return (true_model, init_model, water_model), geoms, smooth_vp, \
+        bathy_mask
+
+
+def run_fwi_visco(cfg, args):
+    """Viscoacoustic (SLS) Marmousi FWI: vp inversion in squared
+    slowness with qp/rho pinned at the smooth-model fields — the
+    Q-compensated-FWI CLI entry (no reference counterpart: its
+    viscoacoustic stack has no gradient)."""
+    from devito_fwi_tpu.visco_fwi import ViscoFwiLoss, visco_fm_multi
+
+    result_dir = args.odir
+    misfit_type = args.misfit
+    models, geoms, smooth_vp, bathy_mask = setup_visco(cfg, args,
+                                                       args.nsrc)
+    geometry1, geometry0, geometry2 = geoms
+
+    obs = visco_fm_multi(geometry1)
+    direct_wave = visco_fm_multi(geometry2)
+
+    qW1d = qWasserstein(gamma=1.01, method="1d")
+    qW2d = qWasserstein(gamma=1.01, method="2d",
+                        num_steps=cfg.w2_num_steps,
+                        step_scale=cfg.w2_step_scale)
+    misfit_func = [least_square, qW1d, qW2d][misfit_type]
+
+    loss = ViscoFwiLoss(shot_chunk=4)
+    vmin, vmax = 1.5, 5.2
+    bounds = [1.0 / vmax ** 2, 1.0 / vmin ** 2]
+    m0 = 1. / (smooth_vp.reshape(-1).astype(np.float64)) ** 2
+
+    tic = time()
+    optimizer = LBFGS(memory=10, ls_method="Bracket",
+                      step_len_init=args.steplen, max_ls=args.maxls,
+                      log_path=os.path.join(result_dir,
+                                            "log_va" + str(misfit_type)))
+    minimizer = minimize(optimizer, maxIter=args.maxiter, ftol=args.ftol,
+                         gtol=args.gtol,
+                         batch_size=getattr(args, "batch_size", 0) or None,
+                         checkpoint_freq=args.checkpoint_freq,
+                         resume=bool(args.resume), loss_fn=loss,
+                         log_path=os.path.join(result_dir,
+                                               "log_va" + str(misfit_type)))
+    m = minimizer.run(m0, geometry0, obs, misfit_func, direct_wave,
+                      bathy_mask, args.precond, bounds)
+    print(f"\n Elapsed time: {time() - tic:.2f}s")
+
+    vp = 1.0 / np.sqrt(m.reshape(cfg.shape))
+    vp.astype(np.float32).tofile(
+        os.path.join(result_dir,
+                     "marmousi_visco_result_misfit_" + str(misfit_type)))
+    print("final model range: %.3f %.3f km/s" % (vp.min(), vp.max()))
+    return m
+
+
 def run_fwi(cfg):
     args = make_parser(cfg).parse_args()
     result_dir = args.odir
     os.makedirs(result_dir, exist_ok=True)
-    if getattr(args, "physics", "acoustic") == "elastic":
+    physics = getattr(args, "physics", "acoustic")
+    if physics == "elastic":
         return run_fwi_elastic(cfg, args)
+    if physics == "viscoacoustic":
+        return run_fwi_visco(cfg, args)
     misfit_type = args.misfit
     print("---------------- Parameter Setting ------------\n",
           "\t Result dir: %s \t Misfit function: %d \t Precondition: %d\n"
