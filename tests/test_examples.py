@@ -75,3 +75,22 @@ def test_marmousi2_elastic_driver_runs():
     assert os.path.exists(os.path.join(odir,
                                        "marmousi_elastic_result_misfit_0"))
     assert "final model range" in out.stdout
+
+
+@pytest.mark.slow
+def test_marmousi_visco_driver_runs():
+    """End-to-end `marmousi_fwi --physics viscoacoustic` (Q-FWI CLI):
+    one iteration on 2 shots completes and writes the result file."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    odir = os.path.join("/tmp", "va_driver_test")
+    import shutil
+    shutil.rmtree(odir, ignore_errors=True)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "drivers/marmousi_fwi.py"),
+         "--physics", "viscoacoustic", "--misfit", "0", "--nsrc", "2",
+         "--maxiter", "1", "--maxls", "3", "--odir", odir],
+        env=env, capture_output=True, text=True, timeout=1500, cwd=REPO)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert os.path.exists(os.path.join(odir,
+                                       "marmousi_visco_result_misfit_0"))
+    assert "final model range" in out.stdout
