@@ -126,17 +126,26 @@ def _elastic_fwd_factory(damp, src_wav, r_idx, r_w, dt, *, nt, spacing,
 @partial(jax.jit, static_argnames=("nt", "spacing", "space_order",
                                    "n_checkpoints", "misfit_jax",
                                    "calc_grad", "pads", "shape",
-                                   "illum_fix"))
+                                   "illum_fix", "grad_route",
+                                   "hist_dtype"))
 def _elastic_shots_obj(vp, vs, rho, damp, src_wav, s_idx, s_w, r_idx, r_w,
                        obs1, dw, src_pos, rec_pos, dt, *, nt, spacing,
                        space_order, n_checkpoints, misfit_jax, calc_grad,
-                       pads, shape, illum_fix=True):
+                       pads, shape, illum_fix=True, grad_route="saved",
+                       hist_dtype=None):
     """Fused chunk objective: per-shot forward + misfit on rec1 + (when
-    calc_grad) vjp back to (vp, vs, rho), with each shot's gradient and
+    calc_grad) the (vp, vs, rho) gradient, with each shot's gradient and
     illumination cropped to the physical domain and source/receiver-
     illumination-fixed at THAT shot's source position before the sum —
     the acoustic convention (reference ``fwi.py:166-171``). Returns
-    (fval, (gvp, gvs, grho) summed, illum summed, residual stack)."""
+    (fval, (gvp, gvs, grho) summed, illum summed, residual stack).
+
+    ``grad_route`` picks the gradient machinery: "saved" (default) runs
+    the hand-written adjoint sweep over a saved per-step history
+    (``ops.staggered_grad``, 2 sweeps; history in ``hist_dtype``,
+    bf16-on-TPU by default via the caller); "vjp" keeps the
+    two-level-rematted ``jax.vjp`` route (exact twin, ~2-3 extra
+    recompute sweeps) for A/Bs and as the parity anchor."""
 
     def fix(g, sp):
         if not illum_fix:
@@ -148,7 +157,37 @@ def _elastic_shots_obj(vp, vs, rho, damp, src_wav, s_idx, s_w, r_idx, r_w,
         space_order=space_order, n_checkpoints=n_checkpoints, pads=pads,
         shape=shape)
 
+    def one_saved(si, sw, obs_i, dw_i, sp):
+        from .ops import staggered_grad as _sg
+        vpp = jnp.pad(vp, pads, mode="edge")
+        vsp = jnp.pad(vs, pads, mode="edge")
+        rhp = jnp.pad(rho, pads, mode="edge")
+        lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
+        mu = rhp * vsp * vsp
+        kw = dict(nt=nt, spacing=spacing, space_order=space_order)
+        rec1, illum_pad, hist = _sg.elastic_forward_hist(
+            lam, mu, 1.0 / rhp, damp, src_wav, si, sw, r_idx, r_w, dt,
+            hist_dtype=hist_dtype, **kw)
+        syn = rec1 - dw_i
+        obsd = obs_i - dw_i
+        f, res = misfit_jax(syn, obsd)
+        glam, gmu, gb = _sg.elastic_adjoint_from_hist(
+            lam, mu, 1.0 / rhp, damp, r_idx, r_w, res.astype(vp.dtype),
+            hist, dt, **kw)
+        # chain rule lam = rho (vp^2 - 2 vs^2), mu = rho vs^2,
+        # b = 1/rho — pointwise on the padded grid, then the
+        # edge-pad transpose folds halo cotangents onto edge cells
+        gvp = 2.0 * rhp * vpp * glam
+        gvs = -4.0 * rhp * vsp * glam + 2.0 * rhp * vsp * gmu
+        grho = (vpp * vpp - 2.0 * vsp * vsp) * glam + vsp * vsp * gmu \
+            - gb / (rhp * rhp)
+        grads = tuple(_sg.pad_fold(g, pads) for g in (gvp, gvs, grho))
+        illum = _crop(illum_pad, pads, shape)
+        return (f, tuple(fix(g, sp) for g in grads), fix(illum, sp), res)
+
     def one(si, sw, obs_i, dw_i, sp):
+        if calc_grad and grad_route == "saved":
+            return one_saved(si, sw, obs_i, dw_i, sp)
         fwd = fwd_factory(si, sw)
 
         if calc_grad:
@@ -175,7 +214,7 @@ def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
                           mask=None, precond=True, calc_grad=False,
                           vp=None, vs=None, rho=None, shot_chunk=4,
                           n_checkpoints=0, shot_indices=None,
-                          illum_fix=True):
+                          illum_fix=True, grad_route=None):
     """Multi-shot elastic objective/gradient.
 
     Parameters mirror the acoustic ``fwi_obj_multi``; `obs` is the rec1
@@ -185,6 +224,14 @@ def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
     Returns (fval, {"vp": g, "vs": g, "rho": g}, residuals) with each
     gradient cropped to the physical domain (grads None when not
     calc_grad).
+
+    `grad_route` — "saved" (hand-written adjoint over a saved history;
+    the fast path) or "vjp" (rematted autodiff twin); None reads
+    ``DEVITO_FWI_TPU_ELASTIC_GRAD`` (default "saved"). Resolved HERE,
+    at call time, and passed as a static argument — never inside the
+    trace (the ANCHOR_A/W stale-trace footgun). The saved history is
+    stored in ``stream_hist_dtype()`` (bf16 on TPU) when the model is
+    f32; f64 runs keep an f64 history so the exactness gates hold.
     """
     model = geometry.model
     model._initialize_bcs(bcs="mask")
@@ -230,10 +277,23 @@ def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
         dw_stack = np.zeros((nshots,) + obs_stack.shape[1:],
                             dtype=model.dtype)
     dt = float(model.critical_dt)
+    if grad_route is None:
+        import os
+        grad_route = os.environ.get("DEVITO_FWI_TPU_ELASTIC_GRAD",
+                                    "saved").strip().lower()
+    if grad_route not in ("saved", "vjp"):
+        raise ValueError(f"grad_route={grad_route!r}: expected 'saved' "
+                         f"or 'vjp'")
+    if model.dtype == np.float32:
+        from .ops.pallas_acoustic import stream_hist_dtype
+        hist_dtype = stream_hist_dtype()
+    else:
+        hist_dtype = None
     kw = dict(nt=geometry.nt, spacing=model.spacing,
               space_order=model.space_order, n_checkpoints=n_checkpoints,
               misfit_jax=mj, calc_grad=calc_grad, pads=_pads(model),
-              shape=model.shape, illum_fix=illum_fix)
+              shape=model.shape, illum_fix=illum_fix,
+              grad_route=grad_route, hist_dtype=hist_dtype)
 
     # accumulate chunk results ON DEVICE and fetch once at the end —
     # per-chunk float()/np.asarray fetches were a measured ~35% of the

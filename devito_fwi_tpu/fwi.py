@@ -1033,10 +1033,13 @@ def _mask_device(mask):
     """Upload the gradient mask once per inversion, revalidated by a
     content digest so in-place edits (e.g. a time-varying water-bottom
     mask reusing one ndarray) are seen — id()-only caching would
-    silently keep applying the stale copy. The digest is a hash of the
-    bytes: sub-ms even at 3-D grid sizes, vs a ~50 ms tunnel upload."""
+    silently keep applying the stale copy. The digest is crc32 of the
+    bytes (a real checksum, not Python's process-randomized hash):
+    sub-ms even at 3-D grid sizes, vs a ~50 ms tunnel upload."""
+    import zlib
     key = id(mask)
-    digest = hash(np.asarray(mask).tobytes())
+    buf = np.ascontiguousarray(np.asarray(mask))
+    digest = zlib.crc32(buf.view(np.uint8).reshape(-1))
     entry = _MASK_DEVICE_CACHE.get(key)
     if entry is not None and entry[0] is mask and entry[1] == digest:
         return entry[2]

@@ -207,19 +207,22 @@ def _legendre_last_anchor_fast(u, s, max_tmp_elems=32_000_000, A=None,
     fallback (``lax.cond`` — a real branch in the batch-native BFM).
     Exact up to FMA contraction (see ``_legendre_last_anchored``)."""
     n = s.shape[0]
+    # anchor stride / window (env-tunable for on-chip A/Bs; any
+    # setting stays EXACT — the certificate rejects brackets that
+    # don't fit the window and falls back to the full transform).
+    # The anchor pass costs ~1/A of the full transform and is the
+    # measured hot part on live Marmousi state. Live 29-shot W2
+    # objective A/B (tools/bench_anchor_a.py, one process):
+    # A:W = 32:64 -> 2.195 s (10.5x L2) beats 16:64 (2.451, the
+    # old default), 64:64 (2.444 — the wider padded band W=192
+    # eats the anchor savings) and 32:48 (2.281); objective
+    # rel-diff 7e-6 = FMA regrouping, certificates green.
+    # A and Wside default independently so an explicit A with default
+    # Wside (or vice versa) resolves rather than TypeError-ing.
     if A is None:
-        # anchor stride / window (env-tunable for on-chip A/Bs; any
-        # setting stays EXACT — the certificate rejects brackets that
-        # don't fit the window and falls back to the full transform).
-        # The anchor pass costs ~1/A of the full transform and is the
-        # measured hot part on live Marmousi state. Live 29-shot W2
-        # objective A/B (tools/bench_anchor_a.py, one process):
-        # A:W = 32:64 -> 2.195 s (10.5x L2) beats 16:64 (2.451, the
-        # old default), 64:64 (2.444 — the wider padded band W=192
-        # eats the anchor savings) and 32:48 (2.281); objective
-        # rel-diff 7e-6 = FMA regrouping, certificates green.
         A = int(os.environ.get("DEVITO_FWI_TPU_BFM_ANCHOR_A", "0")) or \
             ((32, 64) if n >= 512 else (8, 32))[0]
+    if Wside is None:
         Wside = int(os.environ.get("DEVITO_FWI_TPU_BFM_ANCHOR_W", "0")) \
             or ((32, 64) if n >= 512 else (8, 32))[1]
     if n <= 2 * Wside + 2 * A:

@@ -126,7 +126,7 @@ def _pairs(ndim):
 # ---------------------------------------------------------------------------
 
 def _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx, rec_w, dt,
-                  spacing, space_order, avg, hoist=True):
+                  spacing, space_order, avg, hoist=True, collect_hist=None):
     """Build the per-timestep elastic update shared by the plain forward
     and the segment-checkpointed gradient forward. Returns
     (step, init) where ``step(carry, src_t) -> (carry', (rec1_t, rec2_t))``.
@@ -137,7 +137,13 @@ def _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx, rec_w, dt,
     the step (identical values): under ``jax.checkpoint(step)`` AD the
     backward scan then accumulates cotangents for the 4 base parameters
     instead of ~9 separate averaged arrays — an A/B knob for the
-    gradient path (forward cost: a few extra VPU averages per step)."""
+    gradient path (forward cost: a few extra VPU averages per step).
+
+    ``collect_hist`` (a dtype or None): when set, the step additionally
+    emits the imaging-condition history the hand-written adjoint sweep
+    needs — ``hist_t = stack(vn[0..ndim-1], dtau[0..ndim-1])`` cast to
+    that dtype — as a third output. The field updates are byte-identical
+    either way (the dtau list is formed before vn in both paths)."""
     dtype = lam.dtype
     ndim = len(spacing)
     wgt = _wgt(space_order, dtype)
@@ -170,15 +176,17 @@ def _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx, rec_w, dt,
         rec2_t = jnp.sum(_gather(div_v, rec_idx) * rec_w, axis=-1)
 
         # v[t+1] = damp (v + dt b div(tau))
-        vn = []
+        dtau = []
         for i in range(ndim):
-            dtau = d_plus(td[i], wgt, i, inv_h[i])
+            dt_i = d_plus(td[i], wgt, i, inv_h[i])
             for (a, c) in pairs:
                 if a == i:
-                    dtau = dtau + d_minus(to[(a, c)], wgt, c, inv_h[c])
+                    dt_i = dt_i + d_minus(to[(a, c)], wgt, c, inv_h[c])
                 elif c == i:
-                    dtau = dtau + d_minus(to[(a, c)], wgt, a, inv_h[a])
-            vn.append(damp_i[i] * (v[i] + s * b_i[i] * dtau))
+                    dt_i = dt_i + d_minus(to[(a, c)], wgt, a, inv_h[a])
+            dtau.append(dt_i)
+        vn = [damp_i[i] * (v[i] + s * b_i[i] * dtau[i])
+              for i in range(ndim)]
         dv = [d_minus(vn[i], wgt, i, inv_h[i]) for i in range(ndim)]
         div_vn = sum(dv)
 
@@ -194,6 +202,9 @@ def _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx, rec_w, dt,
         # source into the diagonal stresses at t+1
         inj = src_t[:, None] * src_scale
         tdn = [_scatter_add(t_, src_idx, inj) for t_ in tdn]
+        if collect_hist is not None:
+            hist_t = jnp.stack(vn + dtau).astype(collect_hist)
+            return (tuple(vn), tuple(tdn), ton), (rec1_t, rec2_t, hist_t)
         return (tuple(vn), tuple(tdn), ton), (rec1_t, rec2_t)
 
     z = jnp.zeros_like(lam)

@@ -999,7 +999,10 @@ def elastic_fwi_obj_sharded(geometry, obs, misfit_func=None,
     rho = jnp.asarray(param(rho, mrho))
     damp = jnp.asarray(_damp_field(model))
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
-    rec_pos = jnp.asarray(geometry.rec_positions)
+    # model dtype, like every other sharded path — f64 positions (x64
+    # CPU meshes) would otherwise promote the shard_map body's
+    # grads/illum
+    rec_pos = jnp.asarray(geometry.rec_positions, dtype=model.dtype)
     r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
     src_wav = jnp.asarray(src_wav)
     dt = float(model.critical_dt)

@@ -321,6 +321,111 @@ def test_elastic_3d_forward_and_gradient_fd():
     assert abs(fd - an) <= 5e-5 * max(abs(fd), abs(an), 1e-16), (fd, an)
 
 
+def test_saved_gradient_matches_vjp():
+    """The hand-written adjoint sweep over the saved history
+    (ops.staggered_grad, the TPU fast path) must reproduce the rematted
+    jax.vjp gradient to f64 roundoff — fval and all three parameter
+    gradients, through the full public objective."""
+    model, geom = _setup(dtype=np.float64, tn=140., nsrc=2)
+    vp, vs, rho = model_vp_vs_rho(model)
+    obs1, _ = elastic_fm_multi(geom)
+    vp0 = np.asarray(vp) * 1.02
+    common = dict(misfit_func=least_square, precond=False,
+                  illum_fix=False, calc_grad=True, vp=vp0, vs=vs,
+                  rho=rho, shot_chunk=2, n_checkpoints=6)
+    f_v, g_v, _ = elastic_fwi_obj_multi(geom, obs1, grad_route="vjp",
+                                        **common)
+    f_s, g_s, _ = elastic_fwi_obj_multi(geom, obs1, grad_route="saved",
+                                        **common)
+    assert abs(f_v - f_s) <= 1e-12 * abs(f_v)
+    for k in ("vp", "vs", "rho"):
+        scale = np.abs(g_v[k]).max()
+        assert np.abs(g_v[k] - g_s[k]).max() <= 1e-12 * scale, k
+
+
+def test_saved_gradient_matches_vjp_3d_and_fixes():
+    """ndim==3 branch of the saved adjoint + the default path with
+    illumination fix and precondition on: saved == vjp."""
+    shape = (17, 15, 13)
+    dtype = np.float64
+    vp = np.full(shape, 2.0, dtype)
+    vp[:, :, 6:] = 2.3
+    vs = (vp / 2.0).astype(dtype)
+    rho = np.ones(shape, dtype)
+    model = SeismicModel(origin=(0., 0., 0.), spacing=(10., 10., 10.),
+                         shape=shape, space_order=4, vp=vp, vs=vs,
+                         b=1.0 / rho, nbl=4, bcs="mask", dtype=dtype,
+                         dt=1.0)
+    src = np.array([[80.0, 70.0, 20.0], [60.0, 50.0, 20.0]])
+    rec = np.stack([np.linspace(0., 160., 9), np.full(9, 70.0),
+                    np.full(9, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 60., f0=0.02,
+                               src_type="Ricker")
+    obs1, _ = elastic_fm_multi(geom)
+    crop = tuple(slice(lo, lo + n) for (lo, _), n in
+                 zip(model.padsizes, model.shape))
+    vp0 = np.asarray(model_vp_vs_rho(model)[0])[crop] * 1.02
+    common = dict(misfit_func=least_square, precond=True,
+                  illum_fix=True, calc_grad=True, vp=vp0,
+                  shot_chunk=2, n_checkpoints=4)
+    f_v, g_v, _ = elastic_fwi_obj_multi(geom, obs1, grad_route="vjp",
+                                        **common)
+    f_s, g_s, _ = elastic_fwi_obj_multi(geom, obs1, grad_route="saved",
+                                        **common)
+    assert abs(f_v - f_s) <= 1e-12 * abs(f_v)
+    for k in ("vp", "vs", "rho"):
+        scale = np.abs(g_v[k]).max()
+        assert np.abs(g_v[k] - g_s[k]).max() <= 1e-12 * scale, k
+
+
+def test_forward_hist_matches_plain_forward():
+    """elastic_forward_hist's receivers are byte-stable vs the plain
+    forward (same step builder), and its history carries the quantities
+    the adjoint needs (finite, right shape)."""
+    from devito_fwi_tpu.ops import staggered_grad as sg
+
+    model, geom = _setup(dtype=np.float32)
+    s_idx, s_w, r_idx, r_w = _tables(model, geom)
+    lam, mu = np.asarray(model.lam), np.asarray(model.mu)
+    b = np.asarray(model.b)
+    damp = np.ones(model.padded_shape, np.float32)
+    wav = geom.src.data
+    args = (jnp.asarray(lam), jnp.asarray(mu), jnp.asarray(b),
+            jnp.asarray(damp), jnp.asarray(wav), jnp.asarray(s_idx),
+            jnp.asarray(s_w), jnp.asarray(r_idx), jnp.asarray(r_w),
+            float(model.critical_dt))
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=4)
+    r1, _ = st.elastic_forward(*args, **kw)
+    r1h, illum, hist = jax.jit(
+        lambda *a: sg.elastic_forward_hist(*a, **kw))(*args)
+    assert np.array_equal(np.asarray(r1), np.asarray(r1h))
+    assert np.asarray(illum).max() > 0
+    assert hist.shape == (geom.nt - 1, 4) + model.padded_shape
+    assert np.isfinite(np.asarray(hist)).all()
+
+
+def test_avg_to_T_and_pad_fold_are_exact_transposes():
+    """<A x, y> == <x, A^T y> for the staggered-average and edge-pad
+    operators the saved route transposes by hand."""
+    from devito_fwi_tpu.ops import staggered_grad as sg
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(9, 11))
+    y = jnp.asarray(rng.randn(9, 11))
+    for dims in ((0,), (1,), (0, 1)):
+        lhs = float(jnp.sum(st.avg_to(x, dims, 2) * y))
+        rhs = float(jnp.sum(x * sg.avg_to_T(y, dims, 2)))
+        # scale roundoff by the summand magnitude, not the (cancelling)
+        # inner product
+        assert abs(lhs - rhs) <= 1e-12 * max(abs(lhs), 1.0), dims
+    pads = ((3, 2), (1, 4))
+    xp = jnp.asarray(rng.randn(9, 11))
+    yp = jnp.asarray(rng.randn(9 + 5, 11 + 5))
+    lhs = float(jnp.sum(jnp.pad(xp, pads, mode="edge") * yp))
+    rhs = float(jnp.sum(xp * sg.pad_fold(yp, pads)))
+    assert abs(lhs - rhs) <= 1e-12 * max(abs(lhs), 1.0)
+
+
 def test_elastic_obj_with_w2_1d_misfit():
     """The elastic objective composes with the W2-1d optimal-transport
     misfit through the same .jax hook as the acoustic path (misfit
