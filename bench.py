@@ -36,6 +36,7 @@ import os
 import subprocess
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -366,6 +367,161 @@ def _bench_elastic():
             "elastic_gradient_cell_steps_per_s": 2.0 * nsrc * nt * cells / t}
 
 
+def _bench_visco():
+    """Viscoacoustic SLS-2 (vp, qp) gradient on SMARMN (Q-compensated
+    FWI; the reference's viscoacoustic stack has no gradient at all).
+    4 shots through visco_fwi_obj_multi — vjp through the two-level-
+    rematted scan. 2-sweep cell-steps/s convention like the other
+    gradient lines."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "drivers"))
+    from devito_fwi_tpu import SeismicModel, AcquisitionGeometry
+    from devito_fwi_tpu.misfit import least_square
+    from devito_fwi_tpu.models.presets import load_velocity
+    from devito_fwi_tpu.visco_fwi import visco_fm_multi, visco_fwi_obj_multi
+    from scipy.ndimage import gaussian_filter
+
+    shape, spacing, tn, f0, nbl = (300, 106), (30., 30.), 4000.0, \
+        0.007, 40
+    tpath = os.path.join(REPO, "model_data", "SMARMN", "vp.true")
+    v_true = load_velocity(tpath, shape)
+    v_init = gaussian_filter(v_true, sigma=20).astype(np.float32)
+
+    def qp_of(vp):
+        return (3.516 * ((vp * 1000.0) ** 2.2) * 1e-6).astype(np.float32)
+
+    def rho_of(vp):
+        return (0.31 * (1e3 * vp) ** 0.25).astype(np.float32)
+
+    def mk(vp, dt=None):
+        return SeismicModel(origin=(0., 0.), spacing=spacing, shape=shape,
+                            space_order=8, vp=vp, qp=qp_of(vp),
+                            b=(1.0 / rho_of(vp)), nbl=nbl, dt=dt,
+                            bcs="mask")
+
+    dt_v = float(mk(v_true).critical_dt)
+    m1, m0 = mk(v_true, dt=dt_v), mk(v_init, dt=dt_v)
+    nsrc, nrec = 4, shape[0]
+    src = np.stack([np.linspace(0, m1.domain_size[0], nsrc),
+                    np.full(nsrc, 60.0)], 1)
+    rec = np.stack([np.linspace(spacing[0], m1.domain_size[0] - spacing[0],
+                                nrec), np.full(nrec, 60.0)], 1)
+    g1 = AcquisitionGeometry(m1, rec, src, 0.0, tn, f0=f0,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(m0, rec, src, 0.0, tn, f0=f0,
+                             src_type="Ricker")
+    obs = visco_fm_multi(g1)
+
+    def one():
+        visco_fwi_obj_multi(g0, obs, least_square, calc_grad=True,
+                            shot_chunk=4)
+
+    one()
+    t = _time_best(one, n_iters=1, n_repeats=4)
+    nt = g0.nt
+    cells = np.prod(m0.padded_shape)
+    return {"viscoacoustic_gradient_s": t,
+            "viscoacoustic_gradient_cell_steps_per_s":
+                2.0 * nsrc * nt * cells / t}
+
+
+def _bench_viscoelastic():
+    """Viscoelastic SLS (vp, vs, rho, qp, qs) gradient — vjp through
+    ops/staggered.viscoelastic_forward_seg on a Marmousi2-derived
+    4-shot workload (no reference counterpart: its viscoelastic solver
+    is forward-only)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "drivers"))
+    import jax
+    import jax.numpy as jnp
+    from _marmousi_common import SMARM2, elastic_fields
+    from devito_fwi_tpu import SeismicModel, AcquisitionGeometry
+    from devito_fwi_tpu.models.presets import load_velocity
+    from devito_fwi_tpu.ops import staggered as _st
+    from devito_fwi_tpu.fwi import _batched_tables
+    from scipy.ndimage import gaussian_filter
+
+    cfg = SMARM2
+    tpath = os.path.join(REPO, "model_data", cfg.name, "vp.true")
+    v_true = load_velocity(tpath, cfg.shape)
+    v_init = gaussian_filter(v_true, sigma=20).astype(np.float32)
+    vs_t, rho_t = elastic_fields(cfg, v_true)
+    vs_t = np.maximum(vs_t, 0.6).astype(np.float32)  # qs needs vs > 0
+    qp = (3.516 * ((v_true * 1000.0) ** 2.2) * 1e-6).astype(np.float32)
+    qs = (qp * 0.6).astype(np.float32)
+
+    def mk(vp, vs, rho, dt=None):
+        return SeismicModel(origin=(0., 0.), spacing=cfg.spacing,
+                            shape=cfg.shape, space_order=4, vp=vp, vs=vs,
+                            b=(1.0 / rho), qp=qp, qs=qs, nbl=cfg.nbl,
+                            dt=dt, bcs="mask")
+
+    dt_e = float(mk(v_true, vs_t, rho_t).critical_dt)
+    m1 = mk(v_true, vs_t, rho_t, dt=dt_e)
+    m0 = mk(v_init, vs_t, rho_t, dt=dt_e)
+    nsrc, nrec = 4, cfg.shape[0]
+    src = np.stack([np.linspace(0, m1.domain_size[0], nsrc),
+                    np.full(nsrc, 60.0)], 1)
+    rec = np.stack([np.linspace(cfg.spacing[0],
+                                m1.domain_size[0] - cfg.spacing[0], nrec),
+                    np.full(nrec, 60.0)], 1)
+    g1 = AcquisitionGeometry(m1, rec, src, 0.0, cfg.tn, f0=cfg.f0,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(m0, rec, src, 0.0, cfg.tn, f0=cfg.f0,
+                             src_type="Ricker")
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(g0)
+    nt = g0.nt
+    damp = np.asarray(m0.damp, np.float32) if np.ndim(m0.damp) else \
+        np.ones(m0.padded_shape, np.float32)
+    fields = {}
+    for mdl, tag in ((m1, "t"), (m0, "i")):
+        lam = np.asarray(mdl.lam, np.float32)
+        mu = np.asarray(mdl.mu, np.float32)
+        fields[tag] = (jnp.asarray(lam), jnp.asarray(mu))
+    b_p = jnp.asarray(np.asarray(m0.b, np.float32))
+    qp_p = jnp.asarray(np.asarray(m0.qp, np.float32))
+    qs_p = jnp.asarray(np.asarray(m0.qs, np.float32))
+    kw = dict(nt=nt, spacing=m0.spacing, space_order=4)
+    args_dev = (jnp.asarray(damp), jnp.asarray(src_wav),
+                jnp.asarray(s_idx), jnp.asarray(s_w), jnp.asarray(r_idx),
+                jnp.asarray(r_w))
+
+    @partial(jax.jit, static_argnames=())
+    def obs_batch(lam, mu, b, qp_, qs_, damp_, wav, si, sw, ri, rw):
+        f = lambda a, c: _st.viscoelastic_forward(
+            lam, mu, b, qp_, qs_, damp_, g0.f0, wav, a, c, ri, rw, dt_e,
+            **kw)[0]
+        return jax.vmap(f)(si, sw)
+
+    obs = obs_batch(fields["t"][0], fields["t"][1], b_p, qp_p, qs_p,
+                    *args_dev)
+
+    @partial(jax.jit, static_argnames=())
+    def val_grad(lam, mu, b, qp_, qs_, damp_, wav, si, sw, ri, rw, obs_):
+        def loss(lam_, mu_, b_, qpp, qss):
+            f = lambda a, c: _st.viscoelastic_forward_seg(
+                lam_, mu_, b_, qpp, qss, damp_, g0.f0, wav, a, c, ri,
+                rw, dt_e, **kw)[0]
+            rec1 = jax.vmap(f)(si, sw)
+            return 0.5 * jnp.sum((rec1 - obs_) ** 2)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
+            lam, mu, b, qp_, qs_)
+
+    fetch = jax.jit(lambda x: x.ravel()[0])
+
+    def one():
+        f, g = val_grad(fields["i"][0], fields["i"][1], b_p, qp_p, qs_p,
+                        *args_dev, obs)
+        return float(fetch(g[0]))
+
+    one()
+    t = _time_best(one, n_iters=1, n_repeats=3)
+    cells = np.prod(m0.padded_shape)
+    return {"viscoelastic_gradient_s": t,
+            "viscoelastic_gradient_cell_steps_per_s":
+                2.0 * nsrc * nt * cells / t}
+
+
 def _bench_3d(n=96):
     """Config 5: 3-D acoustic multi-shot L2 gradient (layers preset).
     Routes like production: the saved-history slab route / 3-D
@@ -525,6 +681,16 @@ def main():
         configs.update({k: float(v) for k, v in _bench_elastic().items()})
     except Exception as e:  # pragma: no cover
         errors["elastic"] = repr(e)[:120]
+    # visco families' gradients (VERDICT r4 #3)
+    try:
+        configs.update({k: float(v) for k, v in _bench_visco().items()})
+    except Exception as e:  # pragma: no cover
+        errors["viscoacoustic"] = repr(e)[:120]
+    try:
+        configs.update({k: float(v)
+                        for k, v in _bench_viscoelastic().items()})
+    except Exception as e:  # pragma: no cover
+        errors["viscoelastic"] = repr(e)[:120]
 
     cpu = _cpu_denominator()
 

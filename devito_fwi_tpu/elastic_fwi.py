@@ -210,6 +210,114 @@ def _elastic_shots_obj(vp, vs, rho, damp, src_wav, s_idx, s_w, r_idx, r_w,
             illum.sum(axis=0), res)
 
 
+@partial(jax.jit, static_argnames=("dt", "nt", "spacing", "space_order",
+                                   "misfit_jax", "pads", "shape",
+                                   "illum_fix", "hist_dtype", "z0",
+                                   "seg", "interpret"))
+def _elastic_shots_obj_pallas(vp, vs, rho, damp, src_wav, s_idx, s_w,
+                              r_idx, r_w, obs1, dw, src_pos, rec_pos,
+                              *, dt, nt, spacing, space_order,
+                              misfit_jax, pads, shape, illum_fix,
+                              hist_dtype, z0, seg, interpret=False):
+    """Streamed-history Pallas chunk objective: one batched forward
+    kernel (VMEM-resident carries, history as pipelined output blocks),
+    vmapped misfit, one batched reverse kernel, then the same
+    avg/chain-rule/pad-fold/illum-fix finish as the XLA saved route.
+    Gate with ``pallas_staggered.elastic_grad_stream_supported``."""
+    from .ops import pallas_staggered as ps
+    from .ops import staggered_grad as _sg
+    from .ops.staggered import avg_to
+
+    B = s_idx.shape[0]
+    nx, nz = shape[0] + pads[0][0] + pads[0][1], \
+        shape[1] + pads[1][0] + pads[1][1]
+    vpp = jnp.pad(vp, pads, mode="edge")
+    vsp = jnp.pad(vs, pads, mode="edge")
+    rhp = jnp.pad(rho, pads, mode="edge")
+    lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
+    mu = rhp * vsp * vsp
+    binv = 1.0 / rhp
+    b0 = avg_to(binv, (0,), 2)
+    b1 = avg_to(binv, (1,), 2)
+    d0 = avg_to(damp, (0,), 2)
+    d1 = avg_to(damp, (1,), 2)
+    mu01 = avg_to(mu, (0, 1), 2)
+    d01 = avg_to(damp, (0, 1), 2)
+
+    s = jnp.asarray(dt, jnp.float32)
+    from .ops.acoustic import _scatter_add
+    inj = jax.vmap(lambda si, sw: _scatter_add(
+        jnp.zeros((nx, nz), jnp.float32), si, sw * s))(s_idx, s_w)
+    nsteps = nt - 1
+    nseg = -(-nsteps // seg)
+    total = nseg * seg
+    wav_pad = jnp.zeros((total,), jnp.float32).at[:nsteps].set(
+        src_wav[0:nsteps, 0])
+
+    kw = dict(nt=nt, nx=nx, nz=nz, space_order=space_order,
+              spacing=spacing, z0=z0, seg=seg, interpret=interpret)
+    rec_rows, hist, illum_t = ps.elastic_fwd_hist_segments(
+        lam.T, mu.T, b0.T, b1.T, damp.T, d0.T, d1.T, mu01.T, d01.T,
+        jnp.transpose(inj, (0, 2, 1)), wav_pad, dt,
+        hist_dtype=hist_dtype, **kw)
+
+    # receiver-rows weight matrix (pallas_staggered._stag_assemble's W)
+    nrec = r_idx.shape[0]
+    rxi = r_idx[:, :, 0]
+    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
+    W = jnp.zeros((2 * nx, nrec), jnp.float32).at[
+        rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
+        r_w.astype(jnp.float32))
+    flat = rec_rows.reshape(B, total, 2 * nx)[:, :nsteps]
+    tr = jnp.einsum("btq,qr->btr", flat, W,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    rec1 = jnp.zeros((B, nt, nrec), jnp.float32).at[:, 0:nsteps].set(tr)
+
+    syn = rec1 - dw
+    obsd = obs1 - dw
+    f, res = jax.vmap(misfit_jax)(syn, obsd)
+    fval = jnp.sum(f)
+
+    # residual -> the two z-plane rows (exact transpose of the
+    # trace assembly above)
+    res_q = jnp.einsum("btr,qr->btq", res.astype(jnp.float32)[:, :nsteps],
+                       W, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    res_rows = jnp.zeros((B, total, 2, nx), jnp.float32).at[
+        :, :nsteps].set(res_q.reshape(B, nsteps, 2, nx))
+    res_rows = res_rows.reshape(B, nseg, seg, 2, nx)
+
+    glam_t, gmun_t, gmup_t, gb0_t, gb1_t = ps.elastic_grad_stream_segments(
+        lam.T, mu.T, b0.T, b1.T, damp.T, d0.T, d1.T, mu01.T, d01.T,
+        hist, res_rows, dt, **kw)
+    tT = lambda a: jnp.transpose(a, (0, 2, 1))
+    glam, gmun = tT(glam_t), tT(gmun_t)
+    g_mu = gmun + _sg.avg_to_T(tT(gmup_t), (0, 1), 2)
+    g_b = _sg.avg_to_T(tT(gb0_t), (0,), 2) + \
+        _sg.avg_to_T(tT(gb1_t), (1,), 2)
+
+    gvp = 2.0 * rhp * vpp * glam
+    gvs = -4.0 * rhp * vsp * glam + 2.0 * rhp * vsp * g_mu
+    grho = (vpp * vpp - 2.0 * vsp * vsp) * glam + vsp * vsp * g_mu \
+        - g_b * (binv * binv)
+    fold = jax.vmap(lambda g: _sg.pad_fold(g, pads))
+    gvp, gvs, grho = fold(gvp), fold(gvs), fold(grho)
+    illum = jax.vmap(lambda il: _crop(il.T, pads, shape))(illum_t)
+
+    def fix(g, sp):
+        if not illum_fix:
+            return g
+        return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
+
+    fixv = jax.vmap(fix)
+    gvp = fixv(gvp, src_pos).sum(axis=0)
+    gvs = fixv(gvs, src_pos).sum(axis=0)
+    grho = fixv(grho, src_pos).sum(axis=0)
+    illum = fixv(illum, src_pos).sum(axis=0)
+    return fval, (gvp, gvs, grho), illum, res
+
+
 def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
                           mask=None, precond=True, calc_grad=False,
                           vp=None, vs=None, rho=None, shot_chunk=4,
@@ -263,37 +371,80 @@ def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
     src_pos = np.asarray(geometry.src_positions, dtype=model.dtype)
     rec_pos = np.asarray(geometry.rec_positions, dtype=model.dtype)
+    # upload the (inversion-constant) gathers ONCE and reuse the device
+    # copies across objective calls — re-uploading the obs/dw stacks
+    # through the tunnel was ~0.7 s/call at Marmousi2 scale, dwarfing
+    # the kernels (the acoustic path's _device_stack discipline)
+    from .fwi import _device_stack
+    obs_stack = _device_stack(obs)
+    if direct_wave is not None:
+        dw_stack = _device_stack(direct_wave)
+    else:
+        dw_stack = jnp.zeros(obs_stack.shape, dtype=model.dtype)
     if shot_indices is not None:
         sel = np.asarray(shot_indices, dtype=np.int64)
         s_idx, s_w, src_pos = s_idx[sel], s_w[sel], src_pos[sel]
-        obs = [obs[int(i)] for i in sel]
-        if direct_wave is not None:
-            direct_wave = [direct_wave[int(i)] for i in sel]
+        sel_d = jnp.asarray(sel)
+        obs_stack = obs_stack[sel_d]
+        dw_stack = dw_stack[sel_d]
     nshots = s_idx.shape[0]
-    obs_stack = np.stack([np.asarray(o.data) for o in obs])
-    if direct_wave is not None:
-        dw_stack = np.stack([np.asarray(d.data) for d in direct_wave])
-    else:
-        dw_stack = np.zeros((nshots,) + obs_stack.shape[1:],
-                            dtype=model.dtype)
     dt = float(model.critical_dt)
     if grad_route is None:
         import os
         grad_route = os.environ.get("DEVITO_FWI_TPU_ELASTIC_GRAD",
-                                    "saved").strip().lower()
-    if grad_route not in ("saved", "vjp"):
-        raise ValueError(f"grad_route={grad_route!r}: expected 'saved' "
-                         f"or 'vjp'")
+                                    "auto").strip().lower()
+    if grad_route not in ("auto", "pallas", "saved", "vjp"):
+        raise ValueError(f"grad_route={grad_route!r}: expected 'auto', "
+                         f"'pallas', 'saved' or 'vjp'")
     if model.dtype == np.float32:
         from .ops.pallas_acoustic import stream_hist_dtype
         hist_dtype = stream_hist_dtype()
     else:
         hist_dtype = None
+    if grad_route in ("auto", "pallas"):
+        from .ops import pallas_acoustic as _pa
+        from .ops import pallas_staggered as _ps
+        supported = _ps.elastic_grad_stream_supported(
+            model, s_idx, r_idx, src_wav)
+        on_tpu = jax.default_backend() == "tpu" or \
+            _pa.env_interpret(False)
+        if grad_route == "pallas" and not supported:
+            raise ValueError("grad_route='pallas' requested but the "
+                             "streamed elastic kernels do not support "
+                             "this geometry/dtype")
+        grad_route = "pallas" if (supported and
+                                  (on_tpu or grad_route == "pallas")) \
+            else "saved"
     kw = dict(nt=geometry.nt, spacing=model.spacing,
               space_order=model.space_order, n_checkpoints=n_checkpoints,
               misfit_jax=mj, calc_grad=calc_grad, pads=_pads(model),
               shape=model.shape, illum_fix=illum_fix,
-              grad_route=grad_route, hist_dtype=hist_dtype)
+              grad_route=("saved" if grad_route == "pallas" else
+                          grad_route),
+              hist_dtype=hist_dtype)
+    if grad_route == "pallas":
+        from .ops import pallas_staggered as _ps
+        kw_p = dict(nt=geometry.nt, spacing=model.spacing,
+                    space_order=model.space_order, misfit_jax=mj,
+                    pads=_pads(model), shape=model.shape,
+                    illum_fix=illum_fix,
+                    hist_dtype=hist_dtype or "float32",
+                    z0=int(np.asarray(r_idx)[..., 1].min()),
+                    seg=_ps.pick_elastic_stream_seg(
+                        model.padded_shape[0], model.padded_shape[1],
+                        hist_dtype or "float32"),
+                    # compiled on the chip, interpreter mode anywhere
+                    # else (CPU parity tests, virtual meshes)
+                    interpret=(jax.default_backend() != "tpu"))
+        # the 4-field streamed history is ~1.2 GB/shot (bf16) at
+        # Marmousi2 scale; past ~6 GB the chip thrashes (measured:
+        # chunk 8 = 9.3 GB ran 2x slower than chunk 2/4)
+        fh = _ps._stream_field_bytes(
+            model.padded_shape[0], model.padded_shape[1],
+            jnp.dtype(hist_dtype or "float32").itemsize)
+        per_shot = (geometry.nt - 1) * 4 * fh
+        shot_chunk = max(1, min(shot_chunk,
+                                int((6 << 30) // max(per_shot, 1))))
 
     # accumulate chunk results ON DEVICE and fetch once at the end —
     # per-chunk float()/np.asarray fetches were a measured ~35% of the
@@ -301,39 +452,56 @@ def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
     f_parts, g_parts, il_parts, res_parts = [], [], [], []
     for lo in range(0, nshots, shot_chunk):
         hi = min(lo + shot_chunk, nshots)
-        f, grads, illum, res = _elastic_shots_obj(
-            vp, vs, rho, damp, jnp.asarray(src_wav),
-            jnp.asarray(s_idx[lo:hi]), jnp.asarray(s_w[lo:hi]),
-            jnp.asarray(r_idx), jnp.asarray(r_w),
-            jnp.asarray(obs_stack[lo:hi]), jnp.asarray(dw_stack[lo:hi]),
-            jnp.asarray(src_pos[lo:hi]), jnp.asarray(rec_pos), dt, **kw)
+        if grad_route == "pallas" and calc_grad:
+            f, grads, illum, res = _elastic_shots_obj_pallas(
+                vp, vs, rho, damp, jnp.asarray(src_wav),
+                jnp.asarray(s_idx[lo:hi]), jnp.asarray(s_w[lo:hi]),
+                jnp.asarray(r_idx), jnp.asarray(r_w),
+                jnp.asarray(obs_stack[lo:hi]),
+                jnp.asarray(dw_stack[lo:hi]),
+                jnp.asarray(src_pos[lo:hi]), jnp.asarray(rec_pos),
+                dt=dt, **kw_p)
+        else:
+            f, grads, illum, res = _elastic_shots_obj(
+                vp, vs, rho, damp, jnp.asarray(src_wav),
+                jnp.asarray(s_idx[lo:hi]), jnp.asarray(s_w[lo:hi]),
+                jnp.asarray(r_idx), jnp.asarray(r_w),
+                jnp.asarray(obs_stack[lo:hi]),
+                jnp.asarray(dw_stack[lo:hi]),
+                jnp.asarray(src_pos[lo:hi]), jnp.asarray(rec_pos), dt,
+                **kw)
         f_parts.append(f)
         res_parts.append(res)
         if calc_grad:
             g_parts.append(grads)
             il_parts.append(illum)
+    from .fwi import ResidualStack, _mask_device
     fval_d = f_parts[0]
     for f in f_parts[1:]:
         fval_d = fval_d + f
+    # residuals stay on device; ResidualStack materializes them only if
+    # a caller actually indexes (minimize.save_residual every N iters)
+    residuals = ResidualStack(res_parts)
     if not calc_grad:
-        fval, res_h = jax.device_get((fval_d, res_parts))
-        return float(fval), None, [r for c in res_h for r in c]
+        return float(jax.device_get(fval_d)), None, residuals
     gsum = g_parts[0]
     ilsum = il_parts[0]
     for grads, illum in zip(g_parts[1:], il_parts[1:]):
         gsum = tuple(a + b for a, b in zip(gsum, grads))
         ilsum = ilsum + illum
-    fval, gsum, ilsum, res_h = jax.device_get(
-        (fval_d, gsum, ilsum, res_parts))
-    residuals = [r for c in res_h for r in c]
+    # finalize ON DEVICE, then ONE fetch of (fval, three small fields) —
+    # device_get of the residual stack was ~0.35 s/call at Marmousi2
+    # scale through the tunnel
+    if precond:
+        scale = 1.0 / jnp.sqrt(ilsum + 1e-30)
+        gsum = tuple(g * scale for g in gsum)
+    if mask is not None:
+        mdev = _mask_device(mask)
+        gsum = tuple(g * mdev for g in gsum)
+    fval, gsum = jax.device_get((fval_d, gsum))
     out = {}
     for name, g in zip(("vp", "vs", "rho"), gsum):
-        g = np.asarray(g, np.float64)
-        if precond:
-            g = g / np.sqrt(np.asarray(ilsum, np.float64) + 1e-30)
-        if mask is not None:
-            g = g * mask
-        out[name] = g
+        out[name] = np.asarray(g, np.float64)
     return float(fval), out, residuals
 
 

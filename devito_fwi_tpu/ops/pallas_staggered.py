@@ -479,3 +479,340 @@ def _visco_assemble(rows, r_idx, r_w, *, z0, nt, nsteps, nx):
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     return jnp.zeros((nt, nrec), jnp.float32).at[1:nsteps + 1].set(tr)
+
+
+# ---------------------------------------------------------------------------
+# streamed-history elastic GRADIENT (round 5): the Pallas twin of
+# ops/staggered_grad.py. The forward kernel keeps the five field carries
+# in VMEM and streams the imaging-condition history (vn_x, vn_z, dtau_x,
+# dtau_z per step, bf16 by default) to HBM as pipelined output blocks;
+# the reverse kernel consumes it in reverse segment order, propagates
+# the adjoint velocity-stress fields with the exact staggered-derivative
+# transposes (D+^T = -D-, D-^T = -D+ under the zero-Dirichlet halo), and
+# accumulates the five (lam, mu_node, mu01, b0, b1) gradient images in
+# revisited output blocks. Grid is (shot B, time segment) like
+# pallas_acoustic's streamed kernels. The XLA scan route pays ~12 HBM
+# field sweeps per step (measured 1.3 Gcs/s/sweep with history writes vs
+# 3.9 without); VMEM residency is the whole win here.
+# ---------------------------------------------------------------------------
+
+def _elastic_fwd_hist_kernel(wav_ref, lam_ref, mu_ref, b0_ref, b1_ref,
+                             damp_ref, d0_ref, d1_ref, mu01_ref, d01_ref,
+                             inj_ref, hist_ref, rec_ref, illum_ref,
+                             vx_ref, vz_ref, txx_ref, tzz_ref, txz_ref, *,
+                             seg, nsteps, nx, nz, wp, op, wm, om, ihx,
+                             ihz, s, z0):
+    """One (shot b, segment j) grid step of the history-streaming
+    elastic forward: the `_elastic_kernel` update (same association)
+    minus the rec2 observable, plus per-step history/illum emission."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    base = j * seg
+    lam = lam_ref[:]
+    mu = mu_ref[:]
+    b0 = b0_ref[:]
+    b1 = b1_ref[:]
+    damp = damp_ref[:]
+    d0 = d0_ref[:]
+    d1 = d1_ref[:]
+    mu01 = mu01_ref[:]
+    d01 = d01_ref[:]
+    inj = inj_ref[:]
+    sd = _make_sd(nx, nz)
+
+    @pl.when(j == 0)
+    def _():
+        for ref in (vx_ref, vz_ref, txx_ref, tzz_ref, txz_ref, illum_ref):
+            ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    def body(i, _):
+        vx, vz = vx_ref[:], vz_ref[:]
+        txx, tzz, txz = txx_ref[:], tzz_ref[:], txz_ref[:]
+        rec_ref[i] = tzz[z0:z0 + 2, :]
+
+        dtau_x = sd(txx, wp, op, 0, ihx) + sd(txz, wm, om, 1, ihz)
+        dtau_z = sd(tzz, wp, op, 1, ihz) + sd(txz, wm, om, 0, ihx)
+        vxn = d0 * (vx + s * b0 * dtau_x)
+        vzn = d1 * (vz + s * b1 * dtau_z)
+        hd = hist_ref.dtype
+        hist_ref[i, 0] = vxn.astype(hd)
+        hist_ref[i, 1] = vzn.astype(hd)
+        hist_ref[i, 2] = dtau_x.astype(hd)
+        hist_ref[i, 3] = dtau_z.astype(hd)
+
+        dvx = sd(vxn, wm, om, 0, ihx)
+        dvz = sd(vzn, wm, om, 1, ihz)
+        div_vn = dvx + dvz
+        txxn = damp * (txx + s * lam * div_vn + 2.0 * s * mu * dvx)
+        tzzn = damp * (tzz + s * lam * div_vn + 2.0 * s * mu * dvz)
+        g = sd(vxn, wp, op, 1, ihz) + sd(vzn, wp, op, 0, ihx)
+        txzn = d01 * (txz + s * mu01 * g)
+
+        @pl.when(base + i < nsteps)
+        def _():
+            illum_ref[:] = illum_ref[:] + vxn * vxn + vzn * vzn
+
+        wav_t = wav_ref[base + i]
+        vx_ref[:] = vxn
+        vz_ref[:] = vzn
+        txx_ref[:] = txxn + wav_t * inj
+        tzz_ref[:] = tzzn + wav_t * inj
+        txz_ref[:] = txzn
+        return 0
+
+    jax.lax.fori_loop(0, seg, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "seg", "dt",
+                                   "hist_dtype", "interpret"))
+def elastic_fwd_hist_segments(lam_t, mu_t, b0_t, b1_t, damp_t, d0_t, d1_t,
+                              mu01_t, d01_t, inj_t, wav_pad, dt, *, nt,
+                              nx, nz, space_order, spacing, z0, seg,
+                              hist_dtype="bfloat16", interpret=False):
+    """Batched history-streaming elastic forward. Transposed (nz, nx)
+    operands; inj_t is the (B, nz, nx) dense per-shot source pattern
+    (already scaled by w * dt). Returns (rec_rows (B, nseg, seg, 2, nx)
+    tzz rows, hist (B, nseg, seg, 4, nz, nx) in hist_dtype,
+    illum (B, nz, nx))."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    dtype = np.float32
+    w_p, off_p, w_m, off_m = staggered_weights(space_order)
+    wp = tuple(float(v) for v in np.asarray(w_p, dtype))
+    wm = tuple(float(v) for v in np.asarray(w_m, dtype))
+    ihx = float(dtype(1.0 / spacing[0]))
+    ihz = float(dtype(1.0 / spacing[1]))
+    s = float(dtype(dt))
+    nsteps = nt - 1
+    nseg = -(-nsteps // seg)
+    B = inj_t.shape[0]
+
+    kern = partial(_elastic_fwd_hist_kernel, seg=seg, nsteps=nsteps,
+                   nx=nx, nz=nz, wp=wp,
+                   op=tuple(int(o) for o in off_p), wm=wm,
+                   om=tuple(int(o) for o in off_m), ihx=ihx, ihz=ihz,
+                   s=s, z0=z0)
+    hist, rec_rows, illum = pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 +
+                 [pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((None, None, seg, 4, nz, nx),
+                         lambda b, j: (b, j, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, seg, 2, nx),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nseg, seg, 4, nz, nx),
+                                 jnp.dtype(hist_dtype)),
+            jax.ShapeDtypeStruct((B, nseg, seg, 2, nx), jnp.float32),
+            jax.ShapeDtypeStruct((B, nz, nx), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32)] * 5,
+        interpret=env_interpret(interpret),
+    )(wav_pad, lam_t, mu_t, b0_t, b1_t, damp_t, d0_t, d1_t, mu01_t,
+      d01_t, inj_t)
+    return rec_rows, hist, illum
+
+
+def _elastic_grad_stream_kernel(lam_ref, mu_ref, b0_ref, b1_ref, damp_ref,
+                                d0_ref, d1_ref, mu01_ref, d01_ref,
+                                hist_ref, res_ref, glam_ref, gmun_ref,
+                                gmup_ref, gb0_ref, gb1_ref, vxb_ref,
+                                vzb_ref, txxb_ref, tzzb_ref, txzb_ref, *,
+                                seg, nsteps, nx, nz, wp, op, wm, om, ihx,
+                                ihz, s, z0):
+    """One (shot b, reversed-segment j) grid step of the elastic adjoint
+    sweep: the exact transpose of `_elastic_fwd_hist_kernel`'s update,
+    accumulation order matching ops/staggered_grad.py's rev body."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    nseg = pl.num_programs(1)
+    k = nseg - 1 - j
+    base = k * seg
+    lam = lam_ref[:]
+    mu = mu_ref[:]
+    b0 = b0_ref[:]
+    b1 = b1_ref[:]
+    damp = damp_ref[:]
+    d0 = d0_ref[:]
+    d1 = d1_ref[:]
+    mu01 = mu01_ref[:]
+    d01 = d01_ref[:]
+    sd = _make_sd(nx, nz)
+
+    @pl.when(j == 0)
+    def _():
+        for ref in (vxb_ref, vzb_ref, txxb_ref, tzzb_ref, txzb_ref,
+                    glam_ref, gmun_ref, gmup_ref, gb0_ref, gb1_ref):
+            ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    def body(i, _):
+        jj = seg - 1 - i
+
+        @pl.when(base + jj < nsteps)
+        def _():
+            vnx = hist_ref[jj, 0].astype(jnp.float32)
+            vnz = hist_ref[jj, 1].astype(jnp.float32)
+            dtx = hist_ref[jj, 2].astype(jnp.float32)
+            dtz = hist_ref[jj, 3].astype(jnp.float32)
+            dvx = sd(vnx, wm, om, 0, ihx)
+            dvz = sd(vnz, wm, om, 1, ihz)
+            div_vn = dvx + dvz
+            g = sd(vnx, wp, op, 1, ihz) + sd(vnz, wp, op, 0, ihx)
+
+            thx = damp * txxb_ref[:]
+            thz = damp * tzzb_ref[:]
+            tho = d01 * txzb_ref[:]
+            sthd = thx + thz
+            glam_ref[:] = glam_ref[:] + s * div_vn * sthd
+            gmun_ref[:] = gmun_ref[:] + 2.0 * s * (dvx * thx + dvz * thz)
+            gmup_ref[:] = gmup_ref[:] + s * g * tho
+
+            dvbx = s * lam * sthd + 2.0 * s * mu * thx
+            dvbz = s * lam * sthd + 2.0 * s * mu * thz
+            gb_ = s * mu01 * tho
+            vbtx = vxb_ref[:] - sd(dvbx, wp, op, 0, ihx) \
+                - sd(gb_, wm, om, 1, ihz)
+            vbtz = vzb_ref[:] - sd(dvbz, wp, op, 1, ihz) \
+                - sd(gb_, wm, om, 0, ihx)
+            vhx = d0 * vbtx
+            vhz = d1 * vbtz
+            gb0_ref[:] = gb0_ref[:] + s * dtx * vhx
+            gb1_ref[:] = gb1_ref[:] + s * dtz * vhz
+
+            dtbx = s * b0 * vhx
+            dtbz = s * b1 * vhz
+            txxb_n = thx - sd(dtbx, wm, om, 0, ihx)
+            tzzb_n = thz - sd(dtbz, wm, om, 1, ihz)
+            txzb_n = tho - sd(dtbx, wp, op, 1, ihz) \
+                - sd(dtbz, wp, op, 0, ihx)
+            # residual lands in lambda^t's tau_zz: zero-placed concat
+            # band (aligned whole-tile add; 2-wide window ref ops at
+            # odd in-tile offsets abort the remote compiler)
+            pieces = []
+            if z0 > 0:
+                pieces.append(jnp.zeros((z0, nx), jnp.float32))
+            pieces.append(res_ref[jj])
+            if nz - z0 - 2 > 0:
+                pieces.append(jnp.zeros((nz - z0 - 2, nx), jnp.float32))
+            tzzb_n = tzzb_n + jnp.concatenate(pieces, axis=0)
+
+            vxb_ref[:] = vhx
+            vzb_ref[:] = vhz
+            txxb_ref[:] = txxb_n
+            tzzb_ref[:] = tzzb_n
+            txzb_ref[:] = txzb_n
+        return 0
+
+    jax.lax.fori_loop(0, seg, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "seg", "dt",
+                                   "interpret"))
+def elastic_grad_stream_segments(lam_t, mu_t, b0_t, b1_t, damp_t, d0_t,
+                                 d1_t, mu01_t, d01_t, hist, res_rows, dt,
+                                 *, nt, nx, nz, space_order, spacing, z0,
+                                 seg, interpret=False):
+    """Batched adjoint sweep over the streamed elastic history. Returns
+    the five transposed gradient images (glam, gmu_node, gmu01, gb0,
+    gb1), each (B, nz, nx); the caller applies avg_to_T / chain rule /
+    pad-fold on the XLA side."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    dtype = np.float32
+    w_p, off_p, w_m, off_m = staggered_weights(space_order)
+    wp = tuple(float(v) for v in np.asarray(w_p, dtype))
+    wm = tuple(float(v) for v in np.asarray(w_m, dtype))
+    ihx = float(dtype(1.0 / spacing[0]))
+    ihz = float(dtype(1.0 / spacing[1]))
+    s = float(dtype(dt))
+    nsteps = nt - 1
+    nseg = -(-nsteps // seg)
+    B = hist.shape[0]
+
+    kern = partial(_elastic_grad_stream_kernel, seg=seg, nsteps=nsteps,
+                   nx=nx, nz=nz, wp=wp,
+                   op=tuple(int(o) for o in off_p), wm=wm,
+                   om=tuple(int(o) for o in off_m), ihx=ihx, ihz=ihz,
+                   s=s, z0=z0)
+    grad_spec = pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + [
+            pl.BlockSpec((None, None, seg, 4, nz, nx),
+                         lambda b, j: (b, nseg - 1 - j, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, seg, 2, nx),
+                         lambda b, j: (b, nseg - 1 - j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(grad_spec,) * 5,
+        out_shape=tuple(jax.ShapeDtypeStruct((B, nz, nx), jnp.float32)
+                        for _ in range(5)),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32)] * 5,
+        interpret=env_interpret(interpret),
+    )(lam_t, mu_t, b0_t, b1_t, damp_t, d0_t, d1_t, mu01_t, d01_t, hist,
+      res_rows)
+
+
+def _stream_field_bytes(nx, nz, itemsize=4):
+    """HBM/VMEM bytes of one transposed (nz, nx) field under TPU tile
+    padding ((8, 128) for 4-byte, (16, 128) for 2-byte types)."""
+    sub = 8 * 4 // itemsize
+    return (-(-nz // sub) * sub) * (-(-nx // 128) * 128) * itemsize
+
+
+def pick_elastic_stream_seg(nx, nz, hist_dtype="bfloat16"):
+    """Segment length for the streamed elastic gradient kernels: the
+    double-buffered (seg, 4, nz, nx) history blocks dominate VMEM
+    against ~19 resident f32 fields (9 params + 5 carries + 5 grads in
+    the reverse kernel). Returns None when even a 2-step segment cannot
+    fit (callers fall back to the XLA saved route)."""
+    f = _stream_field_bytes(nx, nz)
+    fh = _stream_field_bytes(nx, nz, jnp.dtype(hist_dtype).itemsize)
+    budget = 15 * 2 ** 20 - 19 * f
+    seg = budget // (2 * 4 * fh)
+    if seg < 2:
+        return None
+    return int(min(seg, 16))
+
+
+def elastic_grad_stream_supported(model, src_idx, rec_idx, src_wav):
+    """True when the streamed elastic gradient kernels apply: 2-D f32,
+    one source point per shot with a shared wavelet, all receivers on
+    at most two adjacent z-planes away from the z edge, and a segment
+    that fits VMEM."""
+    if model.dim != 2 or model.dtype != np.float32:
+        return False
+    s_idx = np.asarray(src_idx)
+    if s_idx.ndim != 4 or s_idx.shape[1] != 1:  # (B, npts, corners, 2)
+        return False
+    if np.asarray(src_wav).shape[1] != 1:
+        return False
+    r_idx = np.asarray(rec_idx)
+    zplanes = np.unique(r_idx[..., 1])
+    if len(zplanes) > 2 or zplanes.max() - zplanes.min() > 1:
+        return False
+    z0 = int(zplanes.min())
+    nz = model.padded_shape[1]
+    if not (0 <= z0 and z0 + 2 <= nz):
+        return False
+    from .pallas_acoustic import stream_hist_dtype
+    return pick_elastic_stream_seg(model.padded_shape[0], nz,
+                                   stream_hist_dtype()) is not None

@@ -139,11 +139,15 @@ def _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx, rec_w, dt,
     instead of ~9 separate averaged arrays — an A/B knob for the
     gradient path (forward cost: a few extra VPU averages per step).
 
-    ``collect_hist`` (a dtype or None): when set, the step additionally
-    emits the imaging-condition history the hand-written adjoint sweep
-    needs — ``hist_t = stack(vn[0..ndim-1], dtau[0..ndim-1])`` cast to
-    that dtype — as a third output. The field updates are byte-identical
-    either way (the dtau list is formed before vn in both paths)."""
+    ``collect_hist`` (a dtype or None): when set, the step instead
+    returns ``(carry', (rec1_t, hist_t))`` where ``hist_t`` is the
+    TUPLE ``(vn_0..vn_{d-1}, dtau_0..dtau_{d-1})`` cast to that dtype —
+    the imaging-condition history the hand-written adjoint sweep needs.
+    rec2 (div v with the centered own-grid derivative) is NOT computed
+    on this path: the objective's misfit reads rec1 only, and the two
+    d_centered stencils + gather per step are pure waste there. The
+    field updates are byte-identical either way (the dtau list is
+    formed before vn in both paths)."""
     dtype = lam.dtype
     ndim = len(spacing)
     wgt = _wgt(space_order, dtype)
@@ -172,8 +176,10 @@ def _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx, rec_w, dt,
         # receivers sample fields at time t; rec2 uses the centered
         # own-grid derivative per component (see module docstring)
         rec1_t = jnp.sum(_gather(td[-1], rec_idx) * rec_w, axis=-1)
-        div_v = sum(d_centered(v[i], cwgt, i, inv_h[i]) for i in range(ndim))
-        rec2_t = jnp.sum(_gather(div_v, rec_idx) * rec_w, axis=-1)
+        if collect_hist is None:
+            div_v = sum(d_centered(v[i], cwgt, i, inv_h[i])
+                        for i in range(ndim))
+            rec2_t = jnp.sum(_gather(div_v, rec_idx) * rec_w, axis=-1)
 
         # v[t+1] = damp (v + dt b div(tau))
         dtau = []
@@ -203,8 +209,10 @@ def _elastic_step(lam, mu, b, damp, src_idx, src_w, rec_idx, rec_w, dt,
         inj = src_t[:, None] * src_scale
         tdn = [_scatter_add(t_, src_idx, inj) for t_ in tdn]
         if collect_hist is not None:
-            hist_t = jnp.stack(vn + dtau).astype(collect_hist)
-            return (tuple(vn), tuple(tdn), ton), (rec1_t, rec2_t, hist_t)
+            # tuple, not a stacked array: jnp.stack materializes an
+            # extra copy of all 2*ndim fields per step
+            hist_t = tuple(x.astype(collect_hist) for x in vn + dtau)
+            return (tuple(vn), tuple(tdn), ton), (rec1_t, hist_t)
         return (tuple(vn), tuple(tdn), ton), (rec1_t, rec2_t)
 
     z = jnp.zeros_like(lam)

@@ -96,9 +96,11 @@ def elastic_forward_hist(lam, mu, b, damp, src_wav, src_idx, src_w,
     byte-identical to :func:`staggered.elastic_forward` (same step
     builder). Returns ``(rec1, illum, hist)`` with ``rec1`` the
     (nt, nrec) tau_zz gather, ``illum = sum_t |v[t]|^2``, and ``hist``
-    shaped (nt-1, 2*ndim, *grid) in ``hist_dtype`` (default: the
-    compute dtype) holding ``vn_0..vn_{d-1}, dtau_0..dtau_{d-1}`` per
-    step. NOT jitted — callers jit the enclosing objective."""
+    a TUPLE of 2*ndim arrays, each (nt-1, *grid) in ``hist_dtype``
+    (default: the compute dtype) — ``vn_0..vn_{d-1},
+    dtau_0..dtau_{d-1}`` per step. rec2 is not computed on this path
+    (the objective's misfits read rec1 only). NOT jitted — callers jit
+    the enclosing objective."""
     dtype = lam.dtype
     if hist_dtype is None:
         hist_dtype = dtype
@@ -108,7 +110,7 @@ def elastic_forward_hist(lam, mu, b, damp, src_wav, src_idx, src_w,
 
     def body(carry, src_t):
         state, illum = carry
-        state, (r1, _r2, h) = step(state, src_t)
+        state, (r1, h) = step(state, src_t)
         illum = illum + sum(x * x for x in state[0])
         return (state, illum), (r1, h)
 
@@ -152,9 +154,8 @@ def elastic_adjoint_from_hist(lam, mu, b, damp, rec_idx, rec_w, res,
     def rev(carry, xs):
         vb, tdb, tob, glam, gmun, gmup, gbi = carry
         h_t, res_t = xs
-        h = h_t.astype(dtype)
-        vn = [h[i] for i in range(ndim)]
-        dtau = [h[ndim + i] for i in range(ndim)]
+        vn = [h_t[i].astype(dtype) for i in range(ndim)]
+        dtau = [h_t[ndim + i].astype(dtype) for i in range(ndim)]
         # recompute the velocity derivatives the tau-update consumed
         dv = [d_minus(vn[i], wgt, i, inv_h[i]) for i in range(ndim)]
         div_vn = sum(dv)

@@ -81,13 +81,19 @@ def _common(vp, b, qp, damp, f0, dt, spacing, space_order, avg):
 
 def _forward_step(vp, b, qp, damp, src_idx, src_w, rec_idx, rec_w, dt,
                   f0, kernel, time_order, spacing, space_order, avg,
-                  save=False):
+                  save=False, collect_hist=None):
     """Build the per-timestep viscoacoustic update shared by the plain
     forward and the segment-rematted gradient forward. Returns
     (step, init, t0) with ``step(carry, src_t) -> (carry',
     (rec_t, p_out))`` and t0 the first source sample (0 for 1st-order
     kernels, 1 for 2nd-order). Pure code motion out of ``forward`` —
-    the golden norms and f64 dot tests pin the numerics."""
+    the golden norms and f64 dot tests pin the numerics.
+
+    ``collect_hist`` (a dtype, sls/2 only): the step instead emits
+    ``(rec_t, (L_t, rn_t))`` — the spatial-operator value and the
+    updated memory variable, the two fields the hand-written adjoint
+    sweep's imaging condition needs (ops/visco_grad.py). The field
+    updates are byte-identical."""
     c = _common(vp, b, qp, damp, f0, dt, spacing, space_order, avg)
     s, w0, rho, bm, t_s, tt = (c["s"], c["w0"], c["rho"], c["bm"],
                                c["t_s"], c["tt"])
@@ -95,6 +101,9 @@ def _forward_step(vp, b, qp, damp, src_idx, src_w, rec_idx, rec_w, dt,
     ndim = c["ndim"]
     dtype = vp.dtype
     z = jnp.zeros_like(vp)
+    if collect_hist is not None:
+        assert kernel == "sls" and time_order == 2, \
+            "history collection is wired for the sls/2 kernel only"
 
     if time_order == 1:
         src_scale = src_w * s  # src * dt (operators.py:28)
@@ -151,6 +160,10 @@ def _forward_step(vp, b, qp, damp, src_idx, src_w, rec_idx, rec_w, dt,
                          s * s * bm * (1. + tt) * L -
                          s * s * vp * vp * rn)
             pn = _scatter_add(pn, src_idx, src_t[:, None] * src_scale)
+            if collect_hist is not None:
+                hist_t = (L.astype(collect_hist),
+                          rn.astype(collect_hist))
+                return (pn, p, rn), (rec_t, hist_t)
             return (pn, p, rn), (rec_t, pn if save else None)
         init = (z, z, z)
     elif kernel == "ren":

@@ -84,21 +84,42 @@ def visco_fm_multi(geometry, kernel="sls", time_order=2):
                                    "spacing", "space_order",
                                    "n_checkpoints", "misfit_jax",
                                    "calc_grad", "pads", "shape",
-                                   "illum_fix"))
+                                   "illum_fix", "grad_route",
+                                   "hist_dtype"))
 def _visco_shots_obj(vp, qp, b, damp, src_wav, s_idx, s_w, r_idx, r_w,
                      obs, dw, src_pos, rec_pos, dt, f0, *, kernel,
                      time_order, nt, spacing, space_order, n_checkpoints,
-                     misfit_jax, calc_grad, pads, shape, illum_fix=True):
+                     misfit_jax, calc_grad, pads, shape, illum_fix=True,
+                     grad_route="vjp", hist_dtype=None):
     """Fused chunk objective: per-shot forward + misfit + (when
-    calc_grad) vjp back to (vp, qp); per-shot crop/illum-fix before the
-    sum, like the acoustic convention."""
+    calc_grad) the (vp, qp) gradient; per-shot crop/illum-fix before
+    the sum, like the acoustic convention. ``grad_route`` — "saved"
+    runs the hand-written sls/2 adjoint over a saved (L, rn) history
+    (``ops/visco_grad.py``, 2 sweeps); "vjp" keeps the two-level-
+    rematted autodiff twin (any kernel)."""
 
     def fix(g, sp):
         if not illum_fix:
             return g
         return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
 
+    def one_saved(si, sw, obs_i, dw_i, sp):
+        from .ops import visco_grad as _vg
+        vpp = jnp.pad(vp, pads, mode="edge")
+        qpp = jnp.pad(qp, pads, mode="edge")
+        f, (g_vp, g_qp), illum, res = _vg.visco_sls2_value_and_grad(
+            vpp, b, qpp, damp, src_wav, si, sw, r_idx, r_w, obs_i,
+            dw_i, dt, f0, misfit_jax, nt=nt, spacing=spacing,
+            space_order=space_order, hist_dtype=hist_dtype)
+        from .ops.staggered_grad import pad_fold
+        grads = (pad_fold(g_vp, pads), pad_fold(g_qp, pads))
+        illum = _crop(illum, pads, shape)
+        return (f, tuple(fix(g, sp) for g in grads), fix(illum, sp), res)
+
     def one(si, sw, obs_i, dw_i, sp):
+        if calc_grad and grad_route == "saved":
+            return one_saved(si, sw, obs_i, dw_i, sp)
+
         def fwd(vp_, qp_):
             vpp = jnp.pad(vp_, pads, mode="edge")
             qpp = jnp.pad(qp_, pads, mode="edge")
@@ -129,11 +150,16 @@ def visco_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
                         mask=None, precond=True, calc_grad=False,
                         vp=None, qp=None, kernel="sls", time_order=2,
                         shot_chunk=4, n_checkpoints=0, shot_indices=None,
-                        illum_fix=True):
+                        illum_fix=True, grad_route=None):
     """Multi-shot viscoacoustic objective/gradient. Returns
     (fval, {"vp": g, "qp": g}, residuals) with gradients cropped to the
     physical domain (grads None when not calc_grad). `vp`/`qp` override
-    the model fields — physical-domain arrays; None reads the model."""
+    the model fields — physical-domain arrays; None reads the model.
+
+    `grad_route` — "saved" (hand-written sls/2 adjoint over a saved
+    history, the fast path) or "vjp" (rematted autodiff, any kernel);
+    None reads ``DEVITO_FWI_TPU_VISCO_GRAD`` (default "auto" = saved
+    for the sls/2 kernel, vjp otherwise), resolved at call time."""
     model = geometry.model
     model._initialize_bcs(bcs="mask")
     mj = _misfit_jax(misfit_func)
@@ -157,24 +183,45 @@ def visco_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
     s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
     src_pos = np.asarray(geometry.src_positions, dtype=model.dtype)
     rec_pos = np.asarray(geometry.rec_positions, dtype=model.dtype)
+    # gathers upload once and stay on device across objective calls
+    # (elastic_fwi r5 note: re-uploading them was ~0.7 s/call)
+    from .fwi import _device_stack
+    obs_stack = _device_stack(obs)
+    if direct_wave is not None:
+        dw_stack = _device_stack(direct_wave)
+    else:
+        dw_stack = jnp.zeros(obs_stack.shape, dtype=model.dtype)
     if shot_indices is not None:
         sel = np.asarray(shot_indices, dtype=np.int64)
         s_idx, s_w, src_pos = s_idx[sel], s_w[sel], src_pos[sel]
-        obs = [obs[int(i)] for i in sel]
-        if direct_wave is not None:
-            direct_wave = [direct_wave[int(i)] for i in sel]
+        sel_d = jnp.asarray(sel)
+        obs_stack = obs_stack[sel_d]
+        dw_stack = dw_stack[sel_d]
     nshots = s_idx.shape[0]
-    obs_stack = np.stack([np.asarray(o.data) for o in obs])
-    if direct_wave is not None:
-        dw_stack = np.stack([np.asarray(d.data) for d in direct_wave])
+    if grad_route is None:
+        import os
+        grad_route = os.environ.get("DEVITO_FWI_TPU_VISCO_GRAD",
+                                    "auto").strip().lower()
+    if grad_route not in ("auto", "saved", "vjp"):
+        raise ValueError(f"grad_route={grad_route!r}: expected 'auto', "
+                         f"'saved' or 'vjp'")
+    if grad_route == "auto":
+        grad_route = "saved" if (kernel, time_order) == ("sls", 2) \
+            else "vjp"
+    if grad_route == "saved" and (kernel, time_order) != ("sls", 2):
+        raise ValueError("the saved-history visco adjoint covers the "
+                         "sls/2 kernel only")
+    if model.dtype == np.float32:
+        from .ops.pallas_acoustic import stream_hist_dtype
+        hist_dtype = stream_hist_dtype()
     else:
-        dw_stack = np.zeros((nshots,) + obs_stack.shape[1:],
-                            dtype=model.dtype)
+        hist_dtype = None
     kw = dict(kernel=kernel, time_order=time_order, nt=geometry.nt,
               spacing=model.spacing, space_order=model.space_order,
               n_checkpoints=n_checkpoints, misfit_jax=mj,
               calc_grad=calc_grad, pads=pads, shape=model.shape,
-              illum_fix=illum_fix)
+              illum_fix=illum_fix, grad_route=grad_route,
+              hist_dtype=hist_dtype)
 
     # device-side accumulation, ONE fetch (see elastic_fwi — per-chunk
     # round trips are the measured tunnel tax)
@@ -193,28 +240,29 @@ def visco_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
         if calc_grad:
             g_parts.append(grads)
             il_parts.append(illum)
+    from .fwi import ResidualStack, _mask_device
     fval_d = f_parts[0]
     for f in f_parts[1:]:
         fval_d = fval_d + f
+    residuals = ResidualStack(res_parts)
     if not calc_grad:
-        fval, res_h = jax.device_get((fval_d, res_parts))
-        return float(fval), None, [r for c in res_h for r in c]
+        return float(jax.device_get(fval_d)), None, residuals
     gsum = g_parts[0]
     ilsum = il_parts[0]
     for grads, illum in zip(g_parts[1:], il_parts[1:]):
         gsum = tuple(a + c for a, c in zip(gsum, grads))
         ilsum = ilsum + illum
-    fval, gsum, ilsum, res_h = jax.device_get(
-        (fval_d, gsum, ilsum, res_parts))
-    residuals = [r for c in res_h for r in c]
+    # device-side finalize + ONE small fetch (see elastic_fwi)
+    if precond:
+        scale = 1.0 / jnp.sqrt(ilsum + 1e-30)
+        gsum = tuple(g * scale for g in gsum)
+    if mask is not None:
+        mdev = _mask_device(mask)
+        gsum = tuple(g * mdev for g in gsum)
+    fval, gsum = jax.device_get((fval_d, gsum))
     out = {}
     for name, g in zip(("vp", "qp"), gsum):
-        g = np.asarray(g, np.float64)
-        if precond:
-            g = g / np.sqrt(np.asarray(ilsum, np.float64) + 1e-30)
-        if mask is not None:
-            g = g * mask
-        out[name] = g
+        out[name] = np.asarray(g, np.float64)
     return float(fval), out, residuals
 
 

@@ -400,8 +400,10 @@ def test_forward_hist_matches_plain_forward():
         lambda *a: sg.elastic_forward_hist(*a, **kw))(*args)
     assert np.array_equal(np.asarray(r1), np.asarray(r1h))
     assert np.asarray(illum).max() > 0
-    assert hist.shape == (geom.nt - 1, 4) + model.padded_shape
-    assert np.isfinite(np.asarray(hist)).all()
+    assert len(hist) == 4
+    for h in hist:
+        assert h.shape == (geom.nt - 1,) + model.padded_shape
+        assert np.isfinite(np.asarray(h)).all()
 
 
 def test_avg_to_T_and_pad_fold_are_exact_transposes():
@@ -424,6 +426,29 @@ def test_avg_to_T_and_pad_fold_are_exact_transposes():
     lhs = float(jnp.sum(jnp.pad(xp, pads, mode="edge") * yp))
     rhs = float(jnp.sum(xp * sg.pad_fold(yp, pads)))
     assert abs(lhs - rhs) <= 1e-12 * max(abs(lhs), 1.0)
+
+
+def test_pallas_gradient_matches_saved_interpret():
+    """The streamed-history Pallas elastic gradient (grad_route=
+    'pallas', interpreter mode off-TPU) reproduces the XLA saved route
+    to f32 roundoff through the full public objective — fval and all
+    three gradients, with illumination fix on."""
+    model, geom = _setup(dtype=np.float32, tn=140., nsrc=2)
+    vp, _, _ = model_vp_vs_rho(model)
+    obs1, _ = elastic_fm_multi(geom)
+    crop = tuple(slice(lo, lo + n) for (lo, _), n in
+                 zip(model.padsizes, model.shape))
+    vp0 = np.asarray(vp)[crop] * 1.02
+    common = dict(misfit_func=least_square, precond=False,
+                  illum_fix=True, calc_grad=True, vp=vp0, shot_chunk=2)
+    f_s, g_s, _ = elastic_fwi_obj_multi(geom, obs1, grad_route="saved",
+                                        **common)
+    f_p, g_p, _ = elastic_fwi_obj_multi(geom, obs1, grad_route="pallas",
+                                        **common)
+    assert abs(f_s - f_p) <= 1e-5 * abs(f_s)
+    for k in ("vp", "vs", "rho"):
+        scale = np.abs(g_s[k]).max()
+        assert np.abs(g_s[k] - g_p[k]).max() <= 1e-4 * scale, k
 
 
 def test_elastic_obj_with_w2_1d_misfit():

@@ -217,3 +217,29 @@ def test_viscoelastic_seg_and_gradient_fd():
         assert abs(fd - an) <= 5e-5 * max(abs(fd), abs(an), 1e-16), \
             (names[i], fd, an)
         assert abs(an) > 0, names[i]
+
+
+def test_saved_gradient_matches_vjp_visco():
+    """The hand-written sls/2 adjoint over the saved (L, rn) history
+    (ops/visco_grad.py, the fast path) reproduces the rematted jax.vjp
+    (vp, qp) gradient to f64 roundoff through the public objective —
+    including the 2nd-order source scale's vp^2 dependence."""
+    from devito_fwi_tpu.visco_fwi import (visco_fm_multi,
+                                          visco_fwi_obj_multi, _field)
+    from devito_fwi_tpu.misfit import least_square
+
+    model, geom = _setup(dtype=np.float64, tn=140., nsrc=2)
+    obs = visco_fm_multi(geom)
+    crop = tuple(slice(lo, lo + n) for (lo, _), n in
+                 zip(model.padsizes, model.shape))
+    vp0 = np.asarray(_field(model, "vp"))[crop] * 1.02
+    common = dict(misfit_func=least_square, precond=False,
+                  illum_fix=True, calc_grad=True, vp=vp0, shot_chunk=2)
+    f_v, g_v, _ = visco_fwi_obj_multi(geom, obs, grad_route="vjp",
+                                      **common)
+    f_s, g_s, _ = visco_fwi_obj_multi(geom, obs, grad_route="saved",
+                                      **common)
+    assert abs(f_v - f_s) <= 1e-12 * abs(f_v)
+    for k in ("vp", "qp"):
+        scale = np.abs(g_v[k]).max()
+        assert np.abs(g_v[k] - g_s[k]).max() <= 1e-12 * scale, k

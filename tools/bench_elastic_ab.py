@@ -65,7 +65,7 @@ def main():
 
     results = {}
     grads = {}
-    for route in ("vjp", "saved"):
+    for route in ("vjp", "saved", "pallas"):
         def one(route=route):
             return elastic_fwi_obj_multi(g0, obs, least_square,
                                          calc_grad=True, shot_chunk=4,
@@ -83,12 +83,14 @@ def main():
         print(f"{route:6s}: {best:8.3f} s  {rate:6.2f} Gcs/s  "
               f"fval={f:.6e}")
 
-    for k in ("vp", "vs", "rho"):
-        a, b = grads["vjp"][k], grads["saved"][k]
-        sc = np.abs(a).max()
-        print(f"grad[{k}] max-rel dev saved-vs-vjp: "
-              f"{np.abs(a - b).max() / sc:.3e}")
-    print(f"speedup: {results['vjp'][0] / results['saved'][0]:.2f}x")
+    for other in ("saved", "pallas"):
+        for k in ("vp", "vs", "rho"):
+            a, b = grads["vjp"][k], grads[other][k]
+            sc = np.abs(a).max()
+            print(f"grad[{k}] max-rel dev {other}-vs-vjp: "
+                  f"{np.abs(a - b).max() / sc:.3e}")
+        print(f"speedup {other}: "
+              f"{results['vjp'][0] / results[other][0]:.2f}x")
 
 
 if __name__ == "__main__":
