@@ -1108,3 +1108,418 @@ def _elastic_sharded_runner(mesh, dt, nt, spacing, space_order,
     # jit: an eagerly-evaluated closed_call (the unjitted rematted
     # elastic body) inside shard_map is unsupported
     return jax.jit(sm)
+
+
+def viscoacoustic_fwi_obj_sharded(geometry, obs, misfit_func=None,
+                                  direct_wave=None, mask=None,
+                                  precond=True, calc_grad=False,
+                                  kernel="sls", time_order=2, mesh=None,
+                                  n_checkpoints=0, vp=None, qp=None):
+    """Shot-sharded viscoacoustic objective/GRADIENT (round 5; the r4
+    tree had only the sharded forward): each device runs its local
+    shots through the hand-written sls/2 saved-history adjoint
+    (``ops/visco_grad.py``) when it applies, else the vjp of the
+    rematted scan, psum-reducing (fval, g_vp, g_qp, illum) over the
+    'shots' axis. Returns (fval, {"vp","qp"} dict) matching
+    ``visco_fwi.visco_fwi_obj_multi`` conventions."""
+    from ..fwi import _batched_tables, _misfit_jax, _pads
+    from ..visco_fwi import _field
+
+    misfit_jax = _misfit_jax(misfit_func)
+    if misfit_jax is None:
+        raise NotImplementedError(
+            "viscoacoustic_fwi_obj_sharded needs a jittable misfit")
+    model = geometry.model
+    model._initialize_bcs(bcs="mask")
+    pads, shape, spacing = _pads(model), model.shape, model.spacing
+    crop_slc = tuple(slice(lo, lo + n)
+                     for (lo, _), n in zip(model.padsizes, shape))
+
+    def param(user, fallback):
+        if user is None:
+            return np.asarray(fallback)[crop_slc]
+        user = np.asarray(user, dtype=model.dtype)
+        return user if user.shape == shape else user[crop_slc]
+
+    vp = jnp.asarray(param(vp, _field(model, "vp")))
+    qp = jnp.asarray(param(qp, _field(model, "qp")))
+    b = jnp.asarray(_field(model, "b", 1.0))
+    damp = jnp.asarray(_field(model, "damp", 1.0))
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    rec_pos = jnp.asarray(geometry.rec_positions, dtype=model.dtype)
+    r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
+    src_wav = jnp.asarray(src_wav)
+    dt = float(model.critical_dt)
+
+    grad_route = "saved" if (kernel, time_order) == ("sls", 2) else "vjp"
+    hist_dtype = None
+    if model.dtype == np.float32:
+        from ..ops.pallas_acoustic import stream_hist_dtype
+        hist_dtype = stream_hist_dtype()
+
+    mesh = mesh or shot_mesh()
+    ndev = mesh.devices.size
+    obs_stack = jnp.asarray(obs) if hasattr(obs, "shape") else \
+        jnp.stack([jnp.asarray(o.data) for o in obs])
+    if direct_wave is None:
+        dw_stack = jnp.zeros_like(obs_stack)
+    else:
+        dw_stack = jnp.asarray(direct_wave) \
+            if hasattr(direct_wave, "shape") else \
+            jnp.stack([jnp.asarray(d.data) for d in direct_wave])
+    (s_idx_p, s_w_p, obs_p, dw_p, sp_p), valid = _pad_shots(
+        [jnp.asarray(s_idx), jnp.asarray(s_w), obs_stack, dw_stack,
+         jnp.asarray(geometry.src_positions, dtype=model.dtype)],
+        geometry.nsrc, ndev, model.dtype)
+
+    run = _visco_sharded_runner(mesh, dt, float(geometry.f0),
+                                geometry.nt, spacing, model.space_order,
+                                n_checkpoints, kernel, time_order, pads,
+                                shape, misfit_jax, bool(calc_grad),
+                                grad_route, hist_dtype)
+
+    nsrc_p = int(s_idx_p.shape[0])
+    chunk_len = min(nsrc_p, ndev * 4)
+    fval, gsum, ilsum = 0.0, None, None
+    for lo in range(0, nsrc_p, chunk_len):
+        hi = min(lo + chunk_len, nsrc_p)
+        f_c, g_c, il_c = run(vp, qp, b, damp, src_wav, r_idx, r_w,
+                             rec_pos, s_idx_p[lo:hi], s_w_p[lo:hi],
+                             obs_p[lo:hi], dw_p[lo:hi], sp_p[lo:hi],
+                             valid[lo:hi])
+        fval += float(f_c)
+        if calc_grad:
+            g_c = tuple(np.asarray(x, np.float64) for x in g_c)
+            gsum = g_c if gsum is None else \
+                tuple(a + c for a, c in zip(gsum, g_c))
+            il_c = np.asarray(il_c, np.float64)
+            ilsum = il_c if ilsum is None else ilsum + il_c
+    if not calc_grad:
+        return fval, None
+    out = {}
+    for name, g in zip(("vp", "qp"), gsum):
+        if precond:
+            g = g / np.sqrt(ilsum + 1e-30)
+        if mask is not None:
+            g = g * mask
+        out[name] = g
+    return fval, out
+
+
+@_lru_cache(maxsize=16)
+def _visco_sharded_runner(mesh, dt, f0, nt, spacing, space_order,
+                          n_checkpoints, kernel, time_order, pads, shape,
+                          misfit_jax, calc_grad, grad_route, hist_dtype):
+    """Cached, jitted shard_map runner for the viscoacoustic sharded
+    objective (replicated-argument discipline — see
+    ``_elastic_sharded_runner``)."""
+    from ..fwi import _crop, _fix_illum_jax
+    from ..ops import viscoacoustic as _va
+    from ..ops import visco_grad as _vg
+    from ..ops.staggered_grad import pad_fold
+
+    def body(vp, qp, b, damp, src_wav, r_idx, r_w, rec_pos,
+             si_b, sw_b, ob_b, dw_b, sp_b, w_b):
+
+        def fix(g, sp):
+            return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
+
+        def per_shot(si, sw, obs_i, dw_i, sp, w):
+            if calc_grad and grad_route == "saved":
+                vpp = jnp.pad(vp, pads, mode="edge")
+                qpp = jnp.pad(qp, pads, mode="edge")
+                f, (g_vp, g_qp), illum, _res = \
+                    _vg.visco_sls2_value_and_grad(
+                        vpp, b, qpp, damp, src_wav, si, sw, r_idx, r_w,
+                        obs_i, dw_i, dt, f0, misfit_jax, nt=nt,
+                        spacing=spacing, space_order=space_order,
+                        hist_dtype=hist_dtype)
+                grads = (pad_fold(g_vp, pads), pad_fold(g_qp, pads))
+                illum = _crop(illum, pads, shape)
+                return (f * w, tuple(fix(g, sp) * w for g in grads),
+                        fix(illum, sp) * w)
+
+            def fwd(vp_, qp_):
+                vpp = jnp.pad(vp_, pads, mode="edge")
+                qpp = jnp.pad(qp_, pads, mode="edge")
+                rec, illum = _va.forward_seg(
+                    vpp, b, qpp, damp, src_wav, si, sw, r_idx, r_w, dt,
+                    f0, kernel=kernel, time_order=time_order, nt=nt,
+                    spacing=spacing, space_order=space_order,
+                    n_checkpoints=n_checkpoints)
+                return rec, _crop(illum, pads, shape)
+
+            if calc_grad:
+                (rec, illum), vjp = jax.vjp(fwd, vp, qp)
+            else:
+                rec, illum = fwd(vp, qp)
+            f, res = misfit_jax(rec - dw_i, obs_i - dw_i)
+            if not calc_grad:
+                z = jnp.zeros(shape, vp.dtype)
+                return f * w, (z, z), z
+            grads = vjp((res.astype(vp.dtype), jnp.zeros_like(illum)))
+            return (f * w, tuple(fix(g, sp) * w for g in grads),
+                    fix(illum, sp) * w)
+
+        f, g, il = jax.vmap(per_shot)(si_b, sw_b, ob_b, dw_b, sp_b, w_b)
+        f = jax.lax.psum(jnp.sum(f), "shots")
+        g = tuple(jax.lax.psum(jnp.sum(x, axis=0), "shots") for x in g)
+        il = jax.lax.psum(jnp.sum(il, axis=0), "shots")
+        return f, g, il
+
+    sm = shard_map(body, mesh=mesh, check_vma=False,
+                   in_specs=(P(),) * 8 + (P("shots"),) * 6,
+                   out_specs=(P(), (P(), P()), P()))
+    return jax.jit(sm)
+
+
+def viscoelastic_fwi_obj_sharded(geometry, obs, misfit_func=None,
+                                 direct_wave=None, mask=None,
+                                 precond=True, calc_grad=False,
+                                 mesh=None, n_checkpoints=0):
+    """Shot-sharded viscoelastic (vp, vs, rho, qp, qs) objective/
+    gradient: vjp of the two-level-rematted SLS velocity-stress scan
+    per local shot, psum over 'shots'. Observed data is the rec1
+    (tau_zz) gather. Returns (fval, dict of the five gradients)."""
+    from ..fwi import _batched_tables, _misfit_jax, _pads
+    from ..elastic_fwi import _damp_field, model_vp_vs_rho
+    from ..visco_fwi import _field
+
+    misfit_jax = _misfit_jax(misfit_func)
+    if misfit_jax is None:
+        raise NotImplementedError(
+            "viscoelastic_fwi_obj_sharded needs a jittable misfit")
+    model = geometry.model
+    model._initialize_bcs(bcs="mask")
+    pads, shape, spacing = _pads(model), model.shape, model.spacing
+    crop_slc = tuple(slice(lo, lo + n)
+                     for (lo, _), n in zip(model.padsizes, shape))
+    mvp, mvs, mrho = model_vp_vs_rho(model)
+    vp = jnp.asarray(np.asarray(mvp)[crop_slc])
+    vs = jnp.asarray(np.asarray(mvs)[crop_slc])
+    rho = jnp.asarray(np.asarray(mrho)[crop_slc])
+    qp = jnp.asarray(np.asarray(_field(model, "qp"))[crop_slc])
+    qs = jnp.asarray(np.asarray(_field(model, "qs"))[crop_slc])
+    damp = jnp.asarray(_damp_field(model))
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    rec_pos = jnp.asarray(geometry.rec_positions, dtype=model.dtype)
+    r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
+    src_wav = jnp.asarray(src_wav)
+    dt = float(model.critical_dt)
+
+    mesh = mesh or shot_mesh()
+    ndev = mesh.devices.size
+    obs_stack = jnp.asarray(obs) if hasattr(obs, "shape") else \
+        jnp.stack([jnp.asarray(o.data) for o in obs])
+    if direct_wave is None:
+        dw_stack = jnp.zeros_like(obs_stack)
+    else:
+        dw_stack = jnp.asarray(direct_wave) \
+            if hasattr(direct_wave, "shape") else \
+            jnp.stack([jnp.asarray(d.data) for d in direct_wave])
+    (s_idx_p, s_w_p, obs_p, dw_p, sp_p), valid = _pad_shots(
+        [jnp.asarray(s_idx), jnp.asarray(s_w), obs_stack, dw_stack,
+         jnp.asarray(geometry.src_positions, dtype=model.dtype)],
+        geometry.nsrc, ndev, model.dtype)
+
+    run = _viscoelastic_sharded_runner(
+        mesh, dt, float(geometry.f0), geometry.nt, spacing,
+        model.space_order, n_checkpoints, pads, shape, misfit_jax,
+        bool(calc_grad))
+
+    nsrc_p = int(s_idx_p.shape[0])
+    chunk_len = min(nsrc_p, ndev * 2)
+    fval, gsum, ilsum = 0.0, None, None
+    for lo in range(0, nsrc_p, chunk_len):
+        hi = min(lo + chunk_len, nsrc_p)
+        f_c, g_c, il_c = run(vp, vs, rho, qp, qs, damp, src_wav, r_idx,
+                             r_w, rec_pos, s_idx_p[lo:hi], s_w_p[lo:hi],
+                             obs_p[lo:hi], dw_p[lo:hi], sp_p[lo:hi],
+                             valid[lo:hi])
+        fval += float(f_c)
+        if calc_grad:
+            g_c = tuple(np.asarray(x, np.float64) for x in g_c)
+            gsum = g_c if gsum is None else \
+                tuple(a + c for a, c in zip(gsum, g_c))
+            il_c = np.asarray(il_c, np.float64)
+            ilsum = il_c if ilsum is None else ilsum + il_c
+    if not calc_grad:
+        return fval, None
+    out = {}
+    for name, g in zip(("vp", "vs", "rho", "qp", "qs"), gsum):
+        if precond:
+            g = g / np.sqrt(ilsum + 1e-30)
+        if mask is not None:
+            g = g * mask
+        out[name] = g
+    return fval, out
+
+
+@_lru_cache(maxsize=16)
+def _viscoelastic_sharded_runner(mesh, dt, f0, nt, spacing, space_order,
+                                 n_checkpoints, pads, shape, misfit_jax,
+                                 calc_grad):
+    """Cached, jitted shard_map runner for the viscoelastic sharded
+    objective."""
+    from ..fwi import _crop, _fix_illum_jax
+    from ..ops import staggered as _st
+
+    def body(vp, vs, rho, qp, qs, damp, src_wav, r_idx, r_w, rec_pos,
+             si_b, sw_b, ob_b, dw_b, sp_b, w_b):
+
+        def fix(g, sp):
+            return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
+
+        def per_shot(si, sw, obs_i, dw_i, sp, w):
+            def fwd(vp_, vs_, rho_, qp_, qs_):
+                vpp = jnp.pad(vp_, pads, mode="edge")
+                vsp = jnp.pad(vs_, pads, mode="edge")
+                rhp = jnp.pad(rho_, pads, mode="edge")
+                qpp = jnp.pad(qp_, pads, mode="edge")
+                qsp = jnp.pad(qs_, pads, mode="edge")
+                lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
+                mu = rhp * vsp * vsp
+                rec1, _, illum = _st.viscoelastic_forward_seg(
+                    lam, mu, 1.0 / rhp, qpp, qsp, damp, f0, src_wav,
+                    si, sw, r_idx, r_w, dt, nt=nt, spacing=spacing,
+                    space_order=space_order,
+                    n_checkpoints=n_checkpoints)
+                return rec1, _crop(illum, pads, shape)
+
+            if calc_grad:
+                (rec1, illum), vjp = jax.vjp(fwd, vp, vs, rho, qp, qs)
+            else:
+                rec1, illum = fwd(vp, vs, rho, qp, qs)
+            f, res = misfit_jax(rec1 - dw_i, obs_i - dw_i)
+            if not calc_grad:
+                z = jnp.zeros(shape, vp.dtype)
+                return f * w, (z, z, z, z, z), z
+            grads = vjp((res.astype(vp.dtype), jnp.zeros_like(illum)))
+            return (f * w, tuple(fix(g, sp) * w for g in grads),
+                    fix(illum, sp) * w)
+
+        f, g, il = jax.vmap(per_shot)(si_b, sw_b, ob_b, dw_b, sp_b, w_b)
+        f = jax.lax.psum(jnp.sum(f), "shots")
+        g = tuple(jax.lax.psum(jnp.sum(x, axis=0), "shots") for x in g)
+        il = jax.lax.psum(jnp.sum(il, axis=0), "shots")
+        return f, g, il
+
+    sm = shard_map(body, mesh=mesh, check_vma=False,
+                   in_specs=(P(),) * 10 + (P("shots"),) * 6,
+                   out_specs=(P(), (P(),) * 5, P()))
+    return jax.jit(sm)
+
+
+def sa_fwi_obj_sharded(geometry, obs, misfit_func=None, direct_wave=None,
+                       mask=None, precond=True, calc_grad=False,
+                       mesh=None):
+    """Shot-sharded SELF-ADJOINT objective/gradient: per local shot a
+    save=True forward + the explicit ``jacobian_adjoint`` imaging
+    condition (reference ``IsoJacobianAdjOperator``), psum over
+    'shots'. The model must carry vp, b and a w/Q damp field
+    (``self_adjoint.setup_w_over_q``). Returns (fval, g_vp) matching
+    the acoustic ``fwi_obj_sharded`` shape conventions. The saved
+    background wavefield costs nt x grid per in-flight shot — size the
+    mesh chunking accordingly for large nt."""
+    from ..fwi import _batched_tables, _misfit_jax, _pads
+    from ..visco_fwi import _field
+
+    misfit_jax = _misfit_jax(misfit_func)
+    if misfit_jax is None:
+        raise NotImplementedError(
+            "sa_fwi_obj_sharded needs a jittable misfit")
+    model = geometry.model
+    pads, shape, spacing = _pads(model), model.shape, model.spacing
+    vp = jnp.asarray(_field(model, "vp"))
+    b = jnp.asarray(_field(model, "b", 1.0))
+    woq = jnp.asarray(_field(model, "damp"))
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(geometry)
+    rec_pos = jnp.asarray(geometry.rec_positions, dtype=model.dtype)
+    r_idx, r_w = jnp.asarray(r_idx), jnp.asarray(r_w)
+    src_wav = jnp.asarray(src_wav)
+    dt = float(model.critical_dt)
+
+    mesh = mesh or shot_mesh()
+    ndev = mesh.devices.size
+    obs_stack = jnp.asarray(obs) if hasattr(obs, "shape") else \
+        jnp.stack([jnp.asarray(o.data) for o in obs])
+    if direct_wave is None:
+        dw_stack = jnp.zeros_like(obs_stack)
+    else:
+        dw_stack = jnp.asarray(direct_wave) \
+            if hasattr(direct_wave, "shape") else \
+            jnp.stack([jnp.asarray(d.data) for d in direct_wave])
+    (s_idx_p, s_w_p, obs_p, dw_p, sp_p), valid = _pad_shots(
+        [jnp.asarray(s_idx), jnp.asarray(s_w), obs_stack, dw_stack,
+         jnp.asarray(geometry.src_positions, dtype=model.dtype)],
+        geometry.nsrc, ndev, model.dtype)
+
+    run = _sa_sharded_runner(mesh, dt, geometry.nt, spacing,
+                             model.space_order, pads, shape, misfit_jax,
+                             bool(calc_grad))
+
+    nsrc_p = int(s_idx_p.shape[0])
+    chunk_len = min(nsrc_p, ndev)  # save=True wavefield: one per device
+    fval, gsum, ilsum = 0.0, None, None
+    for lo in range(0, nsrc_p, chunk_len):
+        hi = min(lo + chunk_len, nsrc_p)
+        f_c, g_c, il_c = run(vp, b, woq, src_wav, r_idx, r_w, rec_pos,
+                             s_idx_p[lo:hi], s_w_p[lo:hi], obs_p[lo:hi],
+                             dw_p[lo:hi], sp_p[lo:hi], valid[lo:hi])
+        fval += float(f_c)
+        if calc_grad:
+            g_c = np.asarray(g_c, np.float64)
+            gsum = g_c if gsum is None else gsum + g_c
+            il_c = np.asarray(il_c, np.float64)
+            ilsum = il_c if ilsum is None else ilsum + il_c
+    if not calc_grad:
+        return fval, None
+    g = gsum
+    if precond:
+        g = g / np.sqrt(ilsum + 1e-30)
+    if mask is not None:
+        g = g * mask
+    return fval, g
+
+
+@_lru_cache(maxsize=16)
+def _sa_sharded_runner(mesh, dt, nt, spacing, space_order, pads, shape,
+                       misfit_jax, calc_grad):
+    """Cached, jitted shard_map runner for the self-adjoint sharded
+    objective."""
+    from ..fwi import _crop, _fix_illum_jax
+    from ..ops import self_adjoint as _sa
+
+    def body(vp, b, woq, src_wav, r_idx, r_w, rec_pos,
+             si_b, sw_b, ob_b, dw_b, sp_b, w_b):
+
+        def fix(g, sp):
+            return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
+
+        def per_shot(si, sw, obs_i, dw_i, sp, w):
+            static = dict(nt=nt, spacing=spacing,
+                          space_order=space_order)
+            rec, u0 = _sa.forward(vp, b, woq, src_wav, si, sw, r_idx,
+                                  r_w, dt, save=calc_grad, **static)
+            f, res = misfit_jax(rec - dw_i, obs_i - dw_i)
+            if not calc_grad:
+                z = jnp.zeros(shape, vp.dtype)
+                return f * w, z, z
+            dm, _ = _sa.jacobian_adjoint(vp, b, woq, u0,
+                                         res.astype(vp.dtype), r_idx,
+                                         r_w, dt, **static)
+            illum = jnp.sum(u0 * u0, axis=0)
+            g = fix(_crop(dm, pads, shape), sp)
+            il = fix(_crop(illum, pads, shape), sp)
+            return f * w, g * w, il * w
+
+        f, g, il = jax.vmap(per_shot)(si_b, sw_b, ob_b, dw_b, sp_b, w_b)
+        f = jax.lax.psum(jnp.sum(f), "shots")
+        g = jax.lax.psum(jnp.sum(g, axis=0), "shots")
+        il = jax.lax.psum(jnp.sum(il, axis=0), "shots")
+        return f, g, il
+
+    sm = shard_map(body, mesh=mesh, check_vma=False,
+                   in_specs=(P(),) * 7 + (P("shots"),) * 6,
+                   out_specs=(P(), P(), P()))
+    return jax.jit(sm)

@@ -599,3 +599,231 @@ def test_tti3d_sharded_gradient_matches_serial_with_phi():
     assert np.isclose(f_sh, f_ref, rtol=1e-5)
     scale = np.abs(g_ref).max()
     assert np.abs(g_sh - g_ref).max() < 1e-5 * scale
+
+
+def test_visco_sharded_gradient_matches_serial():
+    """Viscoacoustic shot-sharded (vp, qp) GRADIENT (round 5; r4 had
+    only the sharded forward) == the single-chip objective on the
+    8-device mesh."""
+    from devito_fwi_tpu import SeismicModel
+    from devito_fwi_tpu.parallel.sharding import \
+        viscoacoustic_fwi_obj_sharded
+    from devito_fwi_tpu.visco_fwi import visco_fm_multi, \
+        visco_fwi_obj_multi
+
+    nsrc = 3
+    shape = (41, 36)
+    vp = np.full(shape, 2.0, np.float32)
+    vp[:, 18:] = 2.4
+    qp = np.full(shape, 60.0, np.float32)
+    rho = (0.31 * (1e3 * vp) ** 0.25).astype(np.float32)
+
+    def mk(vpa):
+        return SeismicModel(origin=(0., 0.), spacing=(10., 10.),
+                            shape=shape, space_order=4, vp=vpa, qp=qp,
+                            b=1.0 / rho, nbl=8, bcs="mask", dt=1.0)
+
+    mt = mk(vp)
+    m0 = mk(np.full(shape, 2.2, np.float32))
+    src = np.stack([np.linspace(50., 350., nsrc), np.full(nsrc, 20.0)], 1)
+    rec = np.stack([np.linspace(0., 400., 21), np.full(21, 30.0)], 1)
+    gt = AcquisitionGeometry(mt, rec, src, 0., 200., f0=0.015,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(m0, rec, src, 0., 200., f0=0.015,
+                             src_type="Ricker")
+    obs = visco_fm_multi(gt)
+    f_ref, g_ref, _ = visco_fwi_obj_multi(g0, obs, least_square,
+                                          calc_grad=True, shot_chunk=3)
+    f_sh, g_sh = viscoacoustic_fwi_obj_sharded(g0, obs, least_square,
+                                               calc_grad=True)
+    assert np.isclose(f_sh, f_ref, rtol=1e-5)
+    for k in ("vp", "qp"):
+        scale = max(np.abs(g_ref[k]).max(), 1e-20)
+        assert np.abs(g_sh[k] - g_ref[k]).max() < 1e-5 * scale, k
+
+
+def test_viscoelastic_sharded_gradient_runs_and_matches_vjp():
+    """Viscoelastic shot-sharded 5-parameter gradient == a serial vjp
+    reference through the same forward."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu import SeismicModel
+    from devito_fwi_tpu.fwi import _batched_tables, _crop, \
+        _fix_illum_jax, _pads
+    from devito_fwi_tpu.ops import staggered as st
+    from devito_fwi_tpu.parallel.sharding import \
+        viscoelastic_fwi_obj_sharded
+
+    nsrc = 2
+    shape = (33, 29)
+    vp = np.full(shape, 2.0, np.float32)
+    vp[:, 14:] = 2.4
+    vs = (vp / 2.0).astype(np.float32)
+    rho = (0.31 * (1e3 * vp) ** 0.25).astype(np.float32)
+    qp = np.full(shape, 60.0, np.float32)
+    qs = np.full(shape, 40.0, np.float32)
+
+    def mk(vpa):
+        return SeismicModel(origin=(0., 0.), spacing=(10., 10.),
+                            shape=shape, space_order=4, vp=vpa, vs=vs,
+                            b=1.0 / rho, qp=qp, qs=qs, nbl=6,
+                            bcs="mask", dt=1.0)
+
+    mt = mk(vp)
+    m0 = mk(np.full(shape, 2.2, np.float32))
+    src = np.stack([np.linspace(60., 260., nsrc), np.full(nsrc, 20.0)], 1)
+    rec = np.stack([np.linspace(0., 320., 17), np.full(17, 30.0)], 1)
+    gt = AcquisitionGeometry(mt, rec, src, 0., 160., f0=0.015,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(m0, rec, src, 0., 160., f0=0.015,
+                             src_type="Ricker")
+
+    # observed data through the plain forward on the true model
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(gt)
+    dt = float(mt.critical_dt)
+    kw = dict(nt=gt.nt, spacing=mt.spacing, space_order=4)
+    obs = []
+    for i in range(nsrc):
+        r1, _ = st.viscoelastic_forward(
+            jnp.asarray(np.asarray(mt.lam)), jnp.asarray(np.asarray(mt.mu)),
+            jnp.asarray(np.asarray(mt.b)), jnp.asarray(np.asarray(mt.qp)),
+            jnp.asarray(np.asarray(mt.qs)), jnp.asarray(np.asarray(mt.damp)),
+            gt.f0, jnp.asarray(src_wav), jnp.asarray(s_idx[i]),
+            jnp.asarray(s_w[i]), jnp.asarray(r_idx), jnp.asarray(r_w),
+            dt, **kw)
+        obs.append(np.asarray(r1))
+    obs = np.stack(obs)
+
+    f_sh, g_sh = viscoelastic_fwi_obj_sharded(g0, obs, least_square,
+                                              calc_grad=True,
+                                              precond=False)
+
+    # serial vjp reference with the same per-shot conventions
+    import jax as _jax
+    pads, shp = _pads(m0), m0.shape
+    crop_slc = tuple(slice(lo, lo + n) for (lo, _), n in
+                     zip(m0.padsizes, shp))
+    from devito_fwi_tpu.elastic_fwi import model_vp_vs_rho
+    mvp, mvs, mrho = model_vp_vs_rho(m0)
+    vp0 = jnp.asarray(np.asarray(mvp)[crop_slc])
+    vs0 = jnp.asarray(np.asarray(mvs)[crop_slc])
+    rho0 = jnp.asarray(np.asarray(mrho)[crop_slc])
+    qp0 = jnp.asarray(qp)
+    qs0 = jnp.asarray(qs)
+    damp = jnp.asarray(np.asarray(m0.damp))
+    s_idx0, s_w0, r_idx0, r_w0, src_wav0 = _batched_tables(g0)
+    dt0 = float(m0.critical_dt)
+    f_ref = 0.0
+    g_ref = None
+    il_ref = None
+    for i in range(nsrc):
+        def fwd(vp_, vs_, rho_, qp_, qs_):
+            vpp = jnp.pad(vp_, pads, mode="edge")
+            vsp = jnp.pad(vs_, pads, mode="edge")
+            rhp = jnp.pad(rho_, pads, mode="edge")
+            qpp = jnp.pad(qp_, pads, mode="edge")
+            qsp = jnp.pad(qs_, pads, mode="edge")
+            lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
+            mu = rhp * vsp * vsp
+            rec1, _, illum = st.viscoelastic_forward_seg(
+                lam, mu, 1.0 / rhp, qpp, qsp, damp, g0.f0,
+                jnp.asarray(src_wav0), jnp.asarray(s_idx0[i]),
+                jnp.asarray(s_w0[i]), jnp.asarray(r_idx0),
+                jnp.asarray(r_w0), dt0, nt=g0.nt, spacing=m0.spacing,
+                space_order=4)
+            return rec1, _crop(illum, pads, shp)
+
+        (rec1, illum), vjp = _jax.vjp(fwd, vp0, vs0, rho0, qp0, qs0)
+        f_i = 0.5 * jnp.sum((rec1 - jnp.asarray(obs[i])) ** 2)
+        res = rec1 - jnp.asarray(obs[i])
+        grads = vjp((res, jnp.zeros_like(illum)))
+        sp = jnp.asarray(g0.src_positions[i], m0.dtype)
+        rp = jnp.asarray(g0.rec_positions, m0.dtype)
+        fixed = tuple(np.asarray(_fix_illum_jax(g, sp, rp, m0.spacing,
+                                                shp), np.float64)
+                      for g in grads)
+        f_ref += float(f_i)
+        g_ref = fixed if g_ref is None else \
+            tuple(a + b for a, b in zip(g_ref, fixed))
+    assert np.isclose(f_sh, f_ref, rtol=1e-5)
+    for k, g in zip(("vp", "vs", "rho", "qp", "qs"), g_ref):
+        scale = max(np.abs(g).max(), 1e-20)
+        assert np.abs(g_sh[k] - g).max() < 1e-4 * scale, k
+
+
+def test_sa_sharded_gradient_matches_serial():
+    """Self-adjoint shot-sharded gradient == the per-shot
+    forward(save) + jacobian_adjoint loop."""
+    import jax.numpy as jnp
+    from devito_fwi_tpu import SeismicModel
+    from devito_fwi_tpu.fwi import _batched_tables, _crop, \
+        _fix_illum_jax, _pads
+    from devito_fwi_tpu.ops import self_adjoint as sa
+    from devito_fwi_tpu.parallel.sharding import sa_fwi_obj_sharded
+
+    nsrc = 3
+    shape = (41, 36)
+    nbl = 8
+    vp = np.full(shape, 2.0, np.float32)
+    vp[:, 18:] = 2.4
+
+    def mk(vpa):
+        m = SeismicModel(origin=(0., 0.), spacing=(10., 10.),
+                         shape=shape, space_order=8, vp=vpa,
+                         b=np.ones(shape, np.float32), nbl=nbl,
+                         bcs="damp", dt=0.8)
+        woq = sa.setup_w_over_q(m.padded_shape, w=2 * np.pi * 0.015,
+                                qmin=0.1, qmax=100.0, npad=nbl,
+                                dtype=np.float32)
+        m.damp[:] = woq
+        return m
+
+    mt, m0 = mk(vp), mk(np.full(shape, 2.2, np.float32))
+    src = np.stack([np.linspace(50., 350., nsrc), np.full(nsrc, 20.0)], 1)
+    rec = np.stack([np.linspace(0., 400., 21), np.full(21, 30.0)], 1)
+    gt = AcquisitionGeometry(mt, rec, src, 0., 160., f0=0.015,
+                             src_type="Ricker")
+    g0 = AcquisitionGeometry(m0, rec, src, 0., 160., f0=0.015,
+                             src_type="Ricker")
+    s_idx, s_w, r_idx, r_w, src_wav = _batched_tables(gt)
+    dt = float(mt.critical_dt)
+    kw = dict(nt=gt.nt, spacing=mt.spacing, space_order=8)
+    obs = []
+    for i in range(nsrc):
+        r, _ = sa.forward(jnp.asarray(np.asarray(mt.vp)),
+                          jnp.asarray(np.asarray(mt.b)),
+                          jnp.asarray(np.asarray(mt.damp)),
+                          jnp.asarray(src_wav), jnp.asarray(s_idx[i]),
+                          jnp.asarray(s_w[i]), jnp.asarray(r_idx),
+                          jnp.asarray(r_w), dt, **kw)
+        obs.append(np.asarray(r))
+    obs = np.stack(obs)
+
+    # the sharded objective reads dt from g0's model
+    assert abs(float(m0.critical_dt) - dt) < 1e-12
+
+    f_sh, g_sh = sa_fwi_obj_sharded(g0, obs, least_square,
+                                    calc_grad=True, precond=False)
+
+    pads, shp = _pads(m0), m0.shape
+    f_ref, g_ref = 0.0, None
+    vp0 = jnp.asarray(np.asarray(m0.vp))
+    b0 = jnp.asarray(np.asarray(m0.b))
+    woq0 = jnp.asarray(np.asarray(m0.damp))
+    for i in range(nsrc):
+        rec_i, u0 = sa.forward(vp0, b0, woq0, jnp.asarray(src_wav),
+                               jnp.asarray(s_idx[i]), jnp.asarray(s_w[i]),
+                               jnp.asarray(r_idx), jnp.asarray(r_w), dt,
+                               save=True, **kw)
+        res = rec_i - jnp.asarray(obs[i])
+        f_ref += float(0.5 * jnp.sum(res * res))
+        dm, _ = sa.jacobian_adjoint(vp0, b0, woq0, u0, res,
+                                    jnp.asarray(r_idx), jnp.asarray(r_w),
+                                    dt, **kw)
+        sp = jnp.asarray(g0.src_positions[i], m0.dtype)
+        rp = jnp.asarray(g0.rec_positions, m0.dtype)
+        g_i = np.asarray(_fix_illum_jax(_crop(dm, pads, shp), sp, rp,
+                                        m0.spacing, shp), np.float64)
+        g_ref = g_i if g_ref is None else g_ref + g_i
+    assert np.isclose(f_sh, f_ref, rtol=1e-5)
+    scale = max(np.abs(g_ref).max(), 1e-20)
+    assert np.abs(g_sh - g_ref).max() < 1e-5 * scale
