@@ -602,7 +602,12 @@ def _saved_route(geometry, calc_grad):
     itemsize = jnp.dtype(save_dtype).itemsize
     model = geometry.model
     per_shot = geometry.nt * int(np.prod(model.padded_shape)) * itemsize
-    budget = 6 << 30
+    # ~6 GB keeps the history chunk + reverse working set well clear of
+    # the 16 GB chip; DEVITO_FWI_TPU_SAVED3_BUDGET_GB widens it for
+    # batch-scaling A/Bs (the 3-D sweep rate is strongly
+    # batch-dependent — docs/04_performance.md)
+    budget = int(float(os.environ.get(
+        "DEVITO_FWI_TPU_SAVED3_BUDGET_GB", "6")) * (1 << 30))
     if per_shot > budget:
         return False, None, None, None
     # slab-injection gating (the geometry_supported analog): every
