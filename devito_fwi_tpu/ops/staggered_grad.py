@@ -227,3 +227,33 @@ def elastic_adjoint_from_hist(lam, mu, b, damp, rec_idx, rec_w, res,
         for i in range(ndim):
             g_b = g_b + gbi[i]
     return glam, g_mu, g_b
+
+
+def elastic_born(vp, vs, rho, dvp, dvs, drho, damp, src_wav, src_idx,
+                 src_w, rec_idx, rec_w, dt, *, nt, spacing,
+                 space_order=4, avg=True):
+    """Linearized (Born) elastic forward: the exact directional
+    derivative of the velocity-stress forward map at (vp, vs, rho) in
+    the direction (dvp, dvs, drho), computed by forward-mode AD through
+    the scan — O(1) extra memory, one fused program. The reference
+    stops at acoustic/TTI/self-adjoint Born operators
+    (``seismic/tti/operators.py:529-587``); its elastic solver has no
+    linearization at all. Operates on PADDED-grid fields (tangents of
+    the halo ride along exactly like the primal edge-pad). Returns
+    ((rec1, rec2), (drec1, drec2))."""
+    from .staggered import elastic_forward
+
+    def fwd(vp_, vs_, rho_):
+        lam = rho_ * (vp_ * vp_ - 2.0 * vs_ * vs_)
+        mu = rho_ * vs_ * vs_
+        return elastic_forward(lam, mu, 1.0 / rho_, damp, src_wav,
+                               src_idx, src_w, rec_idx, rec_w, dt,
+                               nt=nt, spacing=spacing,
+                               space_order=space_order, avg=avg)
+
+    zeros = jnp.zeros_like(vp)
+    tang = (dvp if dvp is not None else zeros,
+            dvs if dvs is not None else zeros,
+            drho if drho is not None else zeros)
+    primals, tangents = jax.jvp(fwd, (vp, vs, rho), tang)
+    return primals, tangents

@@ -165,3 +165,29 @@ def visco_sls2_value_and_grad(vp, b, qp, damp, src_wav, src_idx, src_w,
         res.astype(vp.dtype), hist, dt, f0, nt=nt, spacing=spacing,
         space_order=space_order, avg=avg)
     return f, (g_vp, g_qp), illum, res
+
+
+def visco_born(vp, b, qp, dvp, dqp, damp, src_wav, src_idx, src_w,
+               rec_idx, rec_w, dt, f0, *, kernel="sls", time_order=2,
+               nt, spacing, space_order=4, avg=True):
+    """Linearized (Born) viscoacoustic forward for ANY of the six
+    kernels: the exact directional derivative of the forward map at
+    (vp, qp) in the direction (dvp, dqp) by forward-mode AD through the
+    scan — Q-sensitivity Born modeling the reference cannot do (its
+    viscoacoustic stack stops at forward+adjoint,
+    ``seismic/viscoacoustic/wavesolver.py``). PADDED-grid fields.
+    Returns (rec, drec)."""
+    from .viscoacoustic import forward
+
+    def fwd(vp_, qp_):
+        rec, _ = forward(vp_, b, qp_, damp, src_wav, src_idx, src_w,
+                         rec_idx, rec_w, dt, f0, kernel=kernel,
+                         time_order=time_order, nt=nt, spacing=spacing,
+                         space_order=space_order, avg=avg, save=False)
+        return rec
+
+    zeros = jnp.zeros_like(vp)
+    tang = (dvp if dvp is not None else zeros,
+            dqp if dqp is not None else zeros)
+    rec, drec = jax.jvp(fwd, (vp, qp), tang)
+    return rec, drec

@@ -469,3 +469,64 @@ def test_elastic_obj_with_w2_1d_misfit():
     for k in ("vp", "vs", "rho"):
         assert np.isfinite(grads[k]).all()
         assert np.abs(grads[k]).max() > 0, k
+
+
+def test_elastic_born_linearization_and_adjoint_dot():
+    """Born (jvp) elastic linearization: error of F(m + h dm) - F(m)
+    against h J(dm) converges at O(h^2), and <J dm, dr> equals the
+    hand-written saved-history adjoint's <dm, J^T dr> — forward-mode AD
+    vs the explicit reverse sweep, two fully independent derivative
+    paths (the reference has no elastic linearization at all)."""
+    from devito_fwi_tpu.ops import staggered_grad as sg
+    from scipy.ndimage import gaussian_filter
+
+    model, geom = _setup(dtype=np.float64, tn=140.)
+    vp, vs, rho = model_vp_vs_rho(model)
+    s_idx, s_w, r_idx, r_w = _tables(model, geom)
+    damp = np.ones(model.padded_shape, np.float64)
+    wav = geom.src.data
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=4)
+    rng = np.random.RandomState(9)
+    dvp = gaussian_filter(rng.randn(*vp.shape), 3)
+    dvp *= 1e-2 * np.abs(vp).mean() / np.abs(dvp).max()
+    args = (jnp.asarray(damp), jnp.asarray(wav), jnp.asarray(s_idx),
+            jnp.asarray(s_w), jnp.asarray(r_idx), jnp.asarray(r_w),
+            float(model.critical_dt))
+
+    (rec1, _), (drec1, _) = sg.elastic_born(
+        jnp.asarray(vp), jnp.asarray(vs), jnp.asarray(rho),
+        jnp.asarray(dvp), None, None, *args, **kw)
+
+    def fwd_rec1(vp_):
+        lam = jnp.asarray(rho) * (vp_ ** 2 - 2.0 * jnp.asarray(vs) ** 2)
+        mu = jnp.asarray(rho) * jnp.asarray(vs) ** 2
+        from devito_fwi_tpu.ops import staggered as st_
+        r1, _ = st_.elastic_forward(lam, mu, 1.0 / jnp.asarray(rho),
+                                    *args, **kw)
+        return r1
+
+    errs = []
+    hs = [1.0, 0.5, 0.25]
+    for h in hs:
+        pert = np.asarray(fwd_rec1(jnp.asarray(vp + h * dvp)))
+        lin = np.asarray(rec1) + h * np.asarray(drec1)
+        errs.append(np.linalg.norm(pert - lin))
+    slopes = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    for sl in slopes:
+        assert 1.8 < sl < 2.2, (slopes, errs)
+
+    # adjoint dot test against the HAND reverse sweep
+    dr = rng.randn(*np.asarray(rec1).shape)
+    lam = jnp.asarray(rho * (vp ** 2 - 2.0 * vs ** 2))
+    mu = jnp.asarray(rho * vs ** 2)
+    _, _, hist = sg.elastic_forward_hist(
+        lam, mu, jnp.asarray(1.0 / rho), *args, **kw)
+    glam, gmu, gb = sg.elastic_adjoint_from_hist(
+        lam, mu, jnp.asarray(1.0 / rho), jnp.asarray(damp),
+        jnp.asarray(r_idx), jnp.asarray(r_w), jnp.asarray(dr), hist,
+        float(model.critical_dt), **kw)
+    # chain rule to vp (vs, rho fixed): g_vp = 2 rho vp glam
+    g_vp = np.asarray(2.0 * jnp.asarray(rho) * jnp.asarray(vp) * glam)
+    lhs = float(np.sum(np.asarray(drec1) * dr))
+    rhs = float(np.sum(g_vp * dvp))
+    assert abs(lhs - rhs) <= 1e-11 * max(abs(lhs), abs(rhs), 1e-30)

@@ -243,3 +243,52 @@ def test_saved_gradient_matches_vjp_visco():
     for k in ("vp", "qp"):
         scale = np.abs(g_v[k]).max()
         assert np.abs(g_v[k] - g_s[k]).max() <= 1e-12 * scale, k
+
+
+def test_visco_born_linearization_and_adjoint_dot():
+    """Born (jvp) viscoacoustic sls/2 linearization in (vp, qp): O(h^2)
+    convergence and the adjoint dot test against the hand-written
+    saved-history sweep (forward-mode AD vs the explicit reverse
+    recursion)."""
+    from devito_fwi_tpu.ops import visco_grad as vg
+    from devito_fwi_tpu.ops import viscoacoustic as va
+    from scipy.ndimage import gaussian_filter
+
+    model, geom = _setup(dtype=np.float64, tn=140.)
+    b, damp, wav, s_idx, s_w, r_idx, r_w = _args(model, geom)
+    vp = jnp.asarray(np.asarray(model.vp, np.float64))
+    qp = jnp.asarray(np.asarray(model.qp, np.float64))
+    dt = float(model.critical_dt)
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=4)
+    rng = np.random.RandomState(4)
+    dvp = gaussian_filter(rng.randn(*vp.shape), 3)
+    dvp *= 1e-2 * float(jnp.abs(vp).mean()) / np.abs(dvp).max()
+    dqp = gaussian_filter(rng.randn(*qp.shape), 3)
+    dqp *= 1e-2 * float(jnp.abs(qp).mean()) / np.abs(dqp).max()
+
+    rec, drec = vg.visco_born(vp, b, qp, jnp.asarray(dvp),
+                              jnp.asarray(dqp), damp, wav, s_idx, s_w,
+                              r_idx, r_w, dt, geom.f0, **kw)
+    errs = []
+    for h in (1.0, 0.5, 0.25):
+        pert, _ = va.forward(vp + h * jnp.asarray(dvp), b,
+                             qp + h * jnp.asarray(dqp), damp, wav,
+                             s_idx, s_w, r_idx, r_w, dt, geom.f0,
+                             kernel="sls", time_order=2, **kw)
+        lin = np.asarray(rec) + h * np.asarray(drec)
+        errs.append(np.linalg.norm(np.asarray(pert) - lin))
+    slopes = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    for sl in slopes:
+        assert 1.8 < sl < 2.2, (slopes, errs)
+
+    dr = rng.randn(*np.asarray(rec).shape)
+    _, _, hist = vg.visco_sls2_forward_hist(vp, b, qp, damp, wav, s_idx,
+                                            s_w, r_idx, r_w, dt, geom.f0,
+                                            **kw)
+    g_vp, g_qp = vg.visco_sls2_adjoint_from_hist(
+        vp, b, qp, damp, wav, s_idx, s_w, r_idx, r_w, jnp.asarray(dr),
+        hist, dt, geom.f0, **kw)
+    lhs = float(jnp.sum(jnp.asarray(drec) * jnp.asarray(dr)))
+    rhs = float(jnp.sum(g_vp * jnp.asarray(dvp)) +
+                jnp.sum(g_qp * jnp.asarray(dqp)))
+    assert abs(lhs - rhs) <= 1e-11 * max(abs(lhs), abs(rhs), 1e-30)
