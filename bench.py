@@ -496,23 +496,36 @@ def _bench_viscoelastic():
     obs = obs_batch(fields["t"][0], fields["t"][1], b_p, qp_p, qs_p,
                     *args_dev)
 
+    from devito_fwi_tpu.misfit import least_square
+    from devito_fwi_tpu.fwi import _misfit_jax
+    from devito_fwi_tpu.ops import staggered_grad as _sg
+    from devito_fwi_tpu.elastic_fwi import model_vp_vs_rho
+    mj = _misfit_jax(least_square)
+    mvp, mvs, mrho = model_vp_vs_rho(m0)
+    pvp, pvs, prho = (jnp.asarray(np.asarray(x, np.float32))
+                      for x in (mvp, mvs, mrho))
+
     @partial(jax.jit, static_argnames=())
-    def val_grad(lam, mu, b, qp_, qs_, damp_, wav, si, sw, ri, rw, obs_):
-        def loss(lam_, mu_, b_, qpp, qss):
-            f = lambda a, c: _st.viscoelastic_forward_seg(
-                lam_, mu_, b_, qpp, qss, damp_, g0.f0, wav, a, c, ri,
-                rw, dt_e, **kw)[0]
-            rec1 = jax.vmap(f)(si, sw)
-            return 0.5 * jnp.sum((rec1 - obs_) ** 2)
-        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
-            lam, mu, b, qp_, qs_)
+    def val_grad(vp_, vs_, rho_, qp_, qs_, damp_, wav, si, sw, ri, rw,
+                 obs_):
+        # the production route: hand-written saved-history adjoint
+        # (staggered_grad.viscoelastic_value_and_grad), per shot
+        def one_shot(a, c, o):
+            f, grads, _, _ = _sg.viscoelastic_value_and_grad(
+                vp_, vs_, rho_, qp_, qs_, damp_, g0.f0, wav, a, c, ri,
+                rw, o, jnp.zeros_like(o), dt_e, mj,
+                hist_dtype=("bfloat16"
+                            if jax.default_backend() == "tpu"
+                            else None), **kw)
+            return f, grads[0]
+        f, gvp = jax.vmap(one_shot)(si, sw, obs_)
+        return jnp.sum(f), gvp.sum(axis=0)
 
     fetch = jax.jit(lambda x: x.ravel()[0])
 
     def one():
-        f, g = val_grad(fields["i"][0], fields["i"][1], b_p, qp_p, qs_p,
-                        *args_dev, obs)
-        return float(fetch(g[0]))
+        f, g = val_grad(pvp, pvs, prho, qp_p, qs_p, *args_dev, obs)
+        return float(fetch(g))
 
     one()
     t = _time_best(one, n_iters=1, n_repeats=3)

@@ -319,11 +319,19 @@ def elastic_forward_seg(lam, mu, b, damp, src_wav, src_idx, src_w, rec_idx,
 # ---------------------------------------------------------------------------
 
 def _viscoelastic_step(lam, mu, b, qp, qs, damp, f0, src_idx, src_w,
-                       rec_idx, rec_w, dt, spacing, space_order, avg):
+                       rec_idx, rec_w, dt, spacing, space_order, avg,
+                       collect_hist=None):
     """Per-timestep SLS viscoelastic update shared by the plain forward
     and the segment-rematted gradient forward (pure code motion out of
     ``viscoelastic_forward`` — golden 12.28040 pins the numerics).
-    Returns (step, init)."""
+    Returns (step, init).
+
+    ``collect_hist`` (a dtype or None): when set, the step instead
+    returns ``(carry', (rec1_t, hist_t))`` with ``hist_t`` the tuple
+    ``(vn_0.., dtau_0.., rdn_0.., ron_ij..)`` cast to that dtype — what
+    the hand-written adjoint sweep's imaging condition needs
+    (ops/staggered_grad.py). rec2 is skipped on that path. Field
+    updates are byte-identical either way."""
     dtype = lam.dtype
     ndim = len(spacing)
     wgt = _wgt(space_order, dtype)
@@ -355,18 +363,22 @@ def _viscoelastic_step(lam, mu, b, qp, qs, damp, f0, src_idx, src_w,
     def step(carry, src_t):
         v, td, to, rd, ro = carry
         rec1_t = jnp.sum(_gather(td[-1], rec_idx) * rec_w, axis=-1)
-        div_v = sum(d_centered(v[i], cwgt, i, inv_h[i]) for i in range(ndim))
-        rec2_t = jnp.sum(_gather(div_v, rec_idx) * rec_w, axis=-1)
+        if collect_hist is None:
+            div_v = sum(d_centered(v[i], cwgt, i, inv_h[i])
+                        for i in range(ndim))
+            rec2_t = jnp.sum(_gather(div_v, rec_idx) * rec_w, axis=-1)
 
-        vn = []
+        dtau = []
         for i in range(ndim):
-            dtau = d_plus(td[i], wgt, i, inv_h[i])
+            dt_i = d_plus(td[i], wgt, i, inv_h[i])
             for (a, c) in pairs:
                 if a == i:
-                    dtau = dtau + d_minus(to[(a, c)], wgt, c, inv_h[c])
+                    dt_i = dt_i + d_minus(to[(a, c)], wgt, c, inv_h[c])
                 elif c == i:
-                    dtau = dtau + d_minus(to[(a, c)], wgt, a, inv_h[a])
-            vn.append(damp_i[i] * (v[i] + s * b_i[i] * dtau))
+                    dt_i = dt_i + d_minus(to[(a, c)], wgt, a, inv_h[a])
+            dtau.append(dt_i)
+        vn = [damp_i[i] * (v[i] + s * b_i[i] * dtau[i])
+              for i in range(ndim)]
         dv = [d_minus(vn[i], wgt, i, inv_h[i]) for i in range(ndim)]
         div_vn = sum(dv)
 
@@ -397,6 +409,11 @@ def _viscoelastic_step(lam, mu, b, qp, qs, damp, f0, src_idx, src_w,
 
         inj = src_t[:, None] * src_scale
         tdn = [_scatter_add(t_, src_idx, inj) for t_ in tdn]
+        if collect_hist is not None:
+            hist_t = tuple(x.astype(collect_hist) for x in
+                           vn + dtau + rdn + [ron[ij] for ij in pairs])
+            return (tuple(vn), tuple(tdn), ton, tuple(rdn), ron), \
+                (rec1_t, hist_t)
         return (tuple(vn), tuple(tdn), ton, tuple(rdn), ron), \
             (rec1_t, rec2_t)
 

@@ -1360,9 +1360,12 @@ def _viscoelastic_sharded_runner(mesh, dt, f0, nt, spacing, space_order,
                                  n_checkpoints, pads, shape, misfit_jax,
                                  calc_grad):
     """Cached, jitted shard_map runner for the viscoelastic sharded
-    objective."""
+    objective. The gradient runs the hand-written saved-history adjoint
+    (``staggered_grad.viscoelastic_value_and_grad`` — exact vs vjp at
+    f64 roundoff, tests/test_visco_grad.py)."""
     from ..fwi import _crop, _fix_illum_jax
     from ..ops import staggered as _st
+    from ..ops import staggered_grad as _sg
 
     def body(vp, vs, rho, qp, qs, damp, src_wav, r_idx, r_w, rec_pos,
              si_b, sw_b, ob_b, dw_b, sp_b, w_b):
@@ -1371,32 +1374,35 @@ def _viscoelastic_sharded_runner(mesh, dt, f0, nt, spacing, space_order,
             return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
 
         def per_shot(si, sw, obs_i, dw_i, sp, w):
-            def fwd(vp_, vs_, rho_, qp_, qs_):
-                vpp = jnp.pad(vp_, pads, mode="edge")
-                vsp = jnp.pad(vs_, pads, mode="edge")
-                rhp = jnp.pad(rho_, pads, mode="edge")
-                qpp = jnp.pad(qp_, pads, mode="edge")
-                qsp = jnp.pad(qs_, pads, mode="edge")
-                lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
-                mu = rhp * vsp * vsp
-                rec1, _, illum = _st.viscoelastic_forward_seg(
-                    lam, mu, 1.0 / rhp, qpp, qsp, damp, f0, src_wav,
-                    si, sw, r_idx, r_w, dt, nt=nt, spacing=spacing,
-                    space_order=space_order,
-                    n_checkpoints=n_checkpoints)
-                return rec1, _crop(illum, pads, shape)
-
             if calc_grad:
-                (rec1, illum), vjp = jax.vjp(fwd, vp, vs, rho, qp, qs)
-            else:
-                rec1, illum = fwd(vp, vs, rho, qp, qs)
+                vpp = jnp.pad(vp, pads, mode="edge")
+                vsp = jnp.pad(vs, pads, mode="edge")
+                rhp = jnp.pad(rho, pads, mode="edge")
+                qpp = jnp.pad(qp, pads, mode="edge")
+                qsp = jnp.pad(qs, pads, mode="edge")
+                f, grads, illum, _res = _sg.viscoelastic_value_and_grad(
+                    vpp, vsp, rhp, qpp, qsp, damp, f0, src_wav, si, sw,
+                    r_idx, r_w, obs_i, dw_i, dt, misfit_jax, nt=nt,
+                    spacing=spacing, space_order=space_order)
+                grads = tuple(_sg.pad_fold(g, pads) for g in grads)
+                illum = _crop(illum, pads, shape)
+                return (f * w, tuple(fix(g, sp) * w for g in grads),
+                        fix(illum, sp) * w)
+
+            vpp = jnp.pad(vp, pads, mode="edge")
+            vsp = jnp.pad(vs, pads, mode="edge")
+            rhp = jnp.pad(rho, pads, mode="edge")
+            qpp = jnp.pad(qp, pads, mode="edge")
+            qsp = jnp.pad(qs, pads, mode="edge")
+            lam = rhp * (vpp * vpp - 2.0 * vsp * vsp)
+            mu = rhp * vsp * vsp
+            rec1, _, illum = _st.viscoelastic_forward_seg(
+                lam, mu, 1.0 / rhp, qpp, qsp, damp, f0, src_wav,
+                si, sw, r_idx, r_w, dt, nt=nt, spacing=spacing,
+                space_order=space_order, n_checkpoints=n_checkpoints)
             f, res = misfit_jax(rec1 - dw_i, obs_i - dw_i)
-            if not calc_grad:
-                z = jnp.zeros(shape, vp.dtype)
-                return f * w, (z, z, z, z, z), z
-            grads = vjp((res.astype(vp.dtype), jnp.zeros_like(illum)))
-            return (f * w, tuple(fix(g, sp) * w for g in grads),
-                    fix(illum, sp) * w)
+            z = jnp.zeros(shape, vp.dtype)
+            return f * w, (z, z, z, z, z), z
 
         f, g, il = jax.vmap(per_shot)(si_b, sw_b, ob_b, dw_b, sp_b, w_b)
         f = jax.lax.psum(jnp.sum(f), "shots")

@@ -292,3 +292,68 @@ def test_visco_born_linearization_and_adjoint_dot():
     rhs = float(jnp.sum(g_vp * jnp.asarray(dvp)) +
                 jnp.sum(g_qp * jnp.asarray(dqp)))
     assert abs(lhs - rhs) <= 1e-11 * max(abs(lhs), abs(rhs), 1e-30)
+
+
+def test_viscoelastic_saved_matches_vjp():
+    """The hand-written SLS viscoelastic adjoint over the saved
+    (vn, dtau, rdn, ron) history reproduces the rematted jax.vjp
+    gradient for ALL FIVE parameters (vp, vs, rho, qp, qs) to f64
+    roundoff — including the relaxation-time chain rules, which go
+    through a pointwise vjp of the coefficient map."""
+    from devito_fwi_tpu.elastic_fwi import model_vp_vs_rho
+    from devito_fwi_tpu.ops import staggered as st
+    from devito_fwi_tpu.ops import staggered_grad as sg
+
+    shape, dtype = (41, 36), np.float64
+    vp = np.full(shape, 2.0, dtype)
+    vp[:, 18:] = 2.4
+    vs = (vp / 2).astype(dtype)
+    rho = (0.31 * (1e3 * vp) ** 0.25).astype(dtype)
+    qp = np.full(shape, 60.0, dtype)
+    qs = np.full(shape, 40.0, dtype)
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.),
+                         shape=shape, space_order=4, vp=vp, vs=vs,
+                         b=(1.0 / rho), qp=qp, qs=qs, nbl=8, bcs="mask",
+                         dtype=dtype, dt=1.0)
+    src = np.array([[200., 20.0]])
+    rec = np.stack([np.linspace(0., 400., 21), np.full(21, 30.0)], 1)
+    geom = AcquisitionGeometry(model, rec, src, 0., 140., f0=0.015,
+                               src_type="Ricker")
+    s_idx, s_w = interp_table(geom.src_positions, model.origin_pml,
+                              model.spacing, dtype=dtype)
+    r_idx, r_w = interp_table(geom.rec_positions, model.origin_pml,
+                              model.spacing, dtype=dtype)
+    damp = jnp.asarray(np.asarray(model.damp, dtype))
+    wav = jnp.asarray(geom.src.data)
+    dt = float(model.critical_dt)
+    kw = dict(nt=geom.nt, spacing=model.spacing, space_order=4)
+    mvp, mvs, mrho = model_vp_vs_rho(model)
+    pvp, pvs, prho = jnp.asarray(mvp), jnp.asarray(mvs), jnp.asarray(mrho)
+    pqp = jnp.asarray(np.asarray(model.qp))
+    pqs = jnp.asarray(np.asarray(model.qs))
+    si, swt = jnp.asarray(s_idx), jnp.asarray(s_w)
+    ri, rw = jnp.asarray(r_idx), jnp.asarray(r_w)
+    res = jnp.asarray(np.random.RandomState(0).randn(geom.nt, 21))
+
+    def fwd(vp_, vs_, rho_, qp_, qs_):
+        lam = rho_ * (vp_ * vp_ - 2 * vs_ * vs_)
+        mu = rho_ * vs_ * vs_
+        r1, _, _ = st.viscoelastic_forward_seg(
+            lam, mu, 1.0 / rho_, qp_, qs_, damp, geom.f0, wav, si, swt,
+            ri, rw, dt, **kw)
+        return jnp.sum(r1 * res)
+
+    g_ref = jax.jit(jax.grad(fwd, argnums=(0, 1, 2, 3, 4)))(
+        pvp, pvs, prho, pqp, pqs)
+    lam = prho * (pvp ** 2 - 2 * pvs ** 2)
+    mu = prho * pvs ** 2
+    _, _, hist = sg.viscoelastic_forward_hist(
+        lam, mu, 1.0 / prho, pqp, pqs, damp, geom.f0, wav, si, swt, ri,
+        rw, dt, **kw)
+    g_sav = sg.viscoelastic_adjoint_from_hist(
+        pvp, pvs, prho, pqp, pqs, damp, geom.f0, ri, rw, res, hist, dt,
+        **kw)
+    for name, a, b in zip(("vp", "vs", "rho", "qp", "qs"), g_ref, g_sav):
+        sc = max(np.abs(np.asarray(a)).max(), 1e-30)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 1e-12 * sc, \
+            name
