@@ -524,7 +524,15 @@ def _bench_viscoelastic():
     fetch = jax.jit(lambda x: x.ravel()[0])
 
     def one():
-        f, g = val_grad(pvp, pvs, prho, qp_p, qs_p, *args_dev, obs)
+        # 2-shot chunks: the 7-field bf16 history is ~1.6 GB/shot at
+        # this scale; 4 at once flirts with the 8 GB budget
+        damp_d, wav_d, si_d, sw_d, ri_d, rw_d = args_dev
+        g = None
+        for lo in (0, 2):
+            f_c, g_c = val_grad(pvp, pvs, prho, qp_p, qs_p, damp_d,
+                                wav_d, si_d[lo:lo + 2], sw_d[lo:lo + 2],
+                                ri_d, rw_d, obs[lo:lo + 2])
+            g = g_c if g is None else g + g_c
         return float(fetch(g))
 
     one()

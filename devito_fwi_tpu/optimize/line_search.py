@@ -152,6 +152,18 @@ class Bracket(Base):
     def calculate_step(self):
         x, f, gtg, gtp, step_count, update_count = self.search_history()
 
+        bad = ~np.isfinite(np.asarray(f))
+        if step_count > 0 and bad.any():
+            # a non-finite trial (e.g. a bounded model beyond the
+            # pinned dt's CFL limit blowing the forward up) must never
+            # be accepted or fed to the polynomial fits — retry well
+            # below the smallest unstable step; the step budget still
+            # bounds the loop. Finite-path behavior (and reference
+            # parity) is untouched.
+            if step_count <= self.step_count_max:
+                return 0.1 * float(np.asarray(x)[bad].min()), 0
+            return 0, -1
+
         if step_count == 0 and update_count == 0:
             # Dennis & Schnabel initial step
             alpha = gtg[-1] ** -1
@@ -198,6 +210,13 @@ class Backtrack(Bracket):
 
     def calculate_step(self):
         x, f, gtg, gtp, step_count, update_count = self.search_history()
+
+        bad = ~np.isfinite(np.asarray(f))
+        if step_count > 0 and bad.any():
+            # same non-finite-trial guard as Bracket (see there)
+            if step_count <= self.step_count_max:
+                return 0.1 * float(np.asarray(x)[bad].min()), 0
+            return None, -1
 
         if update_count == 0:
             # quasi-Newton direction not yet scaled: bracket instead

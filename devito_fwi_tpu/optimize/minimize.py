@@ -95,6 +95,18 @@ class minimize:
             fval, g, res = self.loss_fn(m, geometry, obs_data, misfit_func,
                                         direct_wave, mask, precond,
                                         shot_indices=sel)
+            if not np.isfinite(fval):
+                # a non-finite objective at the CURRENT model cannot be
+                # line-searched away (every trial starts from m):
+                # restarting would loop forever on the same NaN (this
+                # bit the elastic driver when a step-len-max clamped,
+                # never-evaluated step landed beyond the pinned dt's
+                # CFL limit). Abort with the last finite model.
+                print(" Non-finite objective at the current model "
+                      "(f=%r) — the previous accepted step left the "
+                      "stable regime. Aborting with the last model." %
+                      fval)
+                return m
             if iter_count == 0:
                 self.f0 = fval
             self.save_misfit(fval, g)

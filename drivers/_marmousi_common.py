@@ -233,7 +233,14 @@ def setup_elastic(cfg, args, nsources):
                             vp=vp, vs=vs, b=(1.0 / rho), nbl=cfg.nbl,
                             fs=False, dt=dt, bcs="mask")
 
+    # CFL-safe for the INVERSION BOUND ceiling (5.2 km/s), not just the
+    # true model: line-search trials are free to push bounded vp above
+    # the true maximum, and a step beyond the pinned dt's CFL limit
+    # blows the staggered forward up to NaN (hit in round 5 — the
+    # bracket search's step-len-max clamp accepts an unevaluated step)
+    vmax_bound = 5.2
     dt_e = float(model(true_vp, vs_t, rho_t).critical_dt)
+    dt_e *= min(1.0, float(true_vp.max()) / vmax_bound)
     true_model = model(true_vp, vs_t, rho_t, dt=dt_e)
     init_model = model(smooth_vp, vs_0, rho_0, dt=dt_e)
     water_model = model(constant_vp, vs_w, rho_w, dt=dt_e)

@@ -255,3 +255,68 @@ def test_writer_resume_continues_iter_numbering(tmp_path):
     rows = [r for r in open(w2.filename)
             if r[:10].strip().isdigit()]
     assert [int(r[:10]) for r in rows] == [1, 2, 3]
+
+
+class _FakeGeom:
+    nsrc = 1
+
+
+def test_line_search_survives_nonfinite_trials():
+    """A trial objective that blows up to NaN above a step threshold
+    (e.g. a bounded model beyond the pinned dt's CFL limit) must be
+    backtracked through — never accepted, never looped on (round-5
+    elastic driver bug: the search produced 2000+ NaN rows)."""
+    import tempfile
+    from devito_fwi_tpu.optimize import SteepestDescent, minimize
+
+    n = 8
+    m_star = np.linspace(1.0, 2.0, n)
+
+    calls = {"n": 0}
+
+    def loss(x, geometry, obs, misfit_func, direct_wave=None, mask=None,
+             precond=True, calc_grad=True, shot_indices=None):
+        calls["n"] += 1
+        d = x - m_star
+        f = 0.5 * float(d @ d)
+        # blow up for any big move from the start (NaN region)
+        if np.abs(x - 1.5).max() > 0.45:
+            f = float("nan")
+        if not calc_grad:
+            return f, None, []
+        return f, d.astype(np.float64), []
+
+    x0 = np.full(n, 1.5)
+    with tempfile.TemporaryDirectory() as td:
+        opt = SteepestDescent(ls_method="Bracket", step_len_init=None,
+                              max_ls=8, log_path=td)
+        mm = minimize(opt, maxIter=4, ftol=1e-12, log_path=td,
+                      loss_fn=loss).run(
+            x0, _FakeGeom(), None, None, None, None, True, None)
+    # the contract: terminate with a FINITE model in bounded calls —
+    # no NaN ever accepted, no infinite retry loop (progress is not
+    # guaranteed when the NaN wall prevents a bracket; the search
+    # fails cleanly instead)
+    f0 = 0.5 * float((x0 - m_star) @ (x0 - m_star))
+    f1 = 0.5 * float((mm - m_star) @ (mm - m_star))
+    assert np.isfinite(mm).all()
+    assert f1 <= f0
+    assert calls["n"] < 150  # bounded — no infinite NaN retry loop
+
+
+def test_minimize_aborts_on_nonfinite_gradient_objective():
+    """If the objective at the CURRENT model is non-finite, minimize
+    must return the last model instead of restart-looping forever."""
+    import tempfile
+    from devito_fwi_tpu.optimize import SteepestDescent, minimize
+
+    def loss(x, *a, calc_grad=True, **k):
+        return float("nan"), np.ones_like(x), []
+
+    x0 = np.ones(5)
+    with tempfile.TemporaryDirectory() as td:
+        opt = SteepestDescent(ls_method="Bracket", log_path=td)
+        mm = minimize(opt, maxIter=3, ftol=1e-12, log_path=td,
+                      loss_fn=loss).run(
+            x0, _FakeGeom(), None, None, None, None, True, None)
+    assert np.array_equal(mm, x0)
