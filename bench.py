@@ -456,7 +456,10 @@ def _bench_viscoelastic():
                             b=(1.0 / rho), qp=qp, qs=qs, nbl=cfg.nbl,
                             dt=dt, bcs="mask")
 
-    dt_e = float(mk(v_true, vs_t, rho_t).critical_dt)
+    # the SMOOTHED model's viscoelastic critical dt is the tighter one
+    # at this parameterization — pin to the min of both
+    dt_e = min(float(mk(v_true, vs_t, rho_t).critical_dt),
+               float(mk(v_init, vs_t, rho_t).critical_dt))
     m1 = mk(v_true, vs_t, rho_t, dt=dt_e)
     m0 = mk(v_init, vs_t, rho_t, dt=dt_e)
     nsrc, nrec = 4, cfg.shape[0]

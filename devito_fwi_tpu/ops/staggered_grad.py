@@ -319,7 +319,6 @@ def viscoelastic_adjoint_from_hist(vp, vs, rho, qp, qs, damp, f0,
     s = jnp.asarray(dt, dtype=dtype)
     f0 = jnp.asarray(f0, dtype=dtype)
     pairs = _pairs(ndim)
-    npairs = len(pairs)
 
     def mavg(p, dims):
         return avg_to(p, dims, ndim) if avg else p
