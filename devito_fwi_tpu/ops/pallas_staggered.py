@@ -816,3 +816,273 @@ def elastic_grad_stream_supported(model, src_idx, rec_idx, src_wav):
     from .pallas_acoustic import stream_hist_dtype
     return pick_elastic_stream_seg(model.padded_shape[0], nz,
                                    stream_hist_dtype()) is not None
+
+
+# ---------------------------------------------------------------------------
+# streamed-history viscoacoustic sls/2 GRADIENT (round 5): the Pallas
+# twin of ops/visco_grad.py. Forward keeps (p, p_prev, r) in VMEM and
+# streams the (L, rn) history; the reverse kernel propagates the
+# adjoint (lp, lpp, lr) recursion — lsa is exactly self-adjoint, so the
+# transpose reuses it verbatim — accumulating the four coefficient-
+# field gradients plus the source-scale vp^2 cotangent in revisited
+# output blocks. The (vp, qp) chain rule stays on the XLA side (one
+# pointwise vjp of the coefficient map).
+# ---------------------------------------------------------------------------
+
+def _visco_fwd_hist_kernel(wav_ref, damp_ref, b_ref, A_ref, B_ref, C_ref,
+                           D_ref, inj_ref, hist_ref, rec_ref, illum_ref,
+                           p_ref, pp_ref, r_ref, *, seg, nsteps, nx, nz,
+                           wp, op, wm, om, ihx, ihz, z0):
+    """One (shot b, segment j) grid step of the history-streaming sls/2
+    forward (same update association as `_visco_sls2_kernel`)."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    base = j * seg
+    damp = damp_ref[:]
+    b = b_ref[:]
+    A = A_ref[:]
+    B = B_ref[:]
+    C = C_ref[:]
+    D = D_ref[:]
+    inj = inj_ref[:]
+    sd = _make_sd(nx, nz)
+
+    def lsa(p):
+        gx = sd(p, wp, op, 0, ihx)
+        out = sd(b * gx, wm, om, 0, ihx)
+        gz = sd(p, wp, op, 1, ihz)
+        return out + sd(b * gz, wm, om, 1, ihz)
+
+    @pl.when(j == 0)
+    def _():
+        for ref in (p_ref, pp_ref, r_ref, illum_ref):
+            ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    def body(i, _):
+        p = p_ref[:]
+        pp = pp_ref[:]
+        r = r_ref[:]
+        rec_ref[i] = p[z0:z0 + 2, :]
+        L = lsa(p)
+        rn = damp * (r + A * L - B * r)
+        pn = damp * (2.0 * p - damp * pp + C * L - D * rn)
+        pn = pn + wav_ref[base + i] * inj
+        hd = hist_ref.dtype
+        hist_ref[i, 0] = L.astype(hd)
+        hist_ref[i, 1] = rn.astype(hd)
+
+        @pl.when(base + i < nsteps)
+        def _():
+            illum_ref[:] = illum_ref[:] + pn * pn
+
+        p_ref[:] = pn
+        pp_ref[:] = p
+        r_ref[:] = rn
+        return 0
+
+    jax.lax.fori_loop(0, seg, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "seg", "dt",
+                                   "hist_dtype", "interpret"))
+def visco_fwd_hist_segments(damp_t, b_t, A_t, B_t, C_t, D_t, inj_t,
+                            wav_pad, dt, *, nt, nx, nz, space_order,
+                            spacing, z0, seg, hist_dtype="bfloat16",
+                            interpret=False):
+    """Batched history-streaming sls/2 forward. inj_t is the (B, nz,
+    nx) dense source pattern (src_w * s^2 * vp^2 at the corners).
+    Returns (rec_rows (B, nseg, seg, 2, nx), hist (B, nseg, seg, 2, nz,
+    nx), illum (B, nz, nx))."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    dtype = np.float32
+    w_p, off_p, w_m, off_m = staggered_weights(space_order)
+    wp = tuple(float(v) for v in np.asarray(w_p, dtype))
+    wm = tuple(float(v) for v in np.asarray(w_m, dtype))
+    ihx = float(dtype(1.0 / spacing[0]))
+    ihz = float(dtype(1.0 / spacing[1]))
+    nsteps = nt - 2
+    nseg = -(-nsteps // seg)
+    B = inj_t.shape[0]
+
+    kern = partial(_visco_fwd_hist_kernel, seg=seg, nsteps=nsteps, nx=nx,
+                   nz=nz, wp=wp, op=tuple(int(o) for o in off_p), wm=wm,
+                   om=tuple(int(o) for o in off_m), ihx=ihx, ihz=ihz,
+                   z0=z0)
+    hist, rec_rows, illum = pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 +
+                 [pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((None, None, seg, 2, nz, nx),
+                         lambda b, j: (b, j, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, seg, 2, nx),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nseg, seg, 2, nz, nx),
+                                 jnp.dtype(hist_dtype)),
+            jax.ShapeDtypeStruct((B, nseg, seg, 2, nx), jnp.float32),
+            jax.ShapeDtypeStruct((B, nz, nx), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32)] * 3,
+        interpret=env_interpret(interpret),
+    )(wav_pad, damp_t, b_t, A_t, B_t, C_t, D_t, inj_t)
+    return rec_rows, hist, illum
+
+
+def _visco_grad_stream_kernel(wavs2_ref, damp_ref, b_ref, A_ref, B_ref,
+                              C_ref, D_ref, injw_ref, hist_ref, res_ref,
+                              ga1_ref, ga2_ref, ga3_ref, ga4_ref,
+                              gsrc_ref, lp_ref, lpp_ref, lr_ref,
+                              pendR_ref, *, seg, nsteps, nx, nz, wp, op,
+                              wm, om, ihx, ihz, z0):
+    """One (shot b, reversed-segment j) grid step of the sls/2 adjoint
+    sweep — accumulation order matching ops/visco_grad.py's rev body."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    nseg = pl.num_programs(1)
+    k = nseg - 1 - j
+    base = k * seg
+    damp = damp_ref[:]
+    b = b_ref[:]
+    A = A_ref[:]
+    B = B_ref[:]
+    C = C_ref[:]
+    D = D_ref[:]
+    injw = injw_ref[:]
+    sd = _make_sd(nx, nz)
+
+    def lsa(p):
+        gx = sd(p, wp, op, 0, ihx)
+        out = sd(b * gx, wm, om, 0, ihx)
+        gz = sd(p, wp, op, 1, ihz)
+        return out + sd(b * gz, wm, om, 1, ihz)
+
+    @pl.when(j == 0)
+    def _():
+        for ref in (lp_ref, lpp_ref, lr_ref, pendR_ref, ga1_ref,
+                    ga2_ref, ga3_ref, ga4_ref, gsrc_ref):
+            ref[:] = jnp.zeros((nz, nx), jnp.float32)
+
+    def body(i, _):
+        jj = seg - 1 - i
+
+        @pl.when(base + jj < nsteps)
+        def _():
+            L = hist_ref[jj, 0].astype(jnp.float32)
+            rn = hist_ref[jj, 1].astype(jnp.float32)
+            lp = lp_ref[:]
+            P = damp * lp
+            R = damp * (lr_ref[:] - D * P)
+            ga3_ref[:] = ga3_ref[:] + L * P
+            ga4_ref[:] = ga4_ref[:] - rn * P
+            ga1_ref[:] = ga1_ref[:] + L * R
+            ga2_ref[:] = ga2_ref[:] - rn * pendR_ref[:]
+            gsrc_ref[:] = gsrc_ref[:] + wavs2_ref[base + jj] * injw * lp
+            lp_new = 2.0 * P + lsa(C * P) + lsa(A * R) + lpp_ref[:]
+            pieces = []
+            if z0 > 0:
+                pieces.append(jnp.zeros((z0, nx), jnp.float32))
+            pieces.append(res_ref[jj])
+            if nz - z0 - 2 > 0:
+                pieces.append(jnp.zeros((nz - z0 - 2, nx), jnp.float32))
+            lp_new = lp_new + jnp.concatenate(pieces, axis=0)
+            lpp_ref[:] = -damp * P
+            lr_ref[:] = R - B * R
+            lp_ref[:] = lp_new
+            pendR_ref[:] = R
+        return 0
+
+    jax.lax.fori_loop(0, seg, body, 0)
+
+
+@partial(jax.jit, static_argnames=("nt", "nx", "nz", "space_order",
+                                   "spacing", "z0", "seg", "dt",
+                                   "interpret"))
+def visco_grad_stream_segments(damp_t, b_t, A_t, B_t, C_t, D_t, injw_t,
+                               hist, res_rows, wavs2, dt, *, nt, nx, nz,
+                               space_order, spacing, z0, seg,
+                               interpret=False):
+    """Batched sls/2 adjoint sweep over the streamed (L, rn) history.
+    Returns (ga1, ga2, ga3, ga4, gsrc), each (B, nz, nx) — the caller
+    chain-rules to (vp, qp) on the XLA side. ``injw_t`` is the dense
+    src_w pattern (weights only, no vp^2/s^2); ``wavs2`` is
+    wav_pad * dt^2."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    dtype = np.float32
+    w_p, off_p, w_m, off_m = staggered_weights(space_order)
+    wp = tuple(float(v) for v in np.asarray(w_p, dtype))
+    wm = tuple(float(v) for v in np.asarray(w_m, dtype))
+    ihx = float(dtype(1.0 / spacing[0]))
+    ihz = float(dtype(1.0 / spacing[1]))
+    nsteps = nt - 2
+    nseg = -(-nsteps // seg)
+    B = hist.shape[0]
+
+    kern = partial(_visco_grad_stream_kernel, seg=seg, nsteps=nsteps,
+                   nx=nx, nz=nz, wp=wp,
+                   op=tuple(int(o) for o in off_p), wm=wm,
+                   om=tuple(int(o) for o in off_m), ihx=ihx, ihz=ihz,
+                   z0=z0)
+    out_spec = pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nseg),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 +
+                 [pl.BlockSpec((None, nz, nx), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, None, seg, 2, nz, nx),
+                               lambda b, j: (b, nseg - 1 - j, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, None, seg, 2, nx),
+                               lambda b, j: (b, nseg - 1 - j, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(out_spec,) * 5,
+        out_shape=tuple(jax.ShapeDtypeStruct((B, nz, nx), jnp.float32)
+                        for _ in range(5)),
+        scratch_shapes=[pltpu.VMEM((nz, nx), jnp.float32)] * 4,
+        interpret=env_interpret(interpret),
+    )(wavs2, damp_t, b_t, A_t, B_t, C_t, D_t, injw_t, hist, res_rows)
+
+
+def pick_visco_stream_seg(nx, nz, hist_dtype="bfloat16"):
+    """Segment length for the streamed visco gradient kernels (~16
+    resident f32 fields vs double-buffered 2-field history blocks; a
+    13 MB budget and seg cap 12 leave headroom for the lsa temporaries
+    on the scoped-vmem stack — seg=16 overflowed the 16 MB limit by
+    160 KB at Marmousi scale)."""
+    f = _stream_field_bytes(nx, nz)
+    fh = _stream_field_bytes(nx, nz, jnp.dtype(hist_dtype).itemsize)
+    budget = 13 * 2 ** 20 - 16 * f
+    seg = budget // (2 * 2 * fh)
+    if seg < 2:
+        return None
+    return int(min(seg, 12))
+
+
+def visco_grad_stream_supported(model, src_idx, rec_idx, src_wav):
+    """Gate for the streamed sls/2 gradient kernels (same geometry
+    rules as the elastic pair)."""
+    if not elastic_grad_stream_supported(model, src_idx, rec_idx,
+                                         src_wav):
+        return False
+    from .pallas_acoustic import stream_hist_dtype
+    return pick_visco_stream_seg(model.padded_shape[0],
+                                 model.padded_shape[1],
+                                 stream_hist_dtype()) is not None

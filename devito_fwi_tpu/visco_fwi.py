@@ -146,6 +146,114 @@ def _visco_shots_obj(vp, qp, b, damp, src_wav, s_idx, s_w, r_idx, r_w,
             illum.sum(axis=0), res)
 
 
+@partial(jax.jit, static_argnames=("dt", "f0", "nt", "spacing",
+                                   "space_order", "misfit_jax", "pads",
+                                   "shape", "illum_fix", "hist_dtype",
+                                   "z0", "seg", "interpret"))
+def _visco_shots_obj_pallas(vp, qp, b, damp, src_wav, s_idx, s_w, r_idx,
+                            r_w, obs, dw, src_pos, rec_pos, *, dt, f0,
+                            nt, spacing, space_order, misfit_jax, pads,
+                            shape, illum_fix, hist_dtype, z0, seg,
+                            interpret=False):
+    """Streamed-history Pallas sls/2 chunk objective: batched forward
+    kernel (VMEM (p, p_prev, r) carries, (L, rn) history as pipelined
+    bf16 blocks), vmapped misfit, batched adjoint kernel, then the
+    coefficient-map chain rule / pad-fold / illum-fix finish on the XLA
+    side. Gate with ``pallas_staggered.visco_grad_stream_supported``."""
+    from .ops import pallas_staggered as ps
+    from .ops.acoustic import _gather, _scatter_add
+    from .ops.staggered_grad import pad_fold
+
+    B = s_idx.shape[0]
+    nx = shape[0] + pads[0][0] + pads[0][1]
+    nz = shape[1] + pads[1][0] + pads[1][1]
+    dtype = jnp.float32
+    s = jnp.asarray(dt, dtype)
+    f0c = jnp.asarray(f0, dtype)
+    vpp = jnp.pad(vp, pads, mode="edge")
+    qpp = jnp.pad(qp, pads, mode="edge")
+
+    def coeff_map(vp_, qp_):
+        # byte-identical associations to viscoacoustic._common /
+        # _forward_step's sls/2 branch
+        rho = 1.0 / b
+        bm = rho * vp_ * vp_
+        t_s = (jnp.sqrt(1. + 1. / qp_ ** 2) - 1. / qp_) / f0c
+        t_ep = 1. / (f0c ** 2 * t_s)
+        tt = t_ep / t_s - 1.
+        A = s * (tt / t_s) * rho
+        Bc = s / t_s
+        C = s * s * bm * (1. + tt)
+        D = s * s * vp_ * vp_
+        return A, Bc, C, D, vp_ * vp_
+
+    A, Bc, C, D, vp2 = coeff_map(vpp, qpp)
+    inj = jax.vmap(lambda si, sw: _scatter_add(
+        jnp.zeros((nx, nz), dtype), si,
+        sw * s * s * _gather(vp2, si)))(s_idx, s_w)
+    injw = jax.vmap(lambda si, sw: _scatter_add(
+        jnp.zeros((nx, nz), dtype), si, sw))(s_idx, s_w)
+    nsteps = nt - 2
+    nseg = -(-nsteps // seg)
+    total = nseg * seg
+    wav_pad = jnp.zeros((total,), dtype).at[:nsteps].set(
+        src_wav[1:nt - 1, 0])
+    wavs2 = wav_pad * (s * s)
+
+    kw = dict(nt=nt, nx=nx, nz=nz, space_order=space_order,
+              spacing=spacing, z0=z0, seg=seg, interpret=interpret)
+    rec_rows, hist, illum_t = ps.visco_fwd_hist_segments(
+        damp.T, b.T, A.T, Bc.T, C.T, D.T,
+        jnp.transpose(inj, (0, 2, 1)), wav_pad, dt,
+        hist_dtype=hist_dtype, **kw)
+
+    nrec = r_idx.shape[0]
+    rxi = r_idx[:, :, 0]
+    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
+    W = jnp.zeros((2 * nx, nrec), dtype).at[
+        rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
+        r_w.astype(dtype))
+    flat = rec_rows.reshape(B, total, 2 * nx)[:, :nsteps]
+    tr = jnp.einsum("btq,qr->btr", flat, W,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    rec = jnp.zeros((B, nt, nrec), dtype).at[:, 1:nsteps + 1].set(tr)
+
+    f, res = jax.vmap(misfit_jax)(rec - dw, obs - dw)
+    fval = jnp.sum(f)
+
+    res_q = jnp.einsum("btr,qr->btq",
+                       res.astype(dtype)[:, 1:nt - 1], W,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    res_rows = jnp.zeros((B, total, 2, nx), dtype).at[
+        :, :nsteps].set(res_q.reshape(B, nsteps, 2, nx))
+    res_rows = res_rows.reshape(B, nseg, seg, 2, nx)
+
+    ga1_t, ga2_t, ga3_t, ga4_t, gsrc_t = ps.visco_grad_stream_segments(
+        damp.T, b.T, A.T, Bc.T, C.T, D.T,
+        jnp.transpose(injw, (0, 2, 1)), hist, res_rows, wavs2, dt, **kw)
+    tT = lambda a: jnp.transpose(a, (0, 2, 1))  # noqa: E731
+    _, coeff_vjp = jax.vjp(coeff_map, vpp, qpp)
+    g_vp, g_qp = jax.vmap(lambda g1, g2, g3, g4, g5:
+                          coeff_vjp((g1, g2, g3, g4, g5)))(
+        tT(ga1_t), tT(ga2_t), tT(ga3_t), tT(ga4_t), tT(gsrc_t))
+    fold = jax.vmap(lambda g: pad_fold(g, pads))
+    g_vp, g_qp = fold(g_vp), fold(g_qp)
+    illum = jax.vmap(lambda il: _crop(il.T, pads, shape))(illum_t)
+
+    def fix(g, sp):
+        if not illum_fix:
+            return g
+        return _fix_illum_jax(g, sp, rec_pos, spacing, shape)
+
+    fixv = jax.vmap(fix)
+    g_vp = fixv(g_vp, src_pos).sum(axis=0)
+    g_qp = fixv(g_qp, src_pos).sum(axis=0)
+    illum = fixv(illum, src_pos).sum(axis=0)
+    return fval, (g_vp, g_qp), illum, res
+
+
 def visco_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
                         mask=None, precond=True, calc_grad=False,
                         vp=None, qp=None, kernel="sls", time_order=2,
@@ -202,39 +310,86 @@ def visco_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
         import os
         grad_route = os.environ.get("DEVITO_FWI_TPU_VISCO_GRAD",
                                     "auto").strip().lower()
-    if grad_route not in ("auto", "saved", "vjp"):
+    if grad_route not in ("auto", "pallas", "saved", "vjp"):
         raise ValueError(f"grad_route={grad_route!r}: expected 'auto', "
-                         f"'saved' or 'vjp'")
-    if grad_route == "auto":
-        grad_route = "saved" if (kernel, time_order) == ("sls", 2) \
-            else "vjp"
-    if grad_route == "saved" and (kernel, time_order) != ("sls", 2):
-        raise ValueError("the saved-history visco adjoint covers the "
+                         f"'pallas', 'saved' or 'vjp'")
+    if grad_route in ("saved", "pallas") and \
+            (kernel, time_order) != ("sls", 2):
+        raise ValueError("the saved-history visco adjoints cover the "
                          "sls/2 kernel only")
     if model.dtype == np.float32:
         from .ops.pallas_acoustic import stream_hist_dtype
         hist_dtype = stream_hist_dtype()
     else:
         hist_dtype = None
+    if grad_route in ("auto", "pallas"):
+        from .ops import pallas_acoustic as _pa
+        from .ops import pallas_staggered as _ps
+        supported = (kernel, time_order) == ("sls", 2) and \
+            _ps.visco_grad_stream_supported(model, s_idx, r_idx, src_wav)
+        on_tpu = jax.default_backend() == "tpu" or _pa.env_interpret(False)
+        if grad_route == "pallas" and not supported:
+            raise ValueError("grad_route='pallas' requested but the "
+                             "streamed sls/2 kernels do not support "
+                             "this geometry/dtype")
+        if supported and (on_tpu or grad_route == "pallas"):
+            grad_route = "pallas"
+        elif (kernel, time_order) == ("sls", 2):
+            grad_route = "saved"
+        else:
+            grad_route = "vjp"
     kw = dict(kernel=kernel, time_order=time_order, nt=geometry.nt,
               spacing=model.spacing, space_order=model.space_order,
               n_checkpoints=n_checkpoints, misfit_jax=mj,
               calc_grad=calc_grad, pads=pads, shape=model.shape,
-              illum_fix=illum_fix, grad_route=grad_route,
+              illum_fix=illum_fix,
+              grad_route=("saved" if grad_route == "pallas" else
+                          grad_route),
               hist_dtype=hist_dtype)
+    if grad_route == "pallas":
+        from .ops import pallas_staggered as _ps
+        kw_p = dict(dt=float(model.critical_dt), f0=float(geometry.f0),
+                    nt=geometry.nt, spacing=model.spacing,
+                    space_order=model.space_order, misfit_jax=mj,
+                    pads=pads, shape=model.shape, illum_fix=illum_fix,
+                    hist_dtype=hist_dtype or "float32",
+                    z0=int(np.asarray(r_idx)[..., 1].min()),
+                    seg=_ps.pick_visco_stream_seg(
+                        model.padded_shape[0], model.padded_shape[1],
+                        hist_dtype or "float32"),
+                    interpret=(jax.default_backend() != "tpu"))
+        # 2-field bf16 history ~0.6 GB/shot at Marmousi scale: clamp
+        # the chunk to a 6 GB history budget like the elastic path
+        fh = _ps._stream_field_bytes(
+            model.padded_shape[0], model.padded_shape[1],
+            jnp.dtype(hist_dtype or "float32").itemsize)
+        per_shot = (geometry.nt - 2) * 2 * fh
+        shot_chunk = max(1, min(shot_chunk,
+                                int((6 << 30) // max(per_shot, 1))))
 
     # device-side accumulation, ONE fetch (see elastic_fwi — per-chunk
     # round trips are the measured tunnel tax)
     f_parts, g_parts, il_parts, res_parts = [], [], [], []
     for lo in range(0, nshots, shot_chunk):
         hi = min(lo + shot_chunk, nshots)
-        f, grads, illum, res = _visco_shots_obj(
-            vp, qp, b, damp, jnp.asarray(src_wav),
-            jnp.asarray(s_idx[lo:hi]), jnp.asarray(s_w[lo:hi]),
-            jnp.asarray(r_idx), jnp.asarray(r_w),
-            jnp.asarray(obs_stack[lo:hi]), jnp.asarray(dw_stack[lo:hi]),
-            jnp.asarray(src_pos[lo:hi]), jnp.asarray(rec_pos),
-            float(model.critical_dt), geometry.f0, **kw)
+        if grad_route == "pallas" and calc_grad:
+            f, grads, illum, res = _visco_shots_obj_pallas(
+                vp, qp, b, damp, jnp.asarray(src_wav),
+                jnp.asarray(s_idx[lo:hi]), jnp.asarray(s_w[lo:hi]),
+                jnp.asarray(r_idx), jnp.asarray(r_w),
+                jnp.asarray(obs_stack[lo:hi]),
+                jnp.asarray(dw_stack[lo:hi]),
+                jnp.asarray(src_pos[lo:hi]), jnp.asarray(rec_pos),
+                **kw_p)
+        else:
+            f, grads, illum, res = _visco_shots_obj(
+                vp, qp, b, damp, jnp.asarray(src_wav),
+                jnp.asarray(s_idx[lo:hi]), jnp.asarray(s_w[lo:hi]),
+                jnp.asarray(r_idx), jnp.asarray(r_w),
+                jnp.asarray(obs_stack[lo:hi]),
+                jnp.asarray(dw_stack[lo:hi]),
+                jnp.asarray(src_pos[lo:hi]), jnp.asarray(rec_pos),
+                float(model.critical_dt), geometry.f0, **kw)
         f_parts.append(f)
         res_parts.append(res)
         if calc_grad:

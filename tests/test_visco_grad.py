@@ -357,3 +357,28 @@ def test_viscoelastic_saved_matches_vjp():
         sc = max(np.abs(np.asarray(a)).max(), 1e-30)
         assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 1e-12 * sc, \
             name
+
+
+def test_pallas_visco_gradient_matches_saved_interpret():
+    """The streamed-history Pallas sls/2 gradient (grad_route='pallas',
+    interpreter mode off-TPU) reproduces the XLA saved route to f32
+    roundoff through the public objective."""
+    from devito_fwi_tpu.visco_fwi import (visco_fm_multi,
+                                          visco_fwi_obj_multi, _field)
+    from devito_fwi_tpu.misfit import least_square
+
+    model, geom = _setup(dtype=np.float32, tn=140., nsrc=2)
+    obs = visco_fm_multi(geom)
+    crop = tuple(slice(lo, lo + n) for (lo, _), n in
+                 zip(model.padsizes, model.shape))
+    vp0 = np.asarray(_field(model, "vp"))[crop] * 1.02
+    common = dict(misfit_func=least_square, precond=False,
+                  illum_fix=True, calc_grad=True, vp=vp0, shot_chunk=2)
+    f_s, g_s, _ = visco_fwi_obj_multi(geom, obs, grad_route="saved",
+                                      **common)
+    f_p, g_p, _ = visco_fwi_obj_multi(geom, obs, grad_route="pallas",
+                                      **common)
+    assert abs(f_s - f_p) <= 1e-4 * abs(f_s)
+    for k in ("vp", "qp"):
+        scale = np.abs(g_s[k]).max()
+        assert np.abs(g_s[k] - g_p[k]).max() <= 5e-4 * scale, k
