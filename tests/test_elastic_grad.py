@@ -530,3 +530,24 @@ def test_elastic_born_linearization_and_adjoint_dot():
     lhs = float(np.sum(np.asarray(drec1) * dr))
     rhs = float(np.sum(g_vp * dvp))
     assert abs(lhs - rhs) <= 1e-11 * max(abs(lhs), abs(rhs), 1e-30)
+
+
+def test_elastic_obj_with_w2_2d_misfit():
+    """The elastic objective composes with the W2-2d optimal-transport
+    misfit (jittable batch BFM) — the misfit residual becomes the
+    adjoint sweep's receiver injection, across whichever gradient route
+    the backend picks."""
+    from devito_fwi_tpu.misfit import qWasserstein
+
+    model, geom = _setup(dtype=np.float32, tn=160., nsrc=2)
+    obs1, _ = elastic_fm_multi(geom)
+    vp, vs, rho = model_vp_vs_rho(model)
+    w2 = qWasserstein(gamma=1.01, method="2d", num_steps=4,
+                      bfm_backend="jax")
+    f, grads, _ = elastic_fwi_obj_multi(
+        geom, obs1, w2, calc_grad=True,
+        vp=np.asarray(vp) * 1.03, vs=vs, rho=rho, shot_chunk=2)
+    assert np.isfinite(f) and f > 0
+    for k in ("vp", "vs", "rho"):
+        assert np.isfinite(grads[k]).all()
+        assert np.abs(grads[k]).max() > 0, k

@@ -382,3 +382,27 @@ def test_pallas_visco_gradient_matches_saved_interpret():
     for k in ("vp", "qp"):
         scale = np.abs(g_s[k]).max()
         assert np.abs(g_s[k] - g_p[k]).max() <= 5e-4 * scale, k
+
+
+def test_visco_obj_with_w2_misfits():
+    """The viscoacoustic objective composes with both optimal-transport
+    misfits (W2-1d closed form and the W2-2d batch BFM) on the default
+    gradient route."""
+    from devito_fwi_tpu.misfit import qWasserstein
+    from devito_fwi_tpu.visco_fwi import visco_fm_multi, \
+        visco_fwi_obj_multi, _field
+
+    model, geom = _setup(dtype=np.float32, tn=160., nsrc=2)
+    obs = visco_fm_multi(geom)
+    crop = tuple(slice(lo, lo + n) for (lo, _), n in
+                 zip(model.padsizes, model.shape))
+    vp0 = np.asarray(_field(model, "vp"))[crop] * 1.03
+    for mf in (qWasserstein(gamma=1.01, method="1d"),
+               qWasserstein(gamma=1.01, method="2d", num_steps=4,
+                            bfm_backend="jax")):
+        f, grads, _ = visco_fwi_obj_multi(geom, obs, mf, calc_grad=True,
+                                          vp=vp0, shot_chunk=2)
+        assert np.isfinite(f) and f > 0
+        for k in ("vp", "qp"):
+            assert np.isfinite(grads[k]).all()
+            assert np.abs(grads[k]).max() > 0, k
