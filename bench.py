@@ -476,11 +476,8 @@ def _bench_viscoelastic():
     nt = g0.nt
     damp = np.asarray(m0.damp, np.float32) if np.ndim(m0.damp) else \
         np.ones(m0.padded_shape, np.float32)
-    fields = {}
-    for mdl, tag in ((m1, "t"), (m0, "i")):
-        lam = np.asarray(mdl.lam, np.float32)
-        mu = np.asarray(mdl.mu, np.float32)
-        fields[tag] = (jnp.asarray(lam), jnp.asarray(mu))
+    fields = {"t": (jnp.asarray(np.asarray(m1.lam, np.float32)),
+                    jnp.asarray(np.asarray(m1.mu, np.float32)))}
     b_p = jnp.asarray(np.asarray(m0.b, np.float32))
     qp_p = jnp.asarray(np.asarray(m0.qp, np.float32))
     qs_p = jnp.asarray(np.asarray(m0.qs, np.float32))

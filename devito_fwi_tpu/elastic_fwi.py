@@ -261,13 +261,8 @@ def _elastic_shots_obj_pallas(vp, vs, rho, damp, src_wav, s_idx, s_w,
         jnp.transpose(inj, (0, 2, 1)), wav_pad, dt,
         hist_dtype=hist_dtype, **kw)
 
-    # receiver-rows weight matrix (pallas_staggered._stag_assemble's W)
     nrec = r_idx.shape[0]
-    rxi = r_idx[:, :, 0]
-    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
-    W = jnp.zeros((2 * nx, nrec), jnp.float32).at[
-        rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
-        r_w.astype(jnp.float32))
+    W = ps.zplane_weight_matrix(r_idx, r_w, nx, z0)
     flat = rec_rows.reshape(B, total, 2 * nx)[:, :nsteps]
     tr = jnp.einsum("btq,qr->btr", flat, W,
                     preferred_element_type=jnp.float32,
@@ -333,9 +328,11 @@ def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
     gradient cropped to the physical domain (grads None when not
     calc_grad).
 
-    `grad_route` — "saved" (hand-written adjoint over a saved history;
-    the fast path) or "vjp" (rematted autodiff twin); None reads
-    ``DEVITO_FWI_TPU_ELASTIC_GRAD`` (default "saved"). Resolved HERE,
+    `grad_route` — "pallas" (streamed-history VMEM kernels, the fast
+    path), "saved" (hand-written XLA adjoint over a saved history) or
+    "vjp" (rematted autodiff twin); None reads
+    ``DEVITO_FWI_TPU_ELASTIC_GRAD`` (default "auto" = pallas on TPU
+    when the geometry qualifies, else saved). Resolved HERE,
     at call time, and passed as a static argument — never inside the
     trace (the ANCHOR_A/W stale-trace footgun). The saved history is
     stored in ``stream_hist_dtype()`` (bf16 on TPU) when the model is
@@ -436,13 +433,18 @@ def elastic_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
                     # compiled on the chip, interpreter mode anywhere
                     # else (CPU parity tests, virtual meshes)
                     interpret=(jax.default_backend() != "tpu"))
+    if grad_route in ("pallas", "saved") and calc_grad and \
+            model.dtype == np.float32 and model.dim == 2:
         # the 4-field streamed history is ~1.2 GB/shot (bf16) at
         # Marmousi2 scale; past ~6 GB the chip thrashes (measured:
-        # chunk 8 = 9.3 GB ran 2x slower than chunk 2/4)
-        fh = _ps._stream_field_bytes(
+        # chunk 8 = 9.3 GB ran 2x slower than chunk 2/4). The clamp
+        # applies to BOTH history routes — the XLA saved fallback
+        # vmaps the same per-shot histories (review r5)
+        from .ops.pallas_staggered import _stream_field_bytes
+        fh = _stream_field_bytes(
             model.padded_shape[0], model.padded_shape[1],
             jnp.dtype(hist_dtype or "float32").itemsize)
-        per_shot = (geometry.nt - 1) * 4 * fh
+        per_shot = (geometry.nt - 1) * 2 * model.dim * fh
         shot_chunk = max(1, min(shot_chunk,
                                 int((6 << 30) // max(per_shot, 1))))
 

@@ -849,7 +849,10 @@ def geometry_supported(geometry):
     r_idx, _ = interp_table(geometry.rec_positions, model.origin_pml,
                             model.spacing, dtype=model.dtype)
     zplanes = np.unique(np.asarray(r_idx)[..., 1])
-    if len(zplanes) > 2:
+    # the planes must be ADJACENT (z0, z0+1): the kernels record
+    # exactly those two rows, and two separated planes would silently
+    # read the wrong row for the second one (review r5)
+    if len(zplanes) > 2 or zplanes.max() - zplanes.min() > 1:
         return False
     # the kernels read/write u[z0:z0+2, :] as a static 2-row slice; a
     # receiver whose bilinear corners touch the padded-grid z edge

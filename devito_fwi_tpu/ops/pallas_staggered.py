@@ -193,7 +193,10 @@ def elastic_supported(model, src_idx, rec_idx):
     if np.asarray(src_idx).shape[0] != 1:
         return False
     zplanes = np.unique(np.asarray(rec_idx)[..., 1])
-    if len(zplanes) > 2:
+    # the kernels record exactly rows z0 and z0+1: the planes must be
+    # ADJACENT, not merely two in number (two separated planes would
+    # silently read the wrong row for the second one — review r5)
+    if len(zplanes) > 2 or zplanes.max() - zplanes.min() > 1:
         return False
     # the kernels' static 2-row receiver slice must fit the grid (a
     # z-edge geometry would clamp it to one row and crash the trace)
@@ -258,6 +261,20 @@ def elastic_forward_pallas(lam, mu, b, damp, src_wav, src_idx, src_w,
                           z0=z0, nt=nt, nsteps=nsteps, nx=nx)
 
 
+def zplane_weight_matrix(r_idx, r_w, nx, z0):
+    """(2*nx, nrec) scatter-weight matrix mapping the two recorded
+    z-plane rows (z0, z0+1) to receiver traces — the ONE shared
+    builder for the staggered families' trace assembly and its exact
+    transpose (residual -> rows). Gates guarantee the planes are
+    adjacent (see ``elastic_supported``)."""
+    nrec = r_idx.shape[0]
+    rxi = r_idx[:, :, 0]
+    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
+    return jnp.zeros((2 * nx, nrec), jnp.float32).at[
+        rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
+        r_w.astype(jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("z0", "nt", "nsteps", "nx"))
 def _stag_assemble(rows, r_idx, r_w, *, z0, nt, nsteps, nx):
     """Receiver rows -> (rec1, rec2) traces; the staggered loop records
@@ -265,11 +282,7 @@ def _stag_assemble(rows, r_idx, r_w, *, z0, nt, nsteps, nx):
     contraction against the scattered weight matrix, HIGHEST precision
     (the DEFAULT matmul precision truncates to bf16)."""
     nrec = r_idx.shape[0]
-    rxi = r_idx[:, :, 0]
-    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
-    W = jnp.zeros((2 * nx, nrec), jnp.float32).at[
-        rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
-        r_w.astype(jnp.float32))
+    W = zplane_weight_matrix(r_idx, r_w, nx, z0)
     flat = rows.reshape(-1, 2, 2 * nx)[:nsteps]
     out = []
     for o in range(2):
@@ -469,11 +482,7 @@ def _visco_assemble(rows, r_idx, r_w, *, z0, nt, nsteps, nx):
     t = 1..nt-2. MXU contraction at HIGHEST precision (the DEFAULT
     matmul precision truncates to bf16)."""
     nrec = r_idx.shape[0]
-    rxi = r_idx[:, :, 0]
-    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
-    W = jnp.zeros((2 * nx, nrec), jnp.float32).at[
-        rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
-        r_w.astype(jnp.float32))
+    W = zplane_weight_matrix(r_idx, r_w, nx, z0)
     flat = rows.reshape(-1, 2 * nx)[:nsteps]
     tr = jnp.einsum("tq,qr->tr", flat, W,
                     preferred_element_type=jnp.float32,

@@ -81,7 +81,10 @@ def tti_supported(model, rec_idx, nt=None):
     if model.dim != 2 or model.dtype != np.float32:
         return False
     zplanes = np.unique(np.asarray(rec_idx)[..., 1])
-    if len(zplanes) > 2:
+    # the planes must be ADJACENT (z0, z0+1): the kernels record
+    # exactly those two rows, and two separated planes would silently
+    # read the wrong row for the second one (review r5)
+    if len(zplanes) > 2 or zplanes.max() - zplanes.min() > 1:
         return False
     # the kernels' static 2-row receiver slice must fit the grid (a
     # z-edge geometry would clamp it to one row and crash the trace)

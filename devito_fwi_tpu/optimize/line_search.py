@@ -152,17 +152,25 @@ class Bracket(Base):
     def calculate_step(self):
         x, f, gtg, gtp, step_count, update_count = self.search_history()
 
+        # non-finite trials (e.g. a bounded model beyond the pinned
+        # dt's CFL limit blowing the forward up) must never be accepted
+        # or fed to the polynomial fits. If the LATEST trial blew up,
+        # retry well below the smallest unstable step; otherwise drop
+        # the blown-up rows and let the normal logic decide on the
+        # finite subset (so a recovered finite trial CAN be accepted),
+        # capping any proposal below the unstable region. Finite-path
+        # behavior (and reference parity) is untouched.
+        alpha_bad_min = None
         bad = ~np.isfinite(np.asarray(f))
         if step_count > 0 and bad.any():
-            # a non-finite trial (e.g. a bounded model beyond the
-            # pinned dt's CFL limit blowing the forward up) must never
-            # be accepted or fed to the polynomial fits — retry well
-            # below the smallest unstable step; the step budget still
-            # bounds the loop. Finite-path behavior (and reference
-            # parity) is untouched.
-            if step_count <= self.step_count_max:
-                return 0.1 * float(np.asarray(x)[bad].min()), 0
-            return 0, -1
+            alpha_bad_min = float(np.asarray(x)[bad].min())
+            if not np.isfinite(self.func_vals[-1]):
+                if step_count <= self.step_count_max:
+                    return 0.1 * alpha_bad_min, 0
+                return 0, -1
+            keep = ~bad
+            x = np.asarray(x)[keep]
+            f = np.asarray(f)[keep]
 
         if step_count == 0 and update_count == 0:
             # Dennis & Schnabel initial step
@@ -191,6 +199,13 @@ class Bracket(Base):
             alpha = 0
             status = -1
 
+        # keep proposals below any known-unstable step (NaN region):
+        # bisect between the largest finite trial and the unstable
+        # boundary so a bracket can still form under the ceiling
+        if alpha_bad_min is not None and status == 0 and \
+                alpha >= alpha_bad_min:
+            alpha = 0.5 * (float(x[-1]) + alpha_bad_min)
+
         # optional step-length safeguard
         if alpha > self.step_len_max and step_count == 0:
             alpha = 0.618034 * self.step_len_max
@@ -211,12 +226,18 @@ class Backtrack(Bracket):
     def calculate_step(self):
         x, f, gtg, gtp, step_count, update_count = self.search_history()
 
+        # same non-finite-trial handling as Bracket (see there)
+        alpha_bad_min = None
         bad = ~np.isfinite(np.asarray(f))
         if step_count > 0 and bad.any():
-            # same non-finite-trial guard as Bracket (see there)
-            if step_count <= self.step_count_max:
-                return 0.1 * float(np.asarray(x)[bad].min()), 0
-            return None, -1
+            alpha_bad_min = float(np.asarray(x)[bad].min())
+            if not np.isfinite(self.func_vals[-1]):
+                if step_count <= self.step_count_max:
+                    return 0.1 * alpha_bad_min, 0
+                return None, -1
+            keep = ~bad
+            x = np.asarray(x)[keep]
+            f = np.asarray(f)[keep]
 
         if update_count == 0:
             # quasi-Newton direction not yet scaled: bracket instead
@@ -234,6 +255,9 @@ class Backtrack(Bracket):
         else:
             alpha = None
             status = -1
+        if alpha_bad_min is not None and status == 0 and \
+                alpha is not None and alpha >= alpha_bad_min:
+            alpha = 0.5 * (float(x[-1]) + alpha_bad_min)
         return alpha, status
 
 

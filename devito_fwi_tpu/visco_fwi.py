@@ -208,11 +208,7 @@ def _visco_shots_obj_pallas(vp, qp, b, damp, src_wav, s_idx, s_w, r_idx,
         hist_dtype=hist_dtype, **kw)
 
     nrec = r_idx.shape[0]
-    rxi = r_idx[:, :, 0]
-    rplane = (r_idx[:, :, 1] != z0).astype(jnp.int32)
-    W = jnp.zeros((2 * nx, nrec), dtype).at[
-        rplane * nx + rxi, jnp.arange(nrec)[:, None]].add(
-        r_w.astype(dtype))
+    W = ps.zplane_weight_matrix(r_idx, r_w, nx, z0)
     flat = rec_rows.reshape(B, total, 2 * nx)[:, :nsteps]
     tr = jnp.einsum("btq,qr->btr", flat, W,
                     preferred_element_type=jnp.float32,
@@ -358,9 +354,14 @@ def visco_fwi_obj_multi(geometry, obs, misfit_func=None, direct_wave=None,
                         model.padded_shape[0], model.padded_shape[1],
                         hist_dtype or "float32"),
                     interpret=(jax.default_backend() != "tpu"))
+    if grad_route in ("pallas", "saved") and calc_grad and \
+            model.dtype == np.float32 and model.dim == 2:
         # 2-field bf16 history ~0.6 GB/shot at Marmousi scale: clamp
         # the chunk to a 6 GB history budget like the elastic path
-        fh = _ps._stream_field_bytes(
+        # (applies to the XLA saved fallback too — it vmaps the same
+        # per-shot histories)
+        from .ops.pallas_staggered import _stream_field_bytes
+        fh = _stream_field_bytes(
             model.padded_shape[0], model.padded_shape[1],
             jnp.dtype(hist_dtype or "float32").itemsize)
         per_shot = (geometry.nt - 2) * 2 * fh

@@ -279,8 +279,8 @@ def test_line_search_survives_nonfinite_trials():
         calls["n"] += 1
         d = x - m_star
         f = 0.5 * float(d @ d)
-        # blow up for any big move from the start (NaN region)
-        if np.abs(x - 1.5).max() > 0.45:
+        # blow up past the minimizer (NaN region beyond alpha ~1.1)
+        if np.abs(x - 1.5).max() > 0.55:
             f = float("nan")
         if not calc_grad:
             return f, None, []
@@ -294,13 +294,13 @@ def test_line_search_survives_nonfinite_trials():
                       loss_fn=loss).run(
             x0, _FakeGeom(), None, None, None, None, True, None)
     # the contract: terminate with a FINITE model in bounded calls —
-    # no NaN ever accepted, no infinite retry loop (progress is not
-    # guaranteed when the NaN wall prevents a bracket; the search
-    # fails cleanly instead)
+    # no NaN ever accepted, no infinite retry loop — AND make real
+    # progress: after the blown-up first proposal, the guard's
+    # shrink/bisect lets a bracket form inside the stable region
     f0 = 0.5 * float((x0 - m_star) @ (x0 - m_star))
     f1 = 0.5 * float((mm - m_star) @ (mm - m_star))
     assert np.isfinite(mm).all()
-    assert f1 <= f0
+    assert f1 < 0.5 * f0
     assert calls["n"] < 150  # bounded — no infinite NaN retry loop
 
 

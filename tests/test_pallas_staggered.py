@@ -103,3 +103,42 @@ def test_visco_sls2_pallas_matches_xla_interpret():
     pa = np.asarray(p_x)
     pscale = max(np.abs(pa).max(), 1e-12)
     assert np.abs(np.asarray(p_p) - pa).max() < 1e-5 * pscale
+
+
+def test_supported_gates_reject_nonadjacent_zplanes():
+    """Receivers on two SEPARATED z-planes must be rejected by every
+    Pallas fast-path gate: the kernels record exactly rows (z0, z0+1)
+    and a second plane elsewhere would silently read the wrong row
+    (review r5)."""
+    import numpy as np
+    from devito_fwi_tpu import SeismicModel, AcquisitionGeometry
+    from devito_fwi_tpu.ops import pallas_staggered as ps
+    from devito_fwi_tpu.ops import pallas_tti as pt
+    from devito_fwi_tpu.ops.interp import interp_table
+
+    shape = (61, 51)
+    vp = np.full(shape, 2.0, np.float32)
+    vs = vp / 2.0
+    rho = np.ones(shape, np.float32)
+    model = SeismicModel(origin=(0., 0.), spacing=(10., 10.),
+                         shape=shape, space_order=4, vp=vp, vs=vs,
+                         b=1.0 / rho, nbl=10, bcs="mask",
+                         dtype=np.float32)
+    src = np.array([[300.0, 20.0]])
+    # one line at z=30 m, another at z=200 m: two NON-adjacent planes
+    xs = np.linspace(0., 600., 16)
+    rec = np.concatenate([
+        np.stack([xs, np.full(16, 30.0)], 1),
+        np.stack([xs, np.full(16, 200.0)], 1)])
+    s_idx, _ = interp_table(src, model.origin_pml, model.spacing,
+                            dtype=np.float32)
+    r_idx, _ = interp_table(rec, model.origin_pml, model.spacing,
+                            dtype=np.float32)
+    assert not ps.elastic_supported(model, s_idx, r_idx)
+    assert not pt.tti_supported(model, r_idx)
+    # an adjacent two-plane geometry (single depth, fractional z)
+    # stays supported
+    rec_ok = np.stack([xs, np.full(16, 35.0)], 1)
+    r_ok, _ = interp_table(rec_ok, model.origin_pml, model.spacing,
+                           dtype=np.float32)
+    assert ps.elastic_supported(model, s_idx, r_ok)
